@@ -1,0 +1,54 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh.
+
+Multi-chip sharding logic is tested on a virtual CPU mesh per the driver
+contract (no multi-chip TPU hardware is available in CI).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE_ASSETS = Path("/root/reference/tests/assets")
+
+
+@pytest.fixture(scope="session")
+def minimal_instance_slp() -> Path:
+    """Two-instance fly fixture with embedded 384x384 grayscale frame."""
+    p = REFERENCE_ASSETS / "datasets/minimal_instance.pkg.slp"
+    if not p.exists():
+        pytest.skip("reference assets unavailable")
+    return p
+
+
+@pytest.fixture(scope="session")
+def small_robot_slp() -> Path:
+    p = REFERENCE_ASSETS / "datasets/small_robot_minimal.slp"
+    if not p.exists():
+        pytest.skip("reference assets unavailable")
+    return p
+
+
+@pytest.fixture(scope="session")
+def small_robot_mp4() -> Path:
+    p = REFERENCE_ASSETS / "datasets/small_robot_3_frame.mp4"
+    if not p.exists():
+        candidates = sorted(REFERENCE_ASSETS.glob("datasets/*.mp4"))
+        if not candidates:
+            pytest.skip("reference assets unavailable")
+        p = candidates[0]
+    return p
+
+
+@pytest.fixture()
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0)
