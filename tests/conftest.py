@@ -6,12 +6,20 @@ contract (no multi-chip TPU hardware is available in CI).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel) and a
+# sitecustomize imports jax at interpreter start, so plain env defaults are
+# too late — override the config explicitly before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 
 from pathlib import Path
 
