@@ -1,0 +1,444 @@
+"""Training data pipeline: host datasets + fused device-side render graph.
+
+TPU-first redesign of the reference's 12 dataset classes
+(reference: sleap_nn/data/custom_datasets.py:339-5874). Host side does only
+indexing + frame decode + NaN-padding (numpy); everything else — normalize,
+sizematch, scale, augment, pad-to-stride, and target rendering
+(confmaps/PAFs/class maps/vectors) — is one pure, jittable function produced
+by :func:`make_render_fn`, designed to be jitted together with the train
+step so the whole step is a single XLA program.
+
+Static-shape discipline: every batch is ``(B, H, W, C)`` with fixed
+``max_instances`` NaN-padded keypoints; centered-instance datasets enumerate
+(frame, instance) pairs and crop on device at a static crop size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleap_nn_tpu.config.data_config import DataConfig
+from sleap_nn_tpu.data.augmentation import (
+    apply_geometric_augmentation,
+    apply_intensity_augmentation,
+)
+from sleap_nn_tpu.data.identity import make_class_vectors
+from sleap_nn_tpu.data.instance_centroids import generate_centroids
+from sleap_nn_tpu.data.instance_cropping import generate_crops
+from sleap_nn_tpu.data.normalization import apply_channel_config, normalize_image
+from sleap_nn_tpu.data.providers import get_max_instances, process_lf
+from sleap_nn_tpu.data.resizing import apply_pad_to_stride, apply_resizer, apply_sizematcher
+from sleap_nn_tpu.io.model import Labels
+from sleap_nn_tpu.ops.confmaps import generate_confmaps, generate_multiconfmaps
+from sleap_nn_tpu.ops.edge_maps import generate_pafs
+from sleap_nn_tpu.ops.grid import make_grid_vectors
+from sleap_nn_tpu.ops.confmaps import make_confmaps
+
+
+@dataclasses.dataclass
+class PipelineContext:
+    """Static pipeline parameters shared by host datasets and device render fns."""
+
+    model_type: str
+    n_nodes: int
+    max_instances: int
+    edge_inds: Tuple[Tuple[int, int], ...] = ()
+    n_classes: int = 0
+    # preprocessing
+    ensure_rgb: bool = False
+    ensure_grayscale: bool = False
+    max_height: Optional[int] = None
+    max_width: Optional[int] = None
+    scale: float = 1.0
+    crop_size: Optional[int] = None
+    max_stride: int = 16
+    # heads
+    sigma: float = 5.0
+    output_stride: int = 2
+    pafs_sigma: float = 15.0
+    pafs_output_stride: int = 4
+    class_maps_sigma: float = 5.0
+    class_maps_output_stride: int = 2
+    anchor_ind: Optional[int] = None
+    # augmentation
+    use_augmentations: bool = False
+    intensity: Optional[dict] = None
+    geometric: Optional[dict] = None
+    symmetric_inds: Tuple[Tuple[int, int], ...] = ()
+
+
+def _aug_kwargs(cfg) -> dict:
+    if cfg is None:
+        return {}
+    if dataclasses.is_dataclass(cfg):
+        return dataclasses.asdict(cfg)
+    return dict(cfg)
+
+
+def preprocess_batch(
+    ctx: PipelineContext,
+    image: jnp.ndarray,
+    instances: jnp.ndarray,
+    key: Optional[jax.Array],
+    train: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, float]:
+    """Shared device-side chain: normalize -> channels -> sizematch -> scale
+    -> augment -> (image NOT yet padded to stride). Returns eff_scale."""
+    image = normalize_image(image)
+    image = apply_channel_config(image, ctx.ensure_rgb, ctx.ensure_grayscale)
+    image, eff_scale = apply_sizematcher(image, ctx.max_height, ctx.max_width)
+    instances = instances * eff_scale
+    image, instances = apply_resizer(image, instances, ctx.scale)
+
+    if train and ctx.use_augmentations and key is not None:
+        k_int, k_geo = jax.random.split(key)
+        if ctx.intensity:
+            image = apply_intensity_augmentation(k_int, image, **ctx.intensity)
+        if ctx.geometric:
+            out = apply_geometric_augmentation(
+                k_geo, image, instances,
+                symmetric_inds=ctx.symmetric_inds or None,
+                **ctx.geometric,
+            )
+            image, instances = out[0], out[1]
+    return image, instances, eff_scale
+
+
+def make_render_fn(ctx: PipelineContext, train: bool) -> Callable:
+    """Build the pure device-side batch -> (inputs, targets) function.
+
+    The returned fn has signature ``fn(batch: dict[str, jnp.ndarray],
+    key: jax.Array | None) -> dict`` and is jit-safe for fixed input shapes.
+    Output dict always contains ``image`` (network input) plus model-type
+    specific targets: ``confmaps``, ``pafs``, ``class_maps``,
+    ``class_vectors``, ``instances`` (transformed keypoints), ``centroids``.
+    """
+    edge_inds = jnp.asarray(ctx.edge_inds, dtype=jnp.int32) if ctx.edge_inds else None
+
+    def fn(batch: Dict[str, jnp.ndarray], key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        image = batch["image"]
+        instances = batch["instances"]  # (B, I, N, 2)
+        image, instances, eff_scale = preprocess_batch(ctx, image, instances, key, train)
+        image = apply_pad_to_stride(image, ctx.max_stride)
+        h, w = image.shape[1], image.shape[2]
+        out: Dict[str, Any] = {"eff_scale": eff_scale}
+
+        if ctx.model_type == "single_instance":
+            pts = instances[:, 0]  # (B, N, 2)
+            out["confmaps"] = generate_confmaps(
+                pts, (h, w), sigma=ctx.sigma, output_stride=ctx.output_stride
+            )
+            out["image"], out["instances"] = image, instances
+
+        elif ctx.model_type == "centroid":
+            centroids = generate_centroids(instances, ctx.anchor_ind)  # (B, I, 2)
+            out["confmaps"] = generate_multiconfmaps(
+                centroids, (h, w), sigma=ctx.sigma,
+                output_stride=ctx.output_stride, is_centroids=True,
+            )
+            out["image"], out["instances"], out["centroids"] = image, instances, centroids
+
+        elif ctx.model_type in ("centered_instance", "multi_class_topdown"):
+            centroids = generate_centroids(instances, ctx.anchor_ind)  # (B, I, 2)
+            b = image.shape[0]
+            sel = batch["center_idx"].astype(jnp.int32)  # (B,)
+            rows = jnp.arange(b)
+            c = centroids[rows, sel]  # (B, 2)
+            inst = instances[rows, sel]  # (B, N, 2)
+            crop_size = int(round(ctx.crop_size * ctx.scale))
+            crop_size += (-crop_size) % ctx.max_stride
+            crops, inst_shifted, c_shifted = generate_crops(image, inst, c, crop_size)
+            out["image"] = crops
+            out["instances"] = inst_shifted
+            out["centroids"] = c_shifted
+            out["confmaps"] = generate_confmaps(
+                inst_shifted, (crop_size, crop_size),
+                sigma=ctx.sigma, output_stride=ctx.output_stride,
+            )
+            if ctx.model_type == "multi_class_topdown":
+                tid = batch["track_ids"][rows, sel]
+                out["class_vectors"] = make_class_vectors(tid, ctx.n_classes)
+
+        elif ctx.model_type == "bottomup":
+            out["image"], out["instances"] = image, instances
+            out["confmaps"] = generate_multiconfmaps(
+                instances, (h, w), sigma=ctx.sigma, output_stride=ctx.output_stride
+            )
+            out["pafs"] = jax.vmap(
+                lambda inst: generate_pafs(
+                    inst, (h, w), edge_inds,
+                    sigma=ctx.pafs_sigma, output_stride=ctx.pafs_output_stride,
+                )
+            )(instances)
+
+        elif ctx.model_type == "multi_class_bottomup":
+            out["image"], out["instances"] = image, instances
+            out["confmaps"] = generate_multiconfmaps(
+                instances, (h, w), sigma=ctx.sigma, output_stride=ctx.output_stride
+            )
+            xv, yv = make_grid_vectors(h, w, ctx.class_maps_output_stride)
+            per_inst_cms = make_confmaps(
+                instances, xv, yv, ctx.class_maps_sigma * ctx.class_maps_output_stride
+            )  # (B, I, Hs, Ws, N)
+            from sleap_nn_tpu.data.identity import make_class_maps
+
+            out["class_maps"] = make_class_maps(
+                per_inst_cms, batch["track_ids"], ctx.n_classes
+            )
+
+        else:
+            raise NotImplementedError(f"Render fn for model type {ctx.model_type}")
+
+        return out
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Host-side datasets
+# ---------------------------------------------------------------------------
+
+
+class BaseDataset:
+    """Host-side dataset: index + decode + pad. One item = one frame sample."""
+
+    def __init__(
+        self,
+        labels_list: Sequence[Labels],
+        ctx: PipelineContext,
+        user_instances_only: bool = True,
+        cache_imgs: bool = True,
+    ):
+        self.labels_list = list(labels_list)
+        self.ctx = ctx
+        self.user_instances_only = user_instances_only
+        self.samples: List[Dict[str, Any]] = []
+        self._build_index(cache_imgs)
+
+    def _track_index(self, labels: Labels) -> dict:
+        # Class index = position in labels.tracks (by name order, stable).
+        return {id(t): i for i, t in enumerate(labels.tracks)}
+
+    def _build_index(self, cache_imgs: bool):
+        for labels in self.labels_list:
+            tindex = self._track_index(labels)
+            for lf in labels.labeled_frames:
+                video_idx = (
+                    labels.videos.index(lf.video) if lf.video in labels.videos else 0
+                )
+                sample = process_lf(
+                    lf,
+                    video_idx=video_idx,
+                    max_instances=self.ctx.max_instances,
+                    user_instances_only=self.user_instances_only,
+                    track_index=tindex,
+                )
+                if sample is None:
+                    continue
+                self._append_samples(sample)
+
+    def _append_samples(self, sample: Dict[str, Any]):
+        self.samples.append(sample)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get_sample(self, idx: int) -> Dict[str, Any]:
+        return self.samples[idx]
+
+    def make_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        samples = [self.get_sample(i) for i in indices]
+        batch: Dict[str, np.ndarray] = {}
+        for key in ("image", "instances", "track_ids", "orig_size"):
+            batch[key] = np.stack([s[key] for s in samples])
+        for key in ("frame_idx", "video_idx", "num_instances"):
+            batch[key] = np.asarray([s[key] for s in samples], dtype=np.int32)
+        if "center_idx" in samples[0]:
+            batch["center_idx"] = np.asarray(
+                [s["center_idx"] for s in samples], dtype=np.int32
+            )
+        return batch
+
+
+class SingleInstanceDataset(BaseDataset):
+    """One sample per labeled frame; first instance supervised."""
+
+
+class CentroidDataset(BaseDataset):
+    """One sample per labeled frame; all centroids supervised."""
+
+
+class BottomUpDataset(BaseDataset):
+    """One sample per labeled frame; confmaps + PAFs."""
+
+
+class BottomUpMultiClassDataset(BaseDataset):
+    """One sample per labeled frame; confmaps + class maps."""
+
+
+class CenteredInstanceDataset(BaseDataset):
+    """One sample per (frame, instance): device-side crop at static size."""
+
+    def _append_samples(self, sample: Dict[str, Any]):
+        for k in range(sample["num_instances"]):
+            s = dict(sample)
+            s["center_idx"] = k
+            self.samples.append(s)
+
+
+class TopDownCenteredInstanceMultiClassDataset(CenteredInstanceDataset):
+    """Centered-instance samples + class-vector targets from track ids."""
+
+
+_DATASET_BY_TYPE = {
+    "single_instance": SingleInstanceDataset,
+    "centroid": CentroidDataset,
+    "centered_instance": CenteredInstanceDataset,
+    "bottomup": BottomUpDataset,
+    "multi_class_bottomup": BottomUpMultiClassDataset,
+    "multi_class_topdown": TopDownCenteredInstanceMultiClassDataset,
+}
+
+
+def make_dataset(model_type: str, labels_list, ctx: PipelineContext, **kwargs) -> BaseDataset:
+    if model_type not in _DATASET_BY_TYPE:
+        raise NotImplementedError(f"No dataset for model type: {model_type}")
+    return _DATASET_BY_TYPE[model_type](labels_list, ctx, **kwargs)
+
+
+def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineContext:
+    """Assemble static pipeline params from a TrainingJobConfig + labels.
+
+    Mirrors the config inference in reference ModelTrainer.setup_config
+    (model_trainer.py:479-770): crop size, sigma/strides per head leaf,
+    max_stride from backbone, symmetric node pairs from the skeleton.
+    """
+    from sleap_nn_tpu.config.utils import get_backbone_config, get_head_config
+    from sleap_nn_tpu.data.instance_cropping import (
+        compute_augmentation_padding,
+        find_instance_crop_size,
+    )
+
+    pre = cfg.data_config.preprocessing
+    backbone = get_backbone_config(cfg)
+    head = get_head_config(cfg)
+    skel = labels.skeleton
+    n_nodes = len(skel.node_names)
+
+    kw: Dict[str, Any] = dict(
+        model_type=model_type,
+        n_nodes=n_nodes,
+        max_instances=get_max_instances(labels),
+        ensure_rgb=pre.ensure_rgb,
+        ensure_grayscale=pre.ensure_grayscale,
+        max_height=pre.max_height,
+        max_width=pre.max_width,
+        scale=pre.scale,
+        crop_size=pre.crop_size,
+        max_stride=backbone.max_stride,
+        symmetric_inds=tuple(skel.symmetry_inds),
+        use_augmentations=cfg.data_config.use_augmentations_train,
+    )
+    aug = cfg.data_config.augmentation_config
+    if aug is not None:
+        kw["intensity"] = _aug_kwargs(aug.intensity) if aug.intensity else None
+        kw["geometric"] = _aug_kwargs(aug.geometric) if aug.geometric else None
+
+    cm = getattr(head, "confmaps", None)
+    if cm is not None:
+        kw["sigma"] = cm.sigma
+        kw["output_stride"] = cm.output_stride
+        anchor = getattr(cm, "anchor_part", None)
+        if anchor is not None:
+            kw["anchor_ind"] = skel.node_names.index(anchor)
+    pafs = getattr(head, "pafs", None)
+    if pafs is not None:
+        kw["pafs_sigma"] = pafs.sigma
+        kw["pafs_output_stride"] = pafs.output_stride
+        kw["edge_inds"] = tuple(skel.edge_inds)
+    cmaps = getattr(head, "class_maps", None)
+    if cmaps is not None:
+        kw["class_maps_sigma"] = cmaps.sigma
+        kw["class_maps_output_stride"] = cmaps.output_stride
+        kw["n_classes"] = len(cmaps.classes or labels.tracks)
+    cvec = getattr(head, "class_vectors", None)
+    if cvec is not None:
+        kw["n_classes"] = len(cvec.classes or labels.tracks)
+
+    if model_type in ("centered_instance", "multi_class_topdown") and not kw["crop_size"]:
+        rot_max, scale_max = 0.0, 1.0
+        if aug is not None and aug.geometric is not None:
+            rot_max = max(abs(aug.geometric.rotation_min), abs(aug.geometric.rotation_max))
+            scale_max = aug.geometric.scale_max
+        padding = compute_augmentation_padding(
+            find_instance_crop_size(labels), rot_max, scale_max
+        ) if cfg.data_config.use_augmentations_train else 0
+        kw["crop_size"] = find_instance_crop_size(
+            labels,
+            padding=padding,
+            maximum_stride=backbone.max_stride,
+            min_crop_size=pre.min_crop_size,
+        )
+    return PipelineContext(**kw)
+
+
+class Loader:
+    """Shuffling batch loader over a host dataset with device prefetch."""
+
+    def __init__(
+        self,
+        dataset: BaseDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idxs = order[start : start + self.batch_size].tolist()
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    # Pad with wrap-around repeats; ``batch_mask`` marks real rows
+                    # so losses/metrics can ignore the padding (keeps jit shapes
+                    # static — one compile for all batches).
+                    pad = self.batch_size - len(idxs)
+                    idxs = idxs + order[:pad].tolist()
+                    batch = self.dataset.make_batch(idxs)
+                    mask = np.zeros(self.batch_size, dtype=bool)
+                    mask[: self.batch_size - pad] = True
+                    batch["batch_mask"] = mask
+                    yield batch
+                    return
+            batch = self.dataset.make_batch(idxs)
+            batch["batch_mask"] = np.ones(len(idxs), dtype=bool)
+            yield batch

@@ -1,0 +1,204 @@
+"""Tests for the data pipeline: datasets, device render fns, augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+from sleap_nn_tpu.data.pipeline import (
+    Loader,
+    PipelineContext,
+    build_pipeline_context,
+    make_dataset,
+    make_render_fn,
+)
+from sleap_nn_tpu.io import load_slp
+
+
+@pytest.fixture(scope="module")
+def labels():
+    return load_slp("/root/reference/tests/assets/datasets/minimal_instance.pkg.slp")
+
+
+def base_cfg(model_type: str, labels, **over):
+    cfg = TrainingJobConfig()
+    apply_overrides(cfg, {"model_config.backbone_config.unet.max_stride": 8,
+                          "model_config.backbone_config.unet.output_stride": 2})
+    names = labels.skeleton.node_names
+    if model_type == "single_instance":
+        apply_overrides(cfg, {"model_config.head_configs.single_instance.confmaps.part_names": names,
+                              "model_config.head_configs.single_instance.confmaps.output_stride": 2})
+    elif model_type == "centroid":
+        apply_overrides(cfg, {"model_config.head_configs.centroid.confmaps.sigma": 2.5,
+                              "model_config.head_configs.centroid.confmaps.output_stride": 2})
+    elif model_type == "centered_instance":
+        apply_overrides(cfg, {"model_config.head_configs.centered_instance.confmaps.part_names": names,
+                              "model_config.head_configs.centered_instance.confmaps.output_stride": 2})
+    elif model_type == "bottomup":
+        apply_overrides(cfg, {
+            "model_config.head_configs.bottomup.confmaps.part_names": names,
+            "model_config.head_configs.bottomup.confmaps.output_stride": 2,
+            "model_config.head_configs.bottomup.pafs.edges": [list(e) for e in labels.skeleton.edge_names],
+            "model_config.head_configs.bottomup.pafs.output_stride": 4,
+        })
+    cfg.data_config.use_augmentations_train = False
+    for k, v in over.items():
+        apply_overrides(cfg, {k: v})
+    return cfg
+
+
+def test_single_instance_pipeline(labels):
+    cfg = base_cfg("single_instance", labels)
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    ds = make_dataset("single_instance", [labels], ctx)
+    assert len(ds) == 1
+    batch = ds.make_batch([0])
+    assert batch["image"].shape == (1, 384, 384, 1)
+    assert batch["instances"].shape == (1, 2, 2, 2)
+
+    fn = jax.jit(lambda b: make_render_fn(ctx, train=False)(b))
+    out = fn({k: jnp.asarray(v) for k, v in batch.items() if k != "batch_mask"})
+    assert out["image"].shape == (1, 384, 384, 1)
+    assert out["confmaps"].shape == (1, 192, 192, 2)
+    # Peak of each channel at the keypoint (stride 2 coords).
+    cm = np.asarray(out["confmaps"][0])
+    pts = batch["instances"][0, 0]
+    for k in range(2):
+        yx = np.unravel_index(cm[..., k].argmax(), cm[..., k].shape)
+        np.testing.assert_allclose(
+            [yx[1] * 2, yx[0] * 2], pts[k], atol=2.0
+        )
+
+
+def test_centroid_pipeline(labels):
+    cfg = base_cfg("centroid", labels)
+    ctx = build_pipeline_context(cfg, labels, "centroid")
+    ds = make_dataset("centroid", [labels], ctx)
+    batch = ds.make_batch([0])
+    out = make_render_fn(ctx, train=False)({k: jnp.asarray(v) for k, v in batch.items()})
+    assert out["confmaps"].shape == (1, 192, 192, 1)
+    assert out["centroids"].shape == (1, 2, 2)
+    # Two blobs, one per instance centroid.
+    cm = np.asarray(out["confmaps"][0, ..., 0])
+    assert (cm > 0.9).sum() >= 2
+
+
+def test_centered_instance_pipeline(labels):
+    cfg = base_cfg("centered_instance", labels)
+    ctx = build_pipeline_context(cfg, labels, "centered_instance")
+    assert ctx.crop_size is not None and ctx.crop_size % 8 == 0
+    ds = make_dataset("centered_instance", [labels], ctx)
+    assert len(ds) == 2  # one per instance
+    batch = ds.make_batch([0, 1])
+    out = make_render_fn(ctx, train=False)({k: jnp.asarray(v) for k, v in batch.items()})
+    cs = int(round(ctx.crop_size * ctx.scale))
+    cs += (-cs) % ctx.max_stride
+    assert out["image"].shape == (2, cs, cs, 1)
+    assert out["confmaps"].shape == (2, cs // 2, cs // 2, 2)
+    # The centered instance's keypoints must be inside the crop.
+    inst = np.asarray(out["instances"])
+    assert np.nanmin(inst) > 0 and np.nanmax(inst) < cs
+    # Confmap peak matches shifted keypoint.
+    cm = np.asarray(out["confmaps"][0, ..., 0])
+    yx = np.unravel_index(cm.argmax(), cm.shape)
+    np.testing.assert_allclose([yx[1] * 2, yx[0] * 2], inst[0, 0], atol=2.0)
+
+
+def test_bottomup_pipeline(labels):
+    cfg = base_cfg("bottomup", labels)
+    ctx = build_pipeline_context(cfg, labels, "bottomup")
+    ds = make_dataset("bottomup", [labels], ctx)
+    batch = ds.make_batch([0])
+    out = make_render_fn(ctx, train=False)({k: jnp.asarray(v) for k, v in batch.items()})
+    assert out["confmaps"].shape == (1, 192, 192, 2)
+    assert out["pafs"].shape == (1, 96, 96, 2)  # 1 edge -> 2 channels
+    assert not np.isnan(np.asarray(out["pafs"])).any()
+    assert np.abs(np.asarray(out["pafs"])).max() > 0.5
+
+
+def test_scaled_pipeline(labels):
+    cfg = base_cfg("single_instance", labels, **{"data_config.preprocessing.scale": 0.5})
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    ds = make_dataset("single_instance", [labels], ctx)
+    out = make_render_fn(ctx, train=False)(
+        {k: jnp.asarray(v) for k, v in ds.make_batch([0]).items()}
+    )
+    assert out["image"].shape == (1, 192, 192, 1)
+    assert out["confmaps"].shape == (1, 96, 96, 2)
+
+
+def test_sizematcher_in_pipeline(labels):
+    cfg = base_cfg(
+        "single_instance", labels,
+        **{"data_config.preprocessing.max_height": 512,
+           "data_config.preprocessing.max_width": 448},
+    )
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    ds = make_dataset("single_instance", [labels], ctx)
+    batch = {k: jnp.asarray(v) for k, v in ds.make_batch([0]).items()}
+    out = make_render_fn(ctx, train=False)(batch)
+    assert out["image"].shape == (1, 512, 448, 1)
+    # eff_scale = min(512/384, 448/384) = 448/384
+    assert abs(out["eff_scale"] - 448 / 384) < 1e-6
+    # keypoints scaled accordingly: peak still matches.
+    cm = np.asarray(out["confmaps"][0, ..., 0])
+    yx = np.unravel_index(cm.argmax(), cm.shape)
+    pts = np.asarray(batch["instances"][0, 0, 0]) * (448 / 384)
+    np.testing.assert_allclose([yx[1] * 2, yx[0] * 2], pts, atol=2.5)
+
+
+def test_augmentation_determinism_and_effect(labels):
+    cfg = base_cfg("single_instance", labels)
+    cfg.data_config.use_augmentations_train = True
+    apply_overrides(cfg, {
+        "data_config.augmentation_config.geometric.affine_p": 1.0,
+        "data_config.augmentation_config.geometric.rotation_min": -30.0,
+        "data_config.augmentation_config.geometric.rotation_max": 30.0,
+        "data_config.augmentation_config.geometric.rotation_p": None,
+        "data_config.augmentation_config.geometric.scale_p": None,
+        "data_config.augmentation_config.intensity.brightness_p": 1.0,
+    })
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    ds = make_dataset("single_instance", [labels], ctx)
+    batch = {k: jnp.asarray(v) for k, v in ds.make_batch([0]).items()}
+    fn = make_render_fn(ctx, train=True)
+    out1 = fn(batch, jax.random.PRNGKey(7))
+    out2 = fn(batch, jax.random.PRNGKey(7))
+    out3 = fn(batch, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(out1["image"]), np.asarray(out2["image"]))
+    assert not np.allclose(np.asarray(out1["image"]), np.asarray(out3["image"]))
+    # Augmented keypoints track the augmented image: confmap peak == keypoint.
+    cm = np.asarray(out1["confmaps"][0, ..., 0])
+    inst = np.asarray(out1["instances"][0, 0, 0])
+    yx = np.unravel_index(cm.argmax(), cm.shape)
+    np.testing.assert_allclose([yx[1] * 2, yx[0] * 2], inst, atol=2.5)
+
+
+def test_flip_symmetric_swap():
+    key = jax.random.PRNGKey(0)
+    from sleap_nn_tpu.data.augmentation import apply_flip_augmentation
+
+    img = jnp.zeros((1, 8, 8, 1)).at[0, 2, 1, 0].set(1.0)
+    pts = jnp.array([[[1.0, 2.0], [6.0, 5.0]]])  # (B, N, 2)
+    out_img, out_pts, _ = apply_flip_augmentation(
+        key, img, pts, symmetric_inds=[(0, 1)], flip_p=1.0
+    )
+    # x' = 7 - x and node swap.
+    np.testing.assert_allclose(np.asarray(out_pts[0]), [[1.0, 5.0], [6.0, 2.0]])
+    assert float(out_img[0, 2, 6, 0]) == 1.0
+
+
+def test_loader_padding_and_shuffle(labels):
+    cfg = base_cfg("centered_instance", labels)
+    ctx = build_pipeline_context(cfg, labels, "centered_instance")
+    ds = make_dataset("centered_instance", [labels], ctx)
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape[0] == 4  # padded to full batch
+    assert b["batch_mask"].tolist() == [True, True, False, False]
+    # drop_last
+    loader2 = Loader(ds, batch_size=4, drop_last=True)
+    assert list(loader2) == []
