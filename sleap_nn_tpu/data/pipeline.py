@@ -432,7 +432,7 @@ class Loader:
                     # so losses/metrics can ignore the padding (keeps jit shapes
                     # static — one compile for all batches).
                     pad = self.batch_size - len(idxs)
-                    idxs = idxs + order[:pad].tolist()
+                    idxs = idxs + order[np.arange(pad) % n].tolist()
                     batch = self.dataset.make_batch(idxs)
                     mask = np.zeros(self.batch_size, dtype=bool)
                     mask[: self.batch_size - pad] = True

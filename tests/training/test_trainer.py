@@ -1,0 +1,111 @@
+"""End-to-end training tests on the fixture (CPU, tiny epochs)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+from sleap_nn_tpu.io import load_slp
+from sleap_nn_tpu.training import ModelTrainer
+
+FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+
+def make_cfg(model_type: str, tmp_path, **over):
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.filters_rate": 2.0,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+    })
+    if model_type == "single_instance":
+        apply_overrides(cfg, {"model_config.head_configs.single_instance.confmaps.output_stride": 2})
+    elif model_type == "centroid":
+        apply_overrides(cfg, {"model_config.head_configs.centroid.confmaps.output_stride": 2})
+    elif model_type == "centered_instance":
+        apply_overrides(cfg, {"model_config.head_configs.centered_instance.confmaps.output_stride": 2})
+    elif model_type == "bottomup":
+        apply_overrides(cfg, {
+            "model_config.head_configs.bottomup.confmaps.output_stride": 2,
+            "model_config.head_configs.bottomup.pafs.output_stride": 4,
+        })
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.train_data_loader.batch_size = 2
+    cfg.trainer_config.val_data_loader.batch_size = 2
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(tmp_path)
+    cfg.trainer_config.run_name = f"test_{model_type}"
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.optimizer.lr = 1e-3
+    for k, v in over.items():
+        apply_overrides(cfg, {k: v})
+    return cfg
+
+
+@pytest.mark.parametrize("model_type", ["single_instance", "centroid", "centered_instance", "bottomup"])
+def test_train_two_epochs(model_type, tmp_path):
+    cfg = make_cfg(model_type, tmp_path)
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert len(history) == 2
+    assert np.isfinite(history[0]["train/loss"])
+    assert np.isfinite(history[-1]["val/loss"])
+
+    # Model dir contract.
+    run_dir = Path(tmp_path) / f"test_{model_type}"
+    assert (run_dir / "training_config.yaml").exists()
+    assert (run_dir / "initial_config.yaml").exists()
+    assert (run_dir / "best.ckpt").exists()
+    assert (run_dir / "training_log.csv").exists()
+    assert (run_dir / "labels_train_gt_0.slp").exists()
+
+    # CSV has 2 epochs.
+    rows = (run_dir / "training_log.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2
+
+    # Checkpoint loads back.
+    state = ModelTrainer.load_checkpoint_params(run_dir / "best.ckpt")
+    assert "params" in state
+
+
+def test_loss_decreases(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 10
+    cfg.trainer_config.train_steps_per_epoch = 5
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    losses = [h["train/loss"] for h in history]
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_scheduler_and_ohkm(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    apply_overrides(cfg, {
+        "trainer_config.lr_scheduler.step_lr.step_size": 1,
+        "trainer_config.lr_scheduler.step_lr.gamma": 0.5,
+        "trainer_config.lr_scheduler.reduce_lr_on_plateau": None,
+        "trainer_config.online_hard_keypoint_mining.online_mining": True,
+    })
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert history[0]["learning_rate"] == pytest.approx(5e-4)
+    assert history[1]["learning_rate"] == pytest.approx(2.5e-4)
+
+
+def test_early_stopping(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 50
+    cfg.trainer_config.optimizer.lr = 0.0  # loss frozen -> plateau
+    apply_overrides(cfg, {
+        "trainer_config.early_stopping.patience": 2,
+        "trainer_config.early_stopping.min_delta": 1e-12,
+    })
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert len(history) <= 5
