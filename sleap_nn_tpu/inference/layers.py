@@ -1,0 +1,334 @@
+"""Inference layers: preprocess -> backend -> postprocess per model family.
+
+Parity target: reference sleap_nn/inference/layers/ (base.py:30,
+single_instance.py:35, centroid.py:43, centered_instance.py:39,
+topdown.py:35, bottomup.py:44). Each layer's device path (preprocess +
+forward + peak finding (+ PAF scoring)) is one jitted function with static
+shapes; coordinates are lifted back to original-image space via the
+eff_scale / scale / crop-offset bookkeeping the reference tracks in
+``PreprocInfo`` (layers/preprocess_info.py:20).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleap_nn_tpu.data.normalization import apply_channel_config, normalize_image
+from sleap_nn_tpu.data.resizing import apply_pad_to_stride, apply_sizematcher, resize_image
+from sleap_nn_tpu.ops.crops import crop_bboxes, make_centered_bboxes
+from sleap_nn_tpu.ops.peaks import find_global_peaks, find_local_peaks
+from sleap_nn_tpu.inference.paf_grouping import PAFScorer
+
+
+@dataclasses.dataclass
+class PreprocessConfig:
+    """Static preprocessing params shared by all layers (reference: layers/configs.py:17)."""
+
+    ensure_rgb: bool = False
+    ensure_grayscale: bool = False
+    max_height: Optional[int] = None
+    max_width: Optional[int] = None
+    scale: float = 1.0
+    max_stride: int = 16
+
+
+@dataclasses.dataclass
+class PostprocessConfig:
+    """Peak-finding / grouping knobs (reference: layers/configs.py:53)."""
+
+    peak_threshold: float = 0.2
+    refinement: Optional[str] = "integral"
+    integral_patch_size: int = 5
+    max_instances: Optional[int] = None
+    max_peaks: int = 200
+    return_confmaps: bool = False
+    # bottomup only
+    k_per_node: int = 20
+    n_points: int = 10
+    max_edge_length_ratio: float = 0.25
+    dist_penalty_weight: float = 1.0
+    min_line_scores: float = 0.25
+    # topdown only
+    crop_size: Optional[int] = None
+    anchor_ind: Optional[int] = None
+
+
+def preprocess_images(pre: PreprocessConfig, images: jnp.ndarray):
+    """uint8 (B, H, W, C) -> network-ready float batch + coordinate factors.
+
+    Returns (x, eff_scale): predicted coords must be divided by
+    ``pre.scale * eff_scale`` to land in original-image space.
+    """
+    x = normalize_image(images)
+    x = apply_channel_config(x, pre.ensure_rgb, pre.ensure_grayscale)
+    x, eff_scale = apply_sizematcher(x, pre.max_height, pre.max_width)
+    if pre.scale != 1.0:
+        x = resize_image(x, pre.scale)
+    x = apply_pad_to_stride(x, pre.max_stride)
+    return x, eff_scale
+
+
+class InferenceLayer:
+    """Base: owns backend + configs; subclasses implement ``predict``."""
+
+    def __init__(self, backend, pre: PreprocessConfig, post: PostprocessConfig):
+        self.backend = backend
+        self.pre = pre
+        self.post = post
+
+    def predict(self, images: np.ndarray) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class SingleInstanceLayer(InferenceLayer):
+    """Full-frame single-instance confmap peaks (reference: single_instance.py:35)."""
+
+    def __init__(self, backend, pre, post, head_name="SingleInstanceConfmapsHead", output_stride=2):
+        super().__init__(backend, pre, post)
+        self.head_name = head_name
+        self.output_stride = output_stride
+        post_cfg = self.post
+
+        def fn(images):
+            x, eff_scale = preprocess_images(self.pre, images)
+            preds = self.backend(x)
+            cms = preds[self.head_name]
+            points, vals = find_global_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+            )
+            points = points * self.output_stride / (self.pre.scale * eff_scale)
+            out = {"pred_keypoints": points[:, None], "pred_peak_values": vals[:, None]}
+            if post_cfg.return_confmaps:
+                out["confmaps"] = cms
+            return out
+
+        self._fn = jax.jit(fn)
+
+    def predict(self, images):
+        return jax.device_get(self._fn(jnp.asarray(images)))
+
+
+class CentroidLayer(InferenceLayer):
+    """Stage-1 centroid detection via local peaks (reference: centroid.py:43)."""
+
+    def __init__(self, backend, pre, post, head_name="CentroidConfmapsHead", output_stride=2):
+        super().__init__(backend, pre, post)
+        self.head_name = head_name
+        self.output_stride = output_stride
+        post_cfg = self.post
+        k = post_cfg.max_instances or post_cfg.max_peaks
+
+        def fn(images):
+            x, eff_scale = preprocess_images(self.pre, images)
+            preds = self.backend(x)
+            cms = preds[self.head_name]
+            points, vals, channels, valid = find_local_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+                max_peaks=k,
+            )
+            # scaled-image coords (for stage-2 crops) and original coords.
+            points_scaled = points * self.output_stride
+            points_orig = points_scaled / (self.pre.scale * eff_scale)
+            out = {
+                "pred_centroids": points_orig,
+                "centroids_scaled": points_scaled,
+                "centroid_vals": vals,
+                "centroid_valid": valid,
+                "eff_scale": eff_scale,
+            }
+            if post_cfg.return_confmaps:
+                out["confmaps"] = cms
+            return out
+
+        self._fn = jax.jit(fn)
+
+    def predict(self, images):
+        return jax.device_get(self._fn(jnp.asarray(images)))
+
+
+class CenteredInstanceLayer(InferenceLayer):
+    """Stage-2 per-crop confmap peaks (reference: centered_instance.py:39).
+
+    ``predict_on_crops`` takes pre-extracted crops in the SCALED image space;
+    peaks are returned in crop coordinates, callers add the crop offsets.
+    """
+
+    def __init__(self, backend, pre, post, head_name="CenteredInstanceConfmapsHead", output_stride=2):
+        super().__init__(backend, pre, post)
+        self.head_name = head_name
+        self.output_stride = output_stride
+        post_cfg = self.post
+
+        def fn(crops):
+            preds = self.backend(crops)
+            cms = preds[self.head_name]
+            points, vals = find_global_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+            )
+            return points * self.output_stride, vals
+
+        self._fn = jax.jit(fn)
+
+    def predict_on_crops(self, crops: jnp.ndarray):
+        return self._fn(crops)
+
+
+class TopDownLayer(InferenceLayer):
+    """Two-stage: centroids -> static-shape crop gather -> instance peaks.
+
+    Parity target: reference layers/topdown.py:35-250. Stage-2 runs on a
+    fixed ``max_instances`` crop batch with masking (no dynamic shapes).
+    """
+
+    def __init__(self, centroid_layer: Optional[CentroidLayer], instance_layer: CenteredInstanceLayer,
+                 max_instances: int = 20, crop_size: int = 160):
+        self.centroid_layer = centroid_layer
+        self.instance_layer = instance_layer
+        self.max_instances = max_instances
+        self.crop_size = crop_size
+
+        inst_pre = instance_layer.pre
+        crop = crop_size
+
+        def stage2(images_scaled, centroids_scaled, valid):
+            """images_scaled: stage-2-preprocessed full frames (B, H, W, C);
+            centroids_scaled: (B, K, 2) in the same scaled space."""
+            b, k = centroids_scaled.shape[:2]
+            flat_c = centroids_scaled.reshape(b * k, 2)
+            bboxes = make_centered_bboxes(flat_c, crop, crop)
+            sample_inds = jnp.repeat(jnp.arange(b), k)
+            crops = crop_bboxes(images_scaled, bboxes, sample_inds, crop, crop)
+            peaks, vals = instance_layer._fn(crops)  # crop coords
+            # Integer-floored bbox top-left — must match crop_bboxes' gather
+            # (center - (crop-1)/2, then the trunc(x+half)-half legacy floor).
+            half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
+            bbox_tl = flat_c - (crop - 1) / 2.0
+            top_left = jnp.trunc(bbox_tl + half) - half
+            peaks = peaks + top_left[:, None, :]
+            n_nodes = peaks.shape[1]
+            peaks = peaks.reshape(b, k, n_nodes, 2)
+            vals = vals.reshape(b, k, n_nodes)
+            peaks = jnp.where(valid[..., None, None], peaks, jnp.nan)
+            vals = jnp.where(valid[..., None], vals, 0.0)
+            return peaks, vals
+
+        self._stage2 = jax.jit(stage2)
+
+    def predict(self, images):
+        images = jnp.asarray(images)
+        c = self.centroid_layer
+        cres = c._fn(images)
+        k = cres["centroids_scaled"].shape[1]
+        if k > self.max_instances:
+            cres = {
+                **cres,
+                "centroids_scaled": cres["centroids_scaled"][:, : self.max_instances],
+                "pred_centroids": cres["pred_centroids"][:, : self.max_instances],
+                "centroid_vals": cres["centroid_vals"][:, : self.max_instances],
+                "centroid_valid": cres["centroid_valid"][:, : self.max_instances],
+            }
+        # Preprocess frames once for stage 2 in the instance layer's space.
+        x2, eff2 = preprocess_images(self.instance_layer.pre, images)
+        # centroids_scaled are in centroid-layer scaled space; move them into
+        # stage-2 scaled space.
+        ratio = (self.instance_layer.pre.scale * eff2) / (
+            self.centroid_layer.pre.scale * cres["eff_scale"]
+        )
+        cent2 = cres["centroids_scaled"] * ratio
+        cent2 = jnp.nan_to_num(cent2, nan=-1e6)  # invalid -> far outside
+        peaks, vals = self._stage2(x2, cent2, cres["centroid_valid"])
+        peaks = peaks / (self.instance_layer.pre.scale * eff2)
+        return jax.device_get(
+            {
+                "pred_keypoints": peaks,
+                "pred_peak_values": vals,
+                "pred_centroids": cres["pred_centroids"],
+                "centroid_vals": cres["centroid_vals"],
+                "instance_valid": cres["centroid_valid"],
+            }
+        )
+
+
+class BottomUpLayer(InferenceLayer):
+    """Multi-instance confmaps + PAF grouping (reference: bottomup.py:44)."""
+
+    def __init__(
+        self,
+        backend,
+        pre,
+        post,
+        paf_scorer: PAFScorer,
+        cm_head="MultiInstanceConfmapsHead",
+        paf_head="PartAffinityFieldsHead",
+        cm_output_stride=2,
+    ):
+        super().__init__(backend, pre, post)
+        self.paf_scorer = paf_scorer
+        post_cfg = post
+
+        def fn(images):
+            x, eff_scale = preprocess_images(self.pre, images)
+            preds = self.backend(x)
+            cms = preds[cm_head]
+            pafs = preds[paf_head]
+            points, vals, channels, valid = find_local_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+                max_peaks=post_cfg.max_peaks,
+            )
+            points = points * cm_output_stride  # image(scaled) coords
+            grouped_peaks, grouped_vals, mask, scores = paf_scorer.score_on_device(
+                pafs, points, vals, channels, valid
+            )
+            out = {
+                "grouped_peaks": grouped_peaks,
+                "grouped_vals": grouped_vals,
+                "scores": scores,
+                "eff_scale": eff_scale,
+            }
+            if post_cfg.return_confmaps:
+                out["confmaps"] = cms
+                out["pafs"] = pafs
+            return out
+
+        self._fn = jax.jit(fn)
+
+    def predict(self, images):
+        """Device scoring + host grouping; returns per-sample instance arrays."""
+        dev = self._fn(jnp.asarray(images))
+        gp = np.asarray(dev["grouped_peaks"])
+        gv = np.asarray(dev["grouped_vals"])
+        sc = np.asarray(dev["scores"])
+        lift = 1.0 / (self.pre.scale * float(dev["eff_scale"]))
+        b = gp.shape[0]
+        max_inst = self.post.max_instances
+        pred_instances, pred_vals, inst_scores = [], [], []
+        for i in range(b):
+            pts, vals, scores = self.paf_scorer.group_sample(gp[i], gv[i], sc[i])
+            if max_inst is not None and pts.shape[0] > max_inst:
+                order = np.argsort(-scores)[:max_inst]
+                pts, vals, scores = pts[order], vals[order], scores[order]
+            pred_instances.append(pts * lift)
+            pred_vals.append(vals)
+            inst_scores.append(scores)
+        return {
+            "pred_keypoints": pred_instances,
+            "pred_peak_values": pred_vals,
+            "pred_instance_scores": inst_scores,
+        }

@@ -1,0 +1,298 @@
+"""Predictor: orchestrates providers -> layers -> sio Labels.
+
+Parity target: reference sleap_nn/inference/predictor.py:829-2325
+(``Predictor.from_model_paths``, ``_select_layer``, ``predict``,
+``to_labels``) for the single_instance / centroid / topdown / bottomup
+model families.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from sleap_nn_tpu.config.utils import get_head_config
+from sleap_nn_tpu.inference.backends import JaxBackend
+from sleap_nn_tpu.inference.layers import (
+    BottomUpLayer,
+    CenteredInstanceLayer,
+    CentroidLayer,
+    PostprocessConfig,
+    PreprocessConfig,
+    SingleInstanceLayer,
+    TopDownLayer,
+)
+from sleap_nn_tpu.inference.loaders import LoadedModel, load_model
+from sleap_nn_tpu.inference.paf_grouping import PAFScorer
+from sleap_nn_tpu.inference.providers import Batch, LabelsProvider, VideoProvider
+from sleap_nn_tpu.io.model import (
+    LabeledFrame,
+    Labels,
+    PredictedInstance,
+    Skeleton,
+)
+from sleap_nn_tpu.io.video import Video
+
+
+def _pre_config(loaded: LoadedModel) -> PreprocessConfig:
+    pre = loaded.config.data_config.preprocessing
+    backbone = loaded.backbone_config
+    return PreprocessConfig(
+        ensure_rgb=pre.ensure_rgb,
+        ensure_grayscale=pre.ensure_grayscale,
+        max_height=pre.max_height,
+        max_width=pre.max_width,
+        scale=pre.scale,
+        max_stride=backbone.max_stride,
+    )
+
+
+class Predictor:
+    """Built from one or two model dirs; runs batched inference to Labels."""
+
+    def __init__(
+        self,
+        layer,
+        model_type: str,
+        skeleton: Skeleton,
+        models: Sequence[LoadedModel],
+        batch_size: int = 4,
+    ):
+        self.layer = layer
+        self.model_type = model_type
+        self.skeleton = skeleton
+        self.models = list(models)
+        self.batch_size = batch_size
+
+    # -- construction ---------------------------------------------------------
+    @classmethod
+    def from_model_paths(
+        cls,
+        model_paths: Sequence[Union[str, Path]],
+        peak_threshold: float = 0.2,
+        refinement: str = "integral",
+        integral_patch_size: int = 5,
+        max_instances: Optional[int] = None,
+        batch_size: int = 4,
+        use_bf16: bool = False,
+        max_peaks: int = 200,
+        k_per_node: int = 20,
+        min_line_scores: float = 0.25,
+        crop_size: Optional[int] = None,
+        return_confmaps: bool = False,
+    ) -> "Predictor":
+        loaded = [load_model(p) for p in model_paths]
+        by_type = {m.model_type: m for m in loaded}
+        types = set(by_type)
+
+        def post_for(m: LoadedModel) -> PostprocessConfig:
+            return PostprocessConfig(
+                peak_threshold=peak_threshold,
+                refinement=refinement,
+                integral_patch_size=integral_patch_size,
+                max_instances=max_instances,
+                max_peaks=max_peaks,
+                k_per_node=k_per_node,
+                min_line_scores=min_line_scores,
+                return_confmaps=return_confmaps,
+            )
+
+        def backend_for(m: LoadedModel) -> JaxBackend:
+            return JaxBackend(m.model, m.params, use_bf16=use_bf16)
+
+        def skeleton_for(m: LoadedModel) -> Skeleton:
+            return Skeleton(nodes=m.skeleton_nodes, edges=m.skeleton_edges)
+
+        if types == {"single_instance"}:
+            m = by_type["single_instance"]
+            head = get_head_config(m.config).confmaps
+            layer = SingleInstanceLayer(
+                backend_for(m), _pre_config(m), post_for(m), output_stride=head.output_stride
+            )
+            return cls(layer, "single_instance", skeleton_for(m), loaded, batch_size)
+
+        if types == {"centroid"}:
+            m = by_type["centroid"]
+            head = get_head_config(m.config).confmaps
+            layer = CentroidLayer(
+                backend_for(m), _pre_config(m), post_for(m), output_stride=head.output_stride
+            )
+            return cls(layer, "centroid", Skeleton(nodes=["centroid"]), loaded, batch_size)
+
+        if types == {"centroid", "centered_instance"}:
+            mc = by_type["centroid"]
+            mi = by_type["centered_instance"]
+            c_head = get_head_config(mc.config).confmaps
+            i_head = get_head_config(mi.config).confmaps
+            post_c = post_for(mc)
+            post_c.max_instances = max_instances or 20
+            centroid_layer = CentroidLayer(
+                backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
+            )
+            inst_pre = _pre_config(mi)
+            cs = crop_size or mi.config.data_config.preprocessing.crop_size
+            if cs is None:
+                raise ValueError("crop_size not set in centered-instance config.")
+            cs = int(round(cs * inst_pre.scale))
+            cs += (-cs) % inst_pre.max_stride
+            instance_layer = CenteredInstanceLayer(
+                backend_for(mi), inst_pre, post_for(mi), output_stride=i_head.output_stride
+            )
+            layer = TopDownLayer(
+                centroid_layer,
+                instance_layer,
+                max_instances=max_instances or 20,
+                crop_size=cs,
+            )
+            return cls(layer, "topdown", skeleton_for(mi), loaded, batch_size)
+
+        if types == {"bottomup"}:
+            m = by_type["bottomup"]
+            head = get_head_config(m.config)
+            scorer = PAFScorer(
+                part_names=head.confmaps.part_names,
+                edges=[tuple(e) for e in head.pafs.edges],
+                pafs_stride=head.pafs.output_stride,
+                min_line_scores=min_line_scores,
+                k_per_node=k_per_node,
+            )
+            layer = BottomUpLayer(
+                backend_for(m),
+                _pre_config(m),
+                post_for(m),
+                paf_scorer=scorer,
+                cm_output_stride=head.confmaps.output_stride,
+            )
+            return cls(layer, "bottomup", skeleton_for(m), loaded, batch_size)
+
+        raise ValueError(f"Unsupported model type combination: {sorted(types)}")
+
+    # -- prediction -----------------------------------------------------------
+    def _make_provider(self, data, frames=None):
+        if isinstance(data, Labels):
+            return LabelsProvider(data, batch_size=self.batch_size)
+        if isinstance(data, (str, Path)):
+            p = str(data)
+            if p.endswith(".slp"):
+                from sleap_nn_tpu.io.slp import load_slp
+
+                return LabelsProvider(load_slp(p), batch_size=self.batch_size)
+            return VideoProvider(p, batch_size=self.batch_size, frames=frames)
+        if isinstance(data, Video):
+            return VideoProvider(data, batch_size=self.batch_size, frames=frames)
+        raise ValueError(f"Unsupported data source: {type(data)}")
+
+    def predict(
+        self,
+        data,
+        frames: Optional[Sequence[int]] = None,
+        make_labels: bool = True,
+        provider=None,
+    ):
+        """Run inference over a video/labels source.
+
+        Returns ``sio``-style ``Labels`` when ``make_labels`` else the raw
+        per-batch output dicts.
+        """
+        provider = provider or self._make_provider(data, frames)
+        results = []
+        t0 = time.perf_counter()
+        n_frames = 0
+        for batch in provider:
+            out = self.layer.predict(batch.frames)
+            out["frame_inds"] = batch.frame_inds
+            out["video_inds"] = batch.video_inds
+            out["valid"] = batch.valid
+            n_frames += int(batch.valid.sum())
+            results.append(out)
+        elapsed = time.perf_counter() - t0
+        self.last_stats = {
+            "n_frames": n_frames,
+            "elapsed_s": elapsed,
+            "fps": n_frames / elapsed if elapsed > 0 else 0.0,
+        }
+        if not make_labels:
+            return results
+        video = provider.video if isinstance(provider, VideoProvider) else None
+        labels_src = provider.labels if isinstance(provider, LabelsProvider) else None
+        return self.to_labels(results, video=video, labels_src=labels_src)
+
+    # -- conversion -------------------------------------------------------------
+    def to_labels(self, results: List[Dict], video=None, labels_src=None) -> Labels:
+        """Batch outputs -> Labels with PredictedInstances (reference: outputs.py:284)."""
+        skel = self.skeleton
+        lfs = []
+        videos = labels_src.videos if labels_src is not None else ([video] if video else [])
+        for out in results:
+            b = len(out["frame_inds"])
+            for i in range(b):
+                if not out["valid"][i]:
+                    continue
+                vid = videos[out["video_inds"][i]] if videos else None
+                frame_idx = int(out["frame_inds"][i])
+                instances = []
+
+                if self.model_type == "single_instance":
+                    pts = out["pred_keypoints"][i]  # (1, n_nodes, 2)
+                    vals = out["pred_peak_values"][i]
+                    for k in range(pts.shape[0]):
+                        if np.all(np.isnan(pts[k])):
+                            continue
+                        instances.append(self._make_instance(pts[k], vals[k], skel))
+
+                elif self.model_type == "centroid":
+                    cents = out["pred_centroids"][i]  # (K, 2)
+                    vals = out["centroid_vals"][i]
+                    valid = out["centroid_valid"][i]
+                    for k in range(cents.shape[0]):
+                        if not valid[k] or np.all(np.isnan(cents[k])):
+                            continue
+                        instances.append(
+                            self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                        )
+
+                elif self.model_type == "topdown":
+                    pts = out["pred_keypoints"][i]  # (K, n_nodes, 2)
+                    vals = out["pred_peak_values"][i]
+                    valid = out["instance_valid"][i]
+                    for k in range(pts.shape[0]):
+                        if not valid[k] or np.all(np.isnan(pts[k])):
+                            continue
+                        instances.append(self._make_instance(pts[k], vals[k], skel))
+
+                elif self.model_type == "bottomup":
+                    pts_list = out["pred_keypoints"][i]
+                    vals_list = out["pred_peak_values"][i]
+                    scores = out["pred_instance_scores"][i]
+                    for k in range(len(pts_list)):
+                        if np.all(np.isnan(pts_list[k])):
+                            continue
+                        instances.append(
+                            self._make_instance(
+                                pts_list[k], vals_list[k], skel, score=float(scores[k])
+                            )
+                        )
+
+                if instances:
+                    lfs.append(LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances))
+
+        labels = Labels(labeled_frames=lfs, videos=[v for v in videos if v is not None])
+        labels.provenance = {"model_paths": [str(m.model_dir) for m in self.models]}
+        return labels
+
+    @staticmethod
+    def _make_instance(pts, vals, skel, score=None) -> PredictedInstance:
+        vals = np.nan_to_num(np.asarray(vals, dtype=np.float64))
+        visible = ~np.isnan(np.asarray(pts)[:, 0])
+        if score is None:
+            score = float(vals[visible].mean()) if visible.any() else 0.0
+        return PredictedInstance(
+            points=np.asarray(pts, dtype=np.float64),
+            skeleton=skel,
+            point_scores=vals,
+            score=score,
+        )

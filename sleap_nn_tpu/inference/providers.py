@@ -1,0 +1,158 @@
+"""Inference data providers: batched frames with background prefetch.
+
+Parity target: reference sleap_nn/inference/providers.py:79-748
+(``Batch``, ``VideoProvider``, ``LabelsProvider``). A decode thread keeps a
+bounded queue of ready batches so host decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sleap_nn_tpu.io.model import Labels
+from sleap_nn_tpu.io.video import Video
+
+
+@dataclasses.dataclass
+class Batch:
+    """A stack of frames plus provenance indices."""
+
+    frames: np.ndarray  # (B, H, W, C) uint8
+    frame_inds: np.ndarray  # (B,)
+    video_inds: np.ndarray  # (B,)
+    valid: np.ndarray  # (B,) bool — False on padded rows
+
+    def __len__(self):
+        return len(self.frame_inds)
+
+
+class _PrefetchIterator:
+    """Wrap a generator with a bounded background-thread prefetch queue."""
+
+    def __init__(self, gen, prefetch: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in gen:
+                    self.q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self.q.put(self._done)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class VideoProvider:
+    """Batched frames from a video file (reference: providers.py:133)."""
+
+    def __init__(
+        self,
+        video,
+        batch_size: int = 4,
+        frames: Optional[Sequence[int]] = None,
+        prefetch: int = 2,
+        video_idx: int = 0,
+    ):
+        if isinstance(video, (str,)):
+            video = Video.from_filename(video)
+        self.video = video
+        self.batch_size = batch_size
+        n = len(video)
+        self.frames = list(frames) if frames is not None else list(range(n))
+        self.prefetch = prefetch
+        self.video_idx = video_idx
+
+    def __len__(self):
+        return (len(self.frames) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frames)
+
+    def _gen(self) -> Iterator[Batch]:
+        bs = self.batch_size
+        for start in range(0, len(self.frames), bs):
+            idxs = self.frames[start : start + bs]
+            imgs = [self.video[i] for i in idxs]
+            valid = np.ones(bs, dtype=bool)
+            if len(idxs) < bs:
+                pad = bs - len(idxs)
+                imgs = imgs + [imgs[-1]] * pad
+                valid[len(idxs) :] = False
+                idxs = idxs + [idxs[-1]] * pad
+            yield Batch(
+                frames=np.stack(imgs),
+                frame_inds=np.asarray(idxs, dtype=np.int64),
+                video_inds=np.full(bs, self.video_idx, dtype=np.int32),
+                valid=valid,
+            )
+
+    def __iter__(self) -> Iterator[Batch]:
+        return _PrefetchIterator(self._gen(), self.prefetch)
+
+
+class LabelsProvider:
+    """Batched frames from the labeled frames of a Labels file."""
+
+    def __init__(self, labels: Labels, batch_size: int = 4, prefetch: int = 2,
+                 user_frames_only: bool = False):
+        self.labels = labels
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        lfs = labels.user_labeled_frames if user_frames_only else labels.labeled_frames
+        self.lfs = lfs
+
+    def __len__(self):
+        return (len(self.lfs) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.lfs)
+
+    def _gen(self) -> Iterator[Batch]:
+        bs = self.batch_size
+        for start in range(0, len(self.lfs), bs):
+            chunk = self.lfs[start : start + bs]
+            imgs = [lf.image for lf in chunk]
+            fidx = [lf.frame_idx for lf in chunk]
+            vidx = [
+                self.labels.videos.index(lf.video) if lf.video in self.labels.videos else 0
+                for lf in chunk
+            ]
+            valid = np.ones(bs, dtype=bool)
+            if len(chunk) < bs:
+                pad = bs - len(chunk)
+                imgs += [imgs[-1]] * pad
+                fidx += [fidx[-1]] * pad
+                vidx += [vidx[-1]] * pad
+                valid[len(chunk) :] = False
+            yield Batch(
+                frames=np.stack(imgs),
+                frame_inds=np.asarray(fidx, dtype=np.int64),
+                video_inds=np.asarray(vidx, dtype=np.int32),
+                valid=valid,
+            )
+
+    def __iter__(self) -> Iterator[Batch]:
+        return _PrefetchIterator(self._gen(), self.prefetch)

@@ -1,0 +1,57 @@
+"""Top-level ``predict()`` entry point (reference: sleap_nn/inference/run.py:265)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+from sleap_nn_tpu.inference.predictor import Predictor
+from sleap_nn_tpu.io.model import Labels
+
+
+def predict(
+    data_path: Union[str, Path, Labels],
+    model_paths: Sequence[Union[str, Path]],
+    output_path: Optional[Union[str, Path]] = None,
+    frames: Optional[Sequence[int]] = None,
+    peak_threshold: float = 0.2,
+    refinement: str = "integral",
+    integral_patch_size: int = 5,
+    max_instances: Optional[int] = None,
+    batch_size: int = 4,
+    use_bf16: bool = False,
+    max_peaks: int = 200,
+    min_line_scores: float = 0.25,
+    crop_size: Optional[int] = None,
+    make_labels: bool = True,
+    tracking: bool = False,
+    tracker=None,
+    **tracker_kwargs,
+):
+    """Run inference on a video/labels source with one or two trained models.
+
+    Returns ``Labels`` (and writes ``output_path`` if given). Mirrors the
+    reference entry semantics: model_paths of length 1 (single_instance /
+    centroid / bottomup) or 2 (topdown).
+    """
+    predictor = Predictor.from_model_paths(
+        model_paths,
+        peak_threshold=peak_threshold,
+        refinement=refinement,
+        integral_patch_size=integral_patch_size,
+        max_instances=max_instances,
+        batch_size=batch_size,
+        use_bf16=use_bf16,
+        max_peaks=max_peaks,
+        min_line_scores=min_line_scores,
+        crop_size=crop_size,
+    )
+    result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
+    if make_labels and (tracking or tracker is not None):
+        from sleap_nn_tpu.tracking.tracker import Tracker
+
+        trk = tracker or Tracker.from_config(**tracker_kwargs)
+        result = trk.track_labels(result)
+    if make_labels and output_path is not None:
+        result.save(output_path)
+    return result

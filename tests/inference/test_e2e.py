@@ -1,0 +1,170 @@
+"""End-to-end train -> predict tests: overfit the fixture, recover keypoints.
+
+This is the OKS-parity foundation: a tiny UNet overfit on the single fixture
+frame must reproduce the GT keypoints through the full predict path
+(preprocess -> forward -> peaks -> coordinate lift -> Labels).
+"""
+
+import numpy as np
+import pytest
+
+from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+from sleap_nn_tpu.inference import predict
+from sleap_nn_tpu.inference.predictor import Predictor
+from sleap_nn_tpu.io import load_slp
+from sleap_nn_tpu.training import ModelTrainer
+
+FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+
+def _train(model_type: str, out_dir, epochs=80, **overrides):
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.5
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 16,
+        "model_config.backbone_config.unet.filters_rate": 1.5,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        f"model_config.head_configs.{model_type}.confmaps.output_stride": 2,
+        f"model_config.head_configs.{model_type}.confmaps.sigma": 2.5,
+    })
+    if model_type == "bottomup":
+        apply_overrides(cfg, {
+            "model_config.head_configs.bottomup.pafs.output_stride": 4,
+            "model_config.head_configs.bottomup.pafs.sigma": 10.0,
+        })
+    cfg.trainer_config.max_epochs = epochs
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(out_dir)
+    cfg.trainer_config.run_name = model_type
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.optimizer.lr = 2e-3
+    cfg.trainer_config.early_stopping.stop_training_on_plateau = False
+    for k, v in overrides.items():
+        apply_overrides(cfg, {k: v})
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    trainer.train()
+    return str(out_dir / model_type)
+
+
+@pytest.fixture(scope="module")
+def gt():
+    labels = load_slp(FIXTURE)
+    return labels, labels[0].numpy()  # (2 inst, 2 nodes, 2)
+
+
+@pytest.fixture(scope="module")
+def single_instance_model(tmp_path_factory):
+    return _train("single_instance", tmp_path_factory.mktemp("si"))
+
+
+@pytest.fixture(scope="module")
+def centroid_model(tmp_path_factory):
+    return _train(
+        "centroid", tmp_path_factory.mktemp("ct"),
+        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
+    )
+
+
+@pytest.fixture(scope="module")
+def centered_instance_model(tmp_path_factory):
+    return _train("centered_instance", tmp_path_factory.mktemp("ci"))
+
+
+@pytest.fixture(scope="module")
+def bottomup_model(tmp_path_factory):
+    return _train("bottomup", tmp_path_factory.mktemp("bu"), epochs=100)
+
+
+def _best_instance_error(pred_pts, gt_pts):
+    """Min-over-GT-instances mean point distance for one predicted instance."""
+    errs = []
+    for g in gt_pts:
+        d = np.linalg.norm(pred_pts - g, axis=-1)
+        errs.append(np.nanmean(d))
+    return np.nanmin(errs)
+
+
+def test_single_instance_predict(single_instance_model, gt):
+    labels, gt_pts = gt
+    out = predict(labels, [single_instance_model], make_labels=True)
+    assert len(out) == 1
+    lf = out[0]
+    assert len(lf.predicted_instances) == 1
+    pred = lf.predicted_instances[0]
+    # Single-instance model on a 2-instance frame learns the max-blob; the
+    # prediction must land on ONE of the GT instances' nodes.
+    err = _best_instance_error(pred.numpy(), gt_pts)
+    assert err < 3.0, (pred.numpy(), gt_pts)
+    assert pred.score > 0.3
+    # Round trip through slp.
+    out.save("/tmp/test_si_preds.slp")
+    re = load_slp("/tmp/test_si_preds.slp")
+    np.testing.assert_allclose(re[0].predicted_instances[0].numpy(), pred.numpy())
+
+
+def test_centroid_predict(centroid_model, gt):
+    labels, gt_pts = gt
+    out = predict(labels, [centroid_model], make_labels=True, peak_threshold=0.2)
+    lf = out[0]
+    cents = np.array([inst.numpy()[0] for inst in lf.predicted_instances])
+    gt_cents = np.nanmean(gt_pts, axis=1)
+    assert len(cents) == 2, cents
+    for g in gt_cents:
+        d = np.linalg.norm(cents - g, axis=-1).min()
+        assert d < 4.0, (cents, gt_cents)
+
+
+def test_topdown_predict(centroid_model, centered_instance_model, gt):
+    labels, gt_pts = gt
+    out = predict(
+        labels,
+        [centroid_model, centered_instance_model],
+        make_labels=True,
+        max_instances=4,
+    )
+    lf = out[0]
+    preds = lf.predicted_instances
+    assert len(preds) == 2, preds
+    for g in gt_pts:
+        best = min(np.nanmean(np.linalg.norm(p.numpy() - g, axis=-1)) for p in preds)
+        assert best < 4.0, (g, [p.numpy() for p in preds])
+
+
+def test_bottomup_predict(bottomup_model, gt):
+    labels, gt_pts = gt
+    out = predict(labels, [bottomup_model], make_labels=True, peak_threshold=0.2)
+    lf = out[0]
+    preds = lf.predicted_instances
+    assert len(preds) == 2, [p.numpy() for p in preds]
+    for g in gt_pts:
+        best = min(np.nanmean(np.linalg.norm(p.numpy() - g, axis=-1)) for p in preds)
+        assert best < 4.0, (g, [p.numpy() for p in preds])
+    # Instances have grouping scores.
+    assert all(p.score != 0 for p in preds)
+
+
+def test_predict_on_video(single_instance_model):
+    # mp4 inference end-to-end (different source size than training -> sizematch).
+    out = predict(
+        "/root/reference/tests/assets/datasets/small_robot.mp4",
+        [single_instance_model],
+        frames=list(range(4)),
+        make_labels=True,
+        peak_threshold=0.05,
+    )
+    assert len(out.videos) == 1
+    for lf in out:
+        assert lf.frame_idx < 4
+
+
+def test_predict_raw_results(single_instance_model, gt):
+    labels, _ = gt
+    results = predict(labels, [single_instance_model], make_labels=False)
+    assert isinstance(results, list)
+    assert "pred_keypoints" in results[0]
