@@ -1,0 +1,145 @@
+"""Benchmark: end-to-end top-down inference throughput on the current device.
+
+Reproduces the reference's headline benchmark setup
+(reference: docs/guides/inference-performance.md — fixture-sized UNet
+centroid + centered-instance models, 320x560 ``small_robot.mp4``, 100
+frames, batch 4, streaming predict including decode + preprocess + forward +
+postprocess). Baseline: 95 fps on an NVIDIA A40.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASELINE_TOPDOWN_FPS = 95.0  # A40, reference inference-performance.md:72-77
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 100))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 16))
+VIDEO = "/root/reference/tests/assets/datasets/small_robot.mp4"
+
+
+def build_models(tmpdir: Path):
+    """Create fixture-architecture topdown models with random weights.
+
+    Weight values don't affect throughput; the architectures mirror the
+    reference's benchmark fixture checkpoints (centroid UNet f16/r1.5/ms8 +
+    centered-instance UNet f16/r1.5/ms8, crop 96).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.config.utils import (
+        get_backbone_config,
+        get_head_config,
+        get_model_type_from_cfg,
+    )
+    from sleap_nn_tpu.models import Model
+
+    specs = {
+        "centroid": {
+            "model_config.backbone_config.unet.filters": 16,
+            "model_config.backbone_config.unet.filters_rate": 1.5,
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.backbone_config.unet.output_stride": 4,
+            "model_config.head_configs.centroid.confmaps.sigma": 1.5,
+            "model_config.head_configs.centroid.confmaps.output_stride": 4,
+        },
+        "centered_instance": {
+            "model_config.backbone_config.unet.filters": 16,
+            "model_config.backbone_config.unet.filters_rate": 1.5,
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.backbone_config.unet.output_stride": 2,
+            "model_config.head_configs.centered_instance.confmaps.part_names": ["A", "B"],
+            "model_config.head_configs.centered_instance.confmaps.output_stride": 2,
+        },
+    }
+    paths = []
+    for model_type, over in specs.items():
+        cfg = TrainingJobConfig()
+        apply_overrides(cfg, over)
+        cfg.data_config.preprocessing.max_height = 320
+        cfg.data_config.preprocessing.max_width = 560
+        cfg.data_config.preprocessing.ensure_grayscale = True
+        if model_type == "centered_instance":
+            cfg.data_config.preprocessing.crop_size = 96
+        cfg.data_config.skeletons = [
+            {
+                "nodes": [{"name": "A"}, {"name": "B"}],
+                "edges": [{"source": {"name": "A"}, "destination": {"name": "B"}}],
+                "symmetries": [],
+                "name": "Skeleton-0",
+            }
+        ]
+        model_dir = tmpdir / model_type
+        model_dir.mkdir(parents=True, exist_ok=True)
+        cfg.save_yaml(model_dir / "training_config.yaml")
+
+        model = Model.from_config(
+            "unet", get_backbone_config(cfg), get_head_config(cfg), model_type
+        )
+        size = 96 if model_type == "centered_instance" else 320
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)))
+
+        import orbax.checkpoint as ocp
+
+        ocp.PyTreeCheckpointer().save(
+            (model_dir / "best.ckpt").absolute(),
+            {"params": jax.device_get(params), "epoch": 0, "best_val_loss": 0.0},
+            force=True,
+        )
+        paths.append(str(model_dir))
+    return paths
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    tmpdir = Path(tempfile.mkdtemp(prefix="sleap_tpu_bench_"))
+    model_paths = build_models(tmpdir)
+
+    from sleap_nn_tpu.inference.predictor import Predictor
+    from sleap_nn_tpu.inference.providers import VideoProvider
+
+    predictor = Predictor.from_model_paths(
+        model_paths,
+        peak_threshold=0.1,
+        max_instances=4,
+        batch_size=BATCH_SIZE,
+    )
+
+    frames = list(range(N_FRAMES))
+    # Warmup: compile on the first batch shape.
+    warm = VideoProvider(VIDEO, batch_size=BATCH_SIZE, frames=frames[: 2 * BATCH_SIZE])
+    predictor.predict(None, make_labels=False, provider=warm)
+
+    provider = VideoProvider(VIDEO, batch_size=BATCH_SIZE, frames=frames)
+    t0 = time.perf_counter()
+    predictor.predict(None, make_labels=False, provider=provider)
+    elapsed = time.perf_counter() - t0
+    fps = N_FRAMES / elapsed
+
+    device = jax.devices()[0].platform
+    print(
+        json.dumps(
+            {
+                "metric": f"topdown_inference_fps_{device}",
+                "value": round(fps, 2),
+                "unit": f"frames/sec (320x560, batch={BATCH_SIZE}, e2e incl. decode)",
+                "vs_baseline": round(fps / BASELINE_TOPDOWN_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,15 +74,28 @@ def preprocess_images(pre: PreprocessConfig, images: jnp.ndarray):
 
 
 class InferenceLayer:
-    """Base: owns backend + configs; subclasses implement ``predict``."""
+    """Base: owns backend + configs.
+
+    Layers expose an async protocol so the predictor can pipeline host work
+    against in-flight device batches (JAX dispatch is asynchronous; blocking
+    per batch would serialize the transfer round-trips):
+    ``predict_async`` dispatches and returns unfetched device arrays;
+    ``finalize`` fetches (+ any host postprocessing).
+    """
 
     def __init__(self, backend, pre: PreprocessConfig, post: PostprocessConfig):
         self.backend = backend
         self.pre = pre
         self.post = post
 
-    def predict(self, images: np.ndarray) -> Dict[str, Any]:
+    def predict_async(self, images: np.ndarray) -> Dict[str, Any]:
         raise NotImplementedError
+
+    def finalize(self, device_out: Dict[str, Any]) -> Dict[str, Any]:
+        return jax.device_get(device_out)
+
+    def predict(self, images: np.ndarray) -> Dict[str, Any]:
+        return self.finalize(self.predict_async(images))
 
 
 class SingleInstanceLayer(InferenceLayer):
@@ -112,8 +125,8 @@ class SingleInstanceLayer(InferenceLayer):
 
         self._fn = jax.jit(fn)
 
-    def predict(self, images):
-        return jax.device_get(self._fn(jnp.asarray(images)))
+    def predict_async(self, images):
+        return self._fn(jnp.asarray(images))
 
 
 class CentroidLayer(InferenceLayer):
@@ -153,8 +166,8 @@ class CentroidLayer(InferenceLayer):
 
         self._fn = jax.jit(fn)
 
-    def predict(self, images):
-        return jax.device_get(self._fn(jnp.asarray(images)))
+    def predict_async(self, images):
+        return self._fn(jnp.asarray(images))
 
 
 class CenteredInstanceLayer(InferenceLayer):
@@ -226,41 +239,45 @@ class TopDownLayer(InferenceLayer):
             vals = jnp.where(valid[..., None], vals, 0.0)
             return peaks, vals
 
-        self._stage2 = jax.jit(stage2)
-
-    def predict(self, images):
-        images = jnp.asarray(images)
+        max_inst = self.max_instances
         c = self.centroid_layer
-        cres = c._fn(images)
-        k = cres["centroids_scaled"].shape[1]
-        if k > self.max_instances:
+
+        def full(images):
+            """Both stages fused into one XLA program (no eager host ops —
+            on TPU every eager op would be a dispatch round-trip)."""
+            cres = c._fn(images)
             cres = {
                 **cres,
-                "centroids_scaled": cres["centroids_scaled"][:, : self.max_instances],
-                "pred_centroids": cres["pred_centroids"][:, : self.max_instances],
-                "centroid_vals": cres["centroid_vals"][:, : self.max_instances],
-                "centroid_valid": cres["centroid_valid"][:, : self.max_instances],
+                "centroids_scaled": cres["centroids_scaled"][:, :max_inst],
+                "pred_centroids": cres["pred_centroids"][:, :max_inst],
+                "centroid_vals": cres["centroid_vals"][:, :max_inst],
+                "centroid_valid": cres["centroid_valid"][:, :max_inst],
             }
-        # Preprocess frames once for stage 2 in the instance layer's space.
-        x2, eff2 = preprocess_images(self.instance_layer.pre, images)
-        # centroids_scaled are in centroid-layer scaled space; move them into
-        # stage-2 scaled space.
-        ratio = (self.instance_layer.pre.scale * eff2) / (
-            self.centroid_layer.pre.scale * cres["eff_scale"]
-        )
-        cent2 = cres["centroids_scaled"] * ratio
-        cent2 = jnp.nan_to_num(cent2, nan=-1e6)  # invalid -> far outside
-        peaks, vals = self._stage2(x2, cent2, cres["centroid_valid"])
-        peaks = peaks / (self.instance_layer.pre.scale * eff2)
-        return jax.device_get(
-            {
+            # Preprocess frames once for stage 2 in the instance layer's space.
+            x2, eff2 = preprocess_images(instance_layer.pre, images)
+            # centroid-layer scaled space -> stage-2 scaled space.
+            ratio = (instance_layer.pre.scale * eff2) / (c.pre.scale * cres["eff_scale"])
+            cent2 = jnp.nan_to_num(cres["centroids_scaled"] * ratio, nan=-1e6)
+            peaks, vals = stage2(x2, cent2, cres["centroid_valid"])
+            peaks = peaks / (instance_layer.pre.scale * eff2)
+            return {
                 "pred_keypoints": peaks,
                 "pred_peak_values": vals,
                 "pred_centroids": cres["pred_centroids"],
                 "centroid_vals": cres["centroid_vals"],
                 "instance_valid": cres["centroid_valid"],
             }
-        )
+
+        self._full = jax.jit(full)
+
+    def predict_async(self, images):
+        return self._full(jnp.asarray(images))
+
+    def finalize(self, device_out):
+        return jax.device_get(device_out)
+
+    def predict(self, images):
+        return self.finalize(self.predict_async(images))
 
 
 class BottomUpLayer(InferenceLayer):
@@ -309,9 +326,11 @@ class BottomUpLayer(InferenceLayer):
 
         self._fn = jax.jit(fn)
 
-    def predict(self, images):
-        """Device scoring + host grouping; returns per-sample instance arrays."""
-        dev = self._fn(jnp.asarray(images))
+    def predict_async(self, images):
+        return self._fn(jnp.asarray(images))
+
+    def finalize(self, dev):
+        """Host grouping of fetched device scores (reference CPU boundary)."""
         gp = np.asarray(dev["grouped_peaks"])
         gv = np.asarray(dev["grouped_vals"])
         sc = np.asarray(dev["scores"])
@@ -332,3 +351,6 @@ class BottomUpLayer(InferenceLayer):
             "pred_peak_values": pred_vals,
             "pred_instance_scores": inst_scores,
         }
+
+    def predict(self, images):
+        return self.finalize(self.predict_async(images))

@@ -67,6 +67,12 @@ class Predictor:
         self.skeleton = skeleton
         self.models = list(models)
         self.batch_size = batch_size
+        # When the model consumes grayscale, convert on HOST before transfer:
+        # 3x less H2D traffic (the dominant cost on narrow links; still a win
+        # on PCIe/ICI).
+        pre = getattr(layer, "centroid_layer", layer)
+        pre = getattr(pre, "pre", None)
+        self._host_grayscale = bool(pre and pre.ensure_grayscale)
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -202,13 +208,35 @@ class Predictor:
         results = []
         t0 = time.perf_counter()
         n_frames = 0
-        for batch in provider:
-            out = self.layer.predict(batch.frames)
+        # Pipeline: keep up to `depth` batches in flight on the device while
+        # the host decodes / finalizes (JAX dispatch is async; fetching
+        # per-batch would serialize every transfer round-trip).
+        depth = 2
+        in_flight = []
+
+        def drain_one():
+            nonlocal n_frames
+            dev_out, batch = in_flight.pop(0)
+            out = self.layer.finalize(dev_out)
             out["frame_inds"] = batch.frame_inds
             out["video_inds"] = batch.video_inds
             out["valid"] = batch.valid
             n_frames += int(batch.valid.sum())
             results.append(out)
+
+        for batch in provider:
+            frames = batch.frames
+            if self._host_grayscale and frames.shape[-1] == 3:
+                frames = (
+                    frames[..., 0] * 0.2989
+                    + frames[..., 1] * 0.587
+                    + frames[..., 2] * 0.114
+                ).astype(np.uint8)[..., None]
+            in_flight.append((self.layer.predict_async(frames), batch))
+            if len(in_flight) > depth:
+                drain_one()
+        while in_flight:
+            drain_one()
         elapsed = time.perf_counter() - t0
         self.last_stats = {
             "n_frames": n_frames,
