@@ -1,0 +1,120 @@
+"""Tracking tests: synthetic moving instances across frames."""
+
+import numpy as np
+import pytest
+
+from sleap_nn_tpu.io import LabeledFrame, Labels, PredictedInstance, Skeleton
+from sleap_nn_tpu.tracking import FlowShiftTracker, KalmanShiftTracker, Tracker, run_tracker
+from sleap_nn_tpu.tracking.candidates import LocalQueueCandidates
+from sleap_nn_tpu.tracking.utils import (
+    compute_iou,
+    cull_frame_instances,
+    greedy_matching,
+    hungarian_matching,
+)
+
+SKEL = Skeleton(nodes=["a", "b", "c"])
+
+
+def make_instance(xy, score=1.0):
+    pts = np.asarray(xy, float) + np.array([[0, 0], [5, 0], [0, 5]])
+    return PredictedInstance(points=pts, skeleton=SKEL, point_scores=np.ones(3), score=score)
+
+
+def synth_labels(n_frames=10, speeds=((2.0, 0.0), (0.0, 2.0))):
+    """Two instances moving on different linear trajectories."""
+    starts = [np.array([20.0, 20.0]), np.array([80.0, 80.0])]
+    lfs = []
+    for t in range(n_frames):
+        insts = [
+            make_instance(starts[k] + t * np.asarray(speeds[k]))
+            for k in range(len(starts))
+        ]
+        lfs.append(LabeledFrame(video=None, frame_idx=t, instances=insts))
+    return Labels(lfs)
+
+
+def track_ids_over_time(labels):
+    out = []
+    for lf in sorted(labels.labeled_frames, key=lambda l: l.frame_idx):
+        out.append([inst.track.name if inst.track else None for inst in lf.predicted_instances])
+    return out
+
+
+@pytest.mark.parametrize("method", ["hungarian", "greedy"])
+def test_tracker_consistent_ids(method):
+    labels = synth_labels()
+    tracker = Tracker.from_config(track_matching_method=method)
+    tracker.track_labels(labels)
+    ids = track_ids_over_time(labels)
+    # Each instance keeps its identity across all frames.
+    for t in range(1, len(ids)):
+        assert ids[t] == ids[0]
+    assert len(set(ids[0])) == 2
+    assert len(labels.tracks) == 2
+    # Tracking scores are populated.
+    for lf in labels:
+        for inst in lf.predicted_instances:
+            assert inst.tracking_score > 0
+
+
+def test_tracker_crossing_with_centroids():
+    labels = synth_labels(speeds=((2.0, 2.0), (-2.0, -2.0)))
+    tracker = Tracker.from_config(features="centroids", scoring_method="euclidean_dist")
+    tracker.track_labels(labels)
+    ids = track_ids_over_time(labels)
+    for t in range(1, len(ids)):
+        assert ids[t] == ids[0]
+
+
+def test_local_queue_max_tracks():
+    labels = synth_labels()
+    tracker = Tracker.from_config(max_tracks=1, candidates_method="local_queues")
+    assert isinstance(tracker.candidate, LocalQueueCandidates)
+    tracker.track_labels(labels)
+    assert len(labels.tracks) == 1  # capped
+
+
+def test_kalman_tracker():
+    labels = synth_labels(n_frames=15)
+    tracker = Tracker.from_config(use_kalman=True, features="centroids",
+                                  scoring_method="euclidean_dist")
+    assert isinstance(tracker, KalmanShiftTracker)
+    tracker.track_labels(labels)
+    ids = track_ids_over_time(labels)
+    for t in range(1, len(ids)):
+        assert ids[t] == ids[0]
+
+
+def test_iou_and_matching_utils():
+    assert compute_iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+    assert compute_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    cost = np.array([[1.0, 9.0], [9.0, 1.0]])
+    r, c = hungarian_matching(cost)
+    assert set(zip(r.tolist(), c.tolist())) == {(0, 0), (1, 1)}
+    r, c = greedy_matching(cost)
+    assert set(zip(r.tolist(), c.tolist())) == {(0, 0), (1, 1)}
+
+
+def test_cull_frame_instances():
+    insts = [make_instance([i * 30, 0], score=0.1 * (i + 1)) for i in range(5)]
+    culled = cull_frame_instances(insts, target_count=2)
+    assert len(culled) == 2
+    assert all(i.score >= 0.4 for i in culled)
+
+
+def test_run_tracker_entry():
+    labels = synth_labels()
+    out = run_tracker(labels, window_size=3, scoring_method="oks")
+    assert len(out.tracks) == 2
+
+
+def test_min_match_points_gate():
+    # Instances with almost all-NaN points should not spawn tracks when gated.
+    pts = np.full((3, 2), np.nan)
+    pts[0] = [5, 5]
+    inst = PredictedInstance(points=pts, skeleton=SKEL, score=1.0)
+    labels = Labels([LabeledFrame(video=None, frame_idx=0, instances=[inst])])
+    tracker = Tracker.from_config(min_new_track_points=2)
+    tracker.track_labels(labels)
+    assert inst.track is None
