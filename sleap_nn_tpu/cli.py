@@ -1,0 +1,243 @@
+"""Command-line interface.
+
+Parity target: reference sleap_nn/cli.py:170-3097 — the ``sleap-nn``
+command surface: ``train``, ``predict`` (+ hidden ``infer`` alias),
+``track``, ``eval``, ``system``, ``info``, ``config``, ``export``. Built on
+click; config overrides use the same dotted ``a.b.c=value`` syntax.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+from typing import Optional, Tuple
+
+import click
+
+
+@click.group(name="sleap-nn-tpu")
+def cli():
+    """sleap-nn-tpu: TPU-native animal pose estimation (train / predict / track / eval)."""
+
+
+def _parse_overrides(pairs: Tuple[str, ...]) -> dict:
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise click.UsageError(f"Override must be key=value, got: {pair}")
+        k, v = pair.split("=", 1)
+        out[k] = v
+    return out
+
+
+@cli.command()
+@click.argument("config_path", type=click.Path(exists=True))
+@click.argument("overrides", nargs=-1)
+def train(config_path, overrides):
+    """Train a model from a config YAML (dotted OVERRIDES like a.b.c=value)."""
+    from sleap_nn_tpu.config import TrainingJobConfig
+    from sleap_nn_tpu.train import run_training
+
+    cfg = TrainingJobConfig.load_yaml(config_path, overrides=_parse_overrides(overrides))
+    trainer = run_training(cfg)
+    if trainer.ckpt_dir:
+        click.echo(f"Model saved to: {trainer.ckpt_dir}")
+
+
+def _inference_options(f):
+    opts = [
+        click.option("--data-path", "-i", "data_path", required=True, help="Video or .slp path."),
+        click.option("--model-paths", "-m", "model_paths", multiple=True, required=True,
+                     help="Model dir(s); pass twice for topdown (centroid + centered_instance)."),
+        click.option("--output-path", "-o", "output_path", default=None, help="Output .slp path."),
+        click.option("--frames", default=None, help="Frame range like 0-100 or comma list."),
+        click.option("--batch-size", default=4, show_default=True),
+        click.option("--peak-threshold", default=0.2, show_default=True),
+        click.option("--max-instances", default=None, type=int),
+        click.option("--max-peaks", default=200, show_default=True),
+        click.option("--use-bf16/--no-use-bf16", default=False, show_default=True,
+                     help="bfloat16 forward pass (TPU fast path)."),
+        click.option("--tracking/--no-tracking", default=False, show_default=True),
+        click.option("--tracking-window-size", default=5, show_default=True),
+        click.option("--tracking-scoring-method", default="oks", show_default=True),
+        click.option("--tracking-max-tracks", default=None, type=int),
+        click.option("--tracking-use-flow/--no-tracking-use-flow", default=False),
+    ]
+    for opt in reversed(opts):
+        f = opt(f)
+    return f
+
+
+def _parse_frames(frames: Optional[str]):
+    if not frames:
+        return None
+    if "-" in frames and "," not in frames:
+        a, b = frames.split("-")
+        return list(range(int(a), int(b) + 1))
+    return [int(x) for x in frames.split(",")]
+
+
+def _run_inference(**kw):
+    from sleap_nn_tpu.inference import predict
+
+    tracker_kwargs = {}
+    if kw.pop("tracking"):
+        tracker_kwargs = dict(
+            tracking=True,
+            window_size=kw.pop("tracking_window_size"),
+            scoring_method=kw.pop("tracking_scoring_method"),
+            max_tracks=kw.pop("tracking_max_tracks"),
+            use_flow=kw.pop("tracking_use_flow"),
+        )
+    else:
+        for k in ("tracking_window_size", "tracking_scoring_method",
+                  "tracking_max_tracks", "tracking_use_flow"):
+            kw.pop(k)
+
+    data_path = kw.pop("data_path")
+    model_paths = list(kw.pop("model_paths"))
+    output_path = kw.pop("output_path")
+    frames = _parse_frames(kw.pop("frames"))
+    if output_path is None:
+        output_path = str(Path(data_path).with_suffix("")) + ".predictions.slp"
+
+    labels = predict(
+        data_path,
+        model_paths,
+        output_path=output_path,
+        frames=frames,
+        **kw,
+        **tracker_kwargs,
+    )
+    n_inst = sum(len(lf.instances) for lf in labels)
+    click.echo(f"Predicted {len(labels)} frames, {n_inst} instances -> {output_path}")
+    return labels
+
+
+@cli.command()
+@_inference_options
+def predict(**kw):
+    """Run inference on a video or labels file."""
+    _run_inference(**kw)
+
+
+@cli.command(hidden=True)
+@_inference_options
+def infer(**kw):
+    """Hidden alias of predict (reference parity)."""
+    _run_inference(**kw)
+
+
+@cli.command()
+@_inference_options
+def track(**kw):
+    """Run inference with tracking enabled (reference `sleap-nn track`)."""
+    kw["tracking"] = True
+    _run_inference(**kw)
+
+
+@cli.command("track-only")
+@click.option("--data-path", "-i", required=True, help="Predicted .slp to re-track.")
+@click.option("--output-path", "-o", default=None)
+@click.option("--window-size", default=5, show_default=True)
+@click.option("--scoring-method", default="oks", show_default=True)
+@click.option("--max-tracks", default=None, type=int)
+def track_only(data_path, output_path, window_size, scoring_method, max_tracks):
+    """Assign tracks to an existing predictions file (no model inference)."""
+    from sleap_nn_tpu.io import load_slp
+    from sleap_nn_tpu.tracking import run_tracker
+
+    labels = load_slp(data_path)
+    labels = run_tracker(
+        labels, window_size=window_size, scoring_method=scoring_method, max_tracks=max_tracks
+    )
+    out = output_path or str(Path(data_path).with_suffix("")) + ".tracked.slp"
+    labels.save(out)
+    click.echo(f"Tracked {len(labels.tracks)} tracks -> {out}")
+
+
+@cli.command("eval")
+@click.option("--ground-truth", "-g", "ground_truth", required=True, type=click.Path(exists=True))
+@click.option("--predictions", "-p", "predictions", required=True, type=click.Path(exists=True))
+@click.option("--save-metrics", default=None, help="Optional .npz output path.")
+@click.option("--oks-stddev", default=0.025, show_default=True)
+@click.option("--match-threshold", default=0.0, show_default=True)
+@click.option("--match-method", default="oks", show_default=True,
+              type=click.Choice(["oks", "centroid", "auto"]))
+def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, match_threshold, match_method):
+    """Evaluate predictions against ground truth labels."""
+    from sleap_nn_tpu.evaluation import run_evaluation
+
+    metrics = run_evaluation(
+        ground_truth,
+        predictions,
+        oks_stddev=oks_stddev,
+        match_threshold=match_threshold,
+        match_method=match_method,
+        save_metrics=save_metrics,
+    )
+    if metrics is None:
+        click.echo("No usable predictions; metrics skipped.")
+        return
+    summary = {}
+    if "mOKS" in metrics:
+        summary["mOKS"] = metrics["mOKS"]["mOKS"]
+        summary["oks_voc.mAP"] = metrics["voc_metrics"]["oks_voc.mAP"]
+        summary["oks_voc.mAR"] = metrics["voc_metrics"]["oks_voc.mAR"]
+        summary["dist.avg"] = metrics["distance_metrics"]["avg"]
+        summary["PCK@5"] = metrics["pck_metrics"]["PCK@5"]
+    if "detection_metrics" in metrics:
+        summary.update({f"detection.{k}": v for k, v in metrics["detection_metrics"].items()
+                        if k in ("precision", "recall", "f1", "avg")})
+    click.echo(json.dumps({k: (round(float(v), 5) if v == v else None) for k, v in summary.items()}))
+
+
+@cli.command()
+def system():
+    """Report devices / versions and run a device smoke test."""
+    from sleap_nn_tpu.system_info import get_startup_info_string
+
+    click.echo(get_startup_info_string())
+
+
+@cli.command()
+@click.argument("model_dir", type=click.Path(exists=True))
+def info(model_dir):
+    """Summarize a trained model directory."""
+    from sleap_nn_tpu.model_info import print_model_info
+
+    print_model_info(model_dir)
+
+
+@cli.command("config")
+@click.argument("config_path", type=click.Path(exists=True))
+@click.argument("overrides", nargs=-1)
+def config_cmd(config_path, overrides):
+    """Validate + print a training config (with optional overrides)."""
+    from sleap_nn_tpu.config import TrainingJobConfig, to_yaml, verify_training_cfg
+
+    cfg = TrainingJobConfig.load_yaml(config_path, overrides=_parse_overrides(overrides))
+    verify_training_cfg(cfg)
+    click.echo(to_yaml(cfg))
+
+
+@cli.command()
+@click.argument("model_dir", type=click.Path(exists=True))
+@click.option("--output-dir", "-o", default=None)
+@click.option("--format", "fmt", default="stablehlo", show_default=True,
+              type=click.Choice(["stablehlo", "savedmodel"]))
+def export(model_dir, output_dir, fmt):
+    """Export a trained model with baked postprocessing."""
+    from sleap_nn_tpu.export import export_model
+
+    out = export_model(model_dir, output_dir=output_dir, fmt=fmt)
+    click.echo(f"Exported to: {out}")
+
+
+def main():
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Export implementation: wrapper building, serialization, verification."""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from sleap_nn_tpu.config import get_head_config
+from sleap_nn_tpu.inference.loaders import LoadedModel, load_model
+
+
+@dataclasses.dataclass
+class ExportMetadata:
+    """Exported-model metadata (reference: export/metadata.py:16)."""
+
+    model_type: str
+    input_shape: Tuple[int, ...]
+    input_dtype: str
+    output_names: Tuple[str, ...]
+    peak_threshold: float
+    skeleton_nodes: Tuple[str, ...]
+    skeleton_edges: Tuple[Tuple[str, str], ...]
+    artifact: str
+    artifact_sha256: str
+    format: str = "jax_export_stablehlo"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExportMetadata":
+        d = json.loads(text)
+        return cls(**{f.name: d[f.name] for f in dataclasses.fields(cls) if f.name in d})
+
+
+def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
+                   max_peaks: int):
+    """Bake normalize + forward + peaks into one function (reference wrapper pattern)."""
+    import jax.numpy as jnp
+
+    from sleap_nn_tpu.inference.backends import JaxBackend
+    from sleap_nn_tpu.inference.layers import PreprocessConfig, preprocess_images
+    from sleap_nn_tpu.ops.peaks import find_global_peaks, find_local_peaks
+
+    pre_cfg = loaded.config.data_config.preprocessing
+    backbone = loaded.backbone_config
+    pre = PreprocessConfig(
+        ensure_rgb=pre_cfg.ensure_rgb,
+        ensure_grayscale=pre_cfg.ensure_grayscale,
+        max_height=pre_cfg.max_height,
+        max_width=pre_cfg.max_width,
+        scale=pre_cfg.scale,
+        max_stride=backbone.max_stride,
+    )
+    model = loaded.model
+    params = loaded.params
+    model_type = loaded.model_type
+    head = get_head_config(loaded.config)
+
+    h = pre.max_height or 256
+    w = pre.max_width or 256
+    c = 3 if pre_cfg.ensure_rgb else 1
+    input_shape = (batch_size, h, w, c)
+
+    if model_type == "single_instance":
+        stride = head.confmaps.output_stride
+
+        def fn(images):
+            x, eff = preprocess_images(pre, images)
+            cms = model.apply(params, x)["SingleInstanceConfmapsHead"]
+            pts, vals = find_global_peaks(cms, peak_threshold, "integral")
+            return {"pred_keypoints": pts * stride / (pre.scale * eff), "pred_peak_values": vals}
+
+        outputs = ("pred_keypoints", "pred_peak_values")
+
+    elif model_type == "centroid":
+        stride = head.confmaps.output_stride
+
+        def fn(images):
+            x, eff = preprocess_images(pre, images)
+            cms = model.apply(params, x)["CentroidConfmapsHead"]
+            pts, vals, ch, valid = find_local_peaks(
+                cms, peak_threshold, "integral", max_peaks=max_peaks
+            )
+            return {
+                "pred_centroids": pts * stride / (pre.scale * eff),
+                "centroid_vals": vals,
+                "centroid_valid": valid,
+            }
+
+        outputs = ("pred_centroids", "centroid_vals", "centroid_valid")
+
+    elif model_type == "centered_instance":
+        stride = head.confmaps.output_stride
+        crop = pre_cfg.crop_size or 128
+        crop = int(round(crop * pre.scale))
+        crop += (-crop) % pre.max_stride
+        input_shape = (batch_size, crop, crop, c)
+
+        def fn(crops):
+            x = crops.astype(jnp.float32) / 255.0
+            cms = model.apply(params, x)["CenteredInstanceConfmapsHead"]
+            pts, vals = find_global_peaks(cms, peak_threshold, "integral")
+            return {"pred_keypoints": pts * stride, "pred_peak_values": vals}
+
+        outputs = ("pred_keypoints", "pred_peak_values")
+
+    elif model_type == "bottomup":
+        from sleap_nn_tpu.inference.paf_grouping import PAFScorer
+
+        cm_stride = head.confmaps.output_stride
+        scorer = PAFScorer(
+            part_names=head.confmaps.part_names,
+            edges=[tuple(e) for e in head.pafs.edges],
+            pafs_stride=head.pafs.output_stride,
+        )
+
+        def fn(images):
+            x, eff = preprocess_images(pre, images)
+            preds = model.apply(params, x)
+            cms = preds["MultiInstanceConfmapsHead"]
+            pafs = preds["PartAffinityFieldsHead"]
+            pts, vals, ch, valid = find_local_peaks(
+                cms, peak_threshold, "integral", max_peaks=max_peaks
+            )
+            pts = pts * cm_stride
+            gp, gv, mask, scores = scorer.score_on_device(pafs, pts, vals, ch, valid)
+            return {
+                "grouped_peaks": gp / (pre.scale * eff),
+                "grouped_vals": gv,
+                "grouped_mask": mask,
+                "paf_scores": scores,
+            }
+
+        outputs = ("grouped_peaks", "grouped_vals", "grouped_mask", "paf_scores")
+
+    else:
+        raise NotImplementedError(f"Export not implemented for model type: {model_type}")
+
+    return fn, input_shape, outputs
+
+
+def export_model(
+    model_dir,
+    output_dir=None,
+    fmt: str = "stablehlo",
+    batch_size: int = 4,
+    peak_threshold: float = 0.2,
+    max_peaks: int = 200,
+    verify: bool = True,
+) -> Path:
+    """Export a trained model dir to a serialized artifact + metadata.json."""
+    import jax
+    import jax.numpy as jnp
+
+    loaded = load_model(model_dir)
+    fn, input_shape, output_names = _build_wrapper(
+        loaded, peak_threshold, batch_size, max_peaks
+    )
+
+    output_dir = Path(output_dir or (Path(model_dir) / "exported"))
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    x_spec = jax.ShapeDtypeStruct(input_shape, jnp.uint8)
+    exported = jax.export.export(jax.jit(fn))(x_spec)
+    blob = exported.serialize()
+    artifact = output_dir / "model.stablehlo"
+    artifact.write_bytes(blob)
+
+    meta = ExportMetadata(
+        model_type=loaded.model_type,
+        input_shape=tuple(input_shape),
+        input_dtype="uint8",
+        output_names=tuple(output_names),
+        peak_threshold=peak_threshold,
+        skeleton_nodes=tuple(loaded.skeleton_nodes),
+        skeleton_edges=tuple(tuple(e) for e in loaded.skeleton_edges),
+        artifact="model.stablehlo",
+        artifact_sha256=hashlib.sha256(blob).hexdigest(),
+    )
+    (output_dir / "metadata.json").write_text(meta.to_json())
+    # Copy the training config for provenance (reference: export/cli.py:854).
+    src_cfg = Path(model_dir) / "training_config.yaml"
+    if src_cfg.exists():
+        (output_dir / "training_config.yaml").write_text(src_cfg.read_text())
+
+    if verify:
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 255, input_shape, dtype=np.uint8)
+        report = verify_export_numerics(output_dir, fn, x)
+        if not report["ok"]:
+            raise RuntimeError(f"Export verification failed: {report}")
+    return output_dir
+
+
+def load_exported_model(export_dir):
+    """Load a serialized export: returns (callable, ExportMetadata)."""
+    import jax
+
+    export_dir = Path(export_dir)
+    meta = ExportMetadata.from_json((export_dir / "metadata.json").read_text())
+    blob = (export_dir / meta.artifact).read_bytes()
+    if hashlib.sha256(blob).hexdigest() != meta.artifact_sha256:
+        raise ValueError("Exported artifact hash mismatch (corrupted file).")
+    exported = jax.export.deserialize(bytearray(blob))
+    return exported.call, meta
+
+
+def verify_export_numerics(export_dir, eager_fn, x: np.ndarray, atol: float = 1e-4) -> Dict:
+    """Compare exported vs eager outputs (reference: onnx_exporter.py:147)."""
+    import jax
+
+    call, meta = load_exported_model(export_dir)
+    out_e = jax.device_get(call(x))
+    out_r = jax.device_get(eager_fn(x))
+    report = {"ok": True, "max_abs_diff": {}}
+    for k in out_r:
+        a, b = np.asarray(out_e[k], dtype=np.float64), np.asarray(out_r[k], dtype=np.float64)
+        both_nan = np.isnan(a) & np.isnan(b)
+        d = np.abs(np.where(both_nan, 0.0, a - b))
+        d = np.nan_to_num(d, nan=np.inf)
+        md = float(d.max()) if d.size else 0.0
+        report["max_abs_diff"][k] = md
+        if md > atol:
+            report["ok"] = False
+    return report

@@ -1,0 +1,99 @@
+"""Training entry: run a training job + post-training evaluation per split.
+
+Parity target: reference sleap_nn/train.py:316-904 (``run_training`` with
+post-training predict + eval on train/val/test splits, metrics npz files in
+the model dir).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sleap_nn_tpu.config import TrainingJobConfig, get_model_type_from_cfg
+from sleap_nn_tpu.evaluation import run_evaluation
+from sleap_nn_tpu.training import ModelTrainer
+
+
+def _eval_split(
+    model_dir: Path,
+    model_type: str,
+    split: str,
+    idx: int,
+    labels_gt,
+    peak_threshold: float = 0.2,
+) -> Optional[dict]:
+    """Predict on a split's GT frames + evaluate, saving labels_pr + metrics."""
+    from sleap_nn_tpu.inference import predict
+
+    if model_type == "centroid":
+        match_method = "centroid"
+        model_paths = [str(model_dir)]
+    elif model_type in ("centered_instance",):
+        # Centered-instance alone can't run topdown; skip split eval
+        # (reference evaluates it within a topdown pair).
+        return None
+    else:
+        match_method = "oks"
+        model_paths = [str(model_dir)]
+
+    preds = predict(labels_gt, model_paths, make_labels=True, peak_threshold=peak_threshold)
+    pred_path = model_dir / f"labels_pr.{split}_{idx}.slp"
+    preds.save(pred_path)
+    metrics = run_evaluation(
+        labels_gt,
+        preds,
+        match_method=match_method,
+        save_metrics=str(model_dir / f"metrics.{split}_{idx}.npz"),
+    )
+    return metrics
+
+
+def run_training(config: TrainingJobConfig) -> ModelTrainer:
+    """Train a model from config; then best-effort post-training eval.
+
+    Returns the trainer (with ``.history`` and ``.ckpt_dir``).
+    """
+    trainer = ModelTrainer.get_model_trainer_from_config(config)
+    trainer.train()
+
+    if trainer.ckpt_dir is not None:
+        model_type = trainer.model_type
+        for split, labels_list in (
+            ("train", trainer.train_labels),
+            ("val", trainer.val_labels),
+        ):
+            for i, labels in enumerate(labels_list):
+                try:
+                    m = _eval_split(trainer.ckpt_dir, model_type, split, i, labels)
+                    if m is None:
+                        print(f"eval {split}_{i}: no usable predictions, metrics skipped")
+                    elif "mOKS" in m:
+                        print(f"eval {split}_{i}: mOKS={m['mOKS']['mOKS']:.4f}")
+                except Exception as e:  # best-effort (reference: train.py:121-126)
+                    print(f"Post-training eval failed for {split}_{i}: {e}")
+    return trainer
+
+
+def train(
+    train_labels_path: Optional[List[str]] = None,
+    config_path: Optional[str] = None,
+    overrides: Optional[Dict] = None,
+    **kwargs,
+) -> ModelTrainer:
+    """Python-API train entry (reference: train.py:535)."""
+    if config_path is not None:
+        config = TrainingJobConfig.load_yaml(config_path, overrides=overrides)
+    else:
+        config = TrainingJobConfig()
+        if overrides:
+            from sleap_nn_tpu.config import apply_overrides
+
+            apply_overrides(config, overrides)
+    if train_labels_path:
+        config.data_config.train_labels_path = list(train_labels_path)
+    for key, value in kwargs.items():
+        setattr(config.trainer_config, key, value)
+    return run_training(config)
