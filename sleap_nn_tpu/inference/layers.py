@@ -354,3 +354,296 @@ class BottomUpLayer(InferenceLayer):
 
     def predict(self, images):
         return self.finalize(self.predict_async(images))
+
+
+class BottomUpMultiClassLayer(InferenceLayer):
+    """Multi-instance confmaps + class maps -> per-identity instances.
+
+    Parity target: reference layers/bottomup_multiclass.py — device peak
+    finding + class-map gather; host Hungarian peak->class assignment
+    (ops/identity.py).
+    """
+
+    def __init__(
+        self,
+        backend,
+        pre,
+        post,
+        n_nodes: int,
+        n_classes: int,
+        cm_head="MultiInstanceConfmapsHead",
+        class_head="ClassMapsHead",
+        cm_output_stride=2,
+        class_maps_output_stride=2,
+    ):
+        super().__init__(backend, pre, post)
+        self.n_nodes = n_nodes
+        self.n_classes = n_classes
+        self.cm_output_stride = cm_output_stride
+        self.class_maps_output_stride = class_maps_output_stride
+        post_cfg = post
+
+        def fn(images):
+            x, eff_scale = preprocess_images(self.pre, images)
+            preds = self.backend(x)
+            cms = preds[cm_head]
+            class_maps = preds[class_head]
+            points, vals, channels, valid = find_local_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+                max_peaks=post_cfg.max_peaks,
+            )
+            out = {
+                "points": points * cm_output_stride,  # scaled-image coords
+                "vals": vals,
+                "channels": channels,
+                "valid": valid,
+                "class_maps": class_maps,
+                "eff_scale": eff_scale,
+            }
+            return out
+
+        self._fn = jax.jit(fn)
+
+    def predict_async(self, images):
+        return self._fn(jnp.asarray(images))
+
+    def finalize(self, dev):
+        from sleap_nn_tpu.inference.identity import classify_peaks_from_maps
+
+        dev = jax.device_get(dev)
+        b, k = dev["vals"].shape
+        valid = dev["valid"].reshape(-1)
+        points = dev["points"].reshape(-1, 2)[valid]
+        vals = dev["vals"].reshape(-1)[valid]
+        sample_inds = np.repeat(np.arange(b), k)[valid]
+        channel_inds = dev["channels"].reshape(-1)[valid]
+
+        pts_cm_grid = points / self.class_maps_output_stride
+        grouped_pts, grouped_vals, class_probs = classify_peaks_from_maps(
+            dev["class_maps"],
+            pts_cm_grid,
+            vals,
+            sample_inds,
+            channel_inds,
+            self.n_nodes,
+        )
+        lift = self.class_maps_output_stride / (self.pre.scale * float(dev["eff_scale"]))
+        return {
+            "pred_keypoints": grouped_pts * lift,
+            "pred_peak_values": grouped_vals,
+            "pred_class_probs": class_probs,
+        }
+
+    def predict(self, images):
+        return self.finalize(self.predict_async(images))
+
+
+class TopDownMultiClassLayer(TopDownLayer):
+    """Two-stage topdown where stage 2 also emits class vectors.
+
+    Parity target: reference layers/topdown_multiclass.py — per-sample
+    Hungarian assignment of crop class probabilities to identities
+    (ops/identity.py:149).
+    """
+
+    def __init__(self, centroid_layer, instance_layer, max_instances, crop_size,
+                 n_classes: int, class_head="ClassVectorsHead"):
+        self.n_classes = n_classes
+        self.class_head = class_head
+        # Augment the instance layer's fn to also return class probs.
+        backend = instance_layer.backend
+        post_cfg = instance_layer.post
+        head_name = instance_layer.head_name
+        output_stride = instance_layer.output_stride
+
+        def fn(crops):
+            preds = backend(crops)
+            cms = preds[head_name]
+            points, vals = find_global_peaks(
+                cms,
+                threshold=post_cfg.peak_threshold,
+                refinement=post_cfg.refinement,
+                integral_patch_size=post_cfg.integral_patch_size,
+            )
+            return points * output_stride, vals, preds[class_head]
+
+        self._crop_fn = jax.jit(fn)
+        super().__init__(centroid_layer, instance_layer, max_instances, crop_size)
+
+        max_inst = self.max_instances
+        c = centroid_layer
+        crop = self.crop_size
+
+        def full(images):
+            cres = c._fn(images)
+            cres = {
+                **cres,
+                "centroids_scaled": cres["centroids_scaled"][:, :max_inst],
+                "pred_centroids": cres["pred_centroids"][:, :max_inst],
+                "centroid_vals": cres["centroid_vals"][:, :max_inst],
+                "centroid_valid": cres["centroid_valid"][:, :max_inst],
+            }
+            x2, eff2 = preprocess_images(instance_layer.pre, images)
+            ratio = (instance_layer.pre.scale * eff2) / (c.pre.scale * cres["eff_scale"])
+            cent2 = jnp.nan_to_num(cres["centroids_scaled"] * ratio, nan=-1e6)
+
+            b, k = cent2.shape[:2]
+            flat_c = cent2.reshape(b * k, 2)
+            bboxes = make_centered_bboxes(flat_c, crop, crop)
+            sample_inds = jnp.repeat(jnp.arange(b), k)
+            crops = crop_bboxes(x2, bboxes, sample_inds, crop, crop)
+            peaks, vals, class_probs = self._crop_fn(crops)
+            half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
+            top_left = jnp.trunc((flat_c - (crop - 1) / 2.0) + half) - half
+            peaks = peaks + top_left[:, None, :]
+            n_nodes = peaks.shape[1]
+            peaks = peaks.reshape(b, k, n_nodes, 2)
+            vals = vals.reshape(b, k, n_nodes)
+            valid = cres["centroid_valid"]
+            peaks = jnp.where(valid[..., None, None], peaks, jnp.nan)
+            vals = jnp.where(valid[..., None], vals, 0.0)
+            peaks = peaks / (instance_layer.pre.scale * eff2)
+            return {
+                "pred_keypoints": peaks,
+                "pred_peak_values": vals,
+                "pred_centroids": cres["pred_centroids"],
+                "centroid_vals": cres["centroid_vals"],
+                "instance_valid": valid,
+                "class_probs": class_probs.reshape(b, k, -1),
+            }
+
+        self._full = jax.jit(full)
+
+    def finalize(self, device_out):
+        from sleap_nn_tpu.inference.identity import get_class_inds_from_vectors
+
+        out = jax.device_get(device_out)
+        b = out["pred_keypoints"].shape[0]
+        class_inds = np.full(out["class_probs"].shape[:2], -1, dtype=np.int64)
+        class_scores = np.full(out["class_probs"].shape[:2], np.nan, dtype=np.float32)
+        for i in range(b):
+            valid = out["instance_valid"][i]
+            if not valid.any():
+                continue
+            probs = out["class_probs"][i][valid]
+            ci, cp = get_class_inds_from_vectors(probs)
+            class_inds[i, np.nonzero(valid)[0]] = ci
+            class_scores[i, np.nonzero(valid)[0]] = cp
+        out["pred_class_inds"] = class_inds
+        out["pred_class_scores"] = class_scores
+        return out
+
+
+class TiledLayer(InferenceLayer):
+    """Sliding-window inference over large frames with blended stitching.
+
+    Parity target: reference layers/tiled.py:135 — grid inference + taper
+    -window blending (tile_merger), then standard peak finding on the merged
+    maps. Works for any confmap-headed model; the merged canvas lives at the
+    head's output-stride resolution.
+    """
+
+    def __init__(
+        self,
+        backend,
+        pre,
+        post,
+        head_name: str,
+        output_stride: int,
+        tile_size: int,
+        overlap: Optional[int] = None,
+        blend: str = "gaussian",
+        sigma_scale: float = 0.125,
+        min_overlap_fraction: float = 0.25,
+        tile_batch_size: int = 16,
+        mode: str = "local",  # "local" (multi peak) or "global" (single instance)
+    ):
+        super().__init__(backend, pre, post)
+        self.head_name = head_name
+        self.output_stride = output_stride
+        self.tile_size = tile_size
+        self.overlap = overlap if overlap is not None else tile_size // 4
+        self.blend = blend
+        self.sigma_scale = sigma_scale
+        self.min_overlap_fraction = min_overlap_fraction
+        self.tile_batch_size = tile_batch_size
+        self.mode = mode
+
+        def tile_fn(tiles):
+            x = normalize_image(tiles)
+            x = apply_channel_config(x, self.pre.ensure_rgb, self.pre.ensure_grayscale)
+            return self.backend(x)[self.head_name]
+
+        self._tile_fn = jax.jit(tile_fn)
+        ts = tile_size // output_stride
+        from sleap_nn_tpu.inference.tile_merger import build_importance_window
+
+        self._window = build_importance_window((ts, ts), blend, sigma_scale)
+
+    def predict_async(self, images):
+        """Tile, forward, and merge each frame; returns merged confmaps."""
+        from sleap_nn_tpu.data.tiling import extract_tile, generate_tile_grid
+        from sleap_nn_tpu.inference.tile_merger import merge_tiles
+
+        images = np.asarray(images)
+        b, h, w, c = images.shape
+        origins = generate_tile_grid(
+            (h, w),
+            self.tile_size,
+            self.overlap,
+            self.output_stride,
+            max_stride=self.pre.max_stride,
+            min_overlap_fraction=self.min_overlap_fraction,
+        )
+        dummy_inst = np.zeros((0, 1, 2), np.float32)
+        canvases = []
+        os_ = self.output_stride
+        origins_os = jnp.asarray(
+            np.asarray(origins, np.int32) // os_, dtype=jnp.int32
+        )
+        for i in range(b):
+            tiles = np.stack(
+                [
+                    extract_tile(images[i], dummy_inst, o, self.tile_size)[0]
+                    for o in origins
+                ]
+            )
+            maps = []
+            for start in range(0, len(tiles), self.tile_batch_size):
+                chunk = tiles[start : start + self.tile_batch_size]
+                pad = 0
+                if chunk.shape[0] < self.tile_batch_size:
+                    pad = self.tile_batch_size - chunk.shape[0]
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                out = self._tile_fn(jnp.asarray(chunk))
+                maps.append(out[: out.shape[0] - pad] if pad else out)
+            tile_maps = jnp.concatenate(maps, axis=0)
+            canvas = merge_tiles(
+                tile_maps, origins_os, (h // os_, w // os_), self._window
+            )
+            canvases.append(canvas)
+        cms = jnp.stack(canvases)
+
+        post_cfg = self.post
+        if self.mode == "global":
+            points, vals = find_global_peaks(
+                cms, post_cfg.peak_threshold, post_cfg.refinement,
+                post_cfg.integral_patch_size,
+            )
+            return {
+                "pred_keypoints": (points * os_)[:, None],
+                "pred_peak_values": vals[:, None],
+            }
+        points, vals, channels, valid = find_local_peaks(
+            cms, post_cfg.peak_threshold, post_cfg.refinement,
+            post_cfg.integral_patch_size, max_peaks=post_cfg.max_peaks,
+        )
+        return {
+            "pred_peaks": points * os_,
+            "peak_vals": vals,
+            "peak_channels": channels,
+            "peak_valid": valid,
+        }

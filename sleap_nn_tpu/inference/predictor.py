@@ -90,6 +90,7 @@ class Predictor:
         min_line_scores: float = 0.25,
         crop_size: Optional[int] = None,
         return_confmaps: bool = False,
+        filters=None,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
@@ -112,6 +113,13 @@ class Predictor:
 
         def skeleton_for(m: LoadedModel) -> Skeleton:
             return Skeleton(nodes=m.skeleton_nodes, edges=m.skeleton_edges)
+
+        _cls = cls
+
+        def cls(*args, **kwargs_):  # attach filters to every branch's predictor
+            p = _cls(*args, **kwargs_)
+            p.filters = filters
+            return p
 
         if types == {"single_instance"}:
             m = by_type["single_instance"]
@@ -155,6 +163,57 @@ class Predictor:
                 crop_size=cs,
             )
             return cls(layer, "topdown", skeleton_for(mi), loaded, batch_size)
+
+        if types == {"multi_class_bottomup"}:
+            from sleap_nn_tpu.inference.layers import BottomUpMultiClassLayer
+
+            m = by_type["multi_class_bottomup"]
+            head = get_head_config(m.config)
+            layer = BottomUpMultiClassLayer(
+                backend_for(m),
+                _pre_config(m),
+                post_for(m),
+                n_nodes=len(head.confmaps.part_names),
+                n_classes=len(head.class_maps.classes),
+                cm_output_stride=head.confmaps.output_stride,
+                class_maps_output_stride=head.class_maps.output_stride,
+            )
+            p = cls(layer, "multi_class_bottomup", skeleton_for(m), loaded, batch_size)
+            p.class_names = list(head.class_maps.classes)
+            return p
+
+        if types == {"centroid", "multi_class_topdown"}:
+            from sleap_nn_tpu.inference.layers import TopDownMultiClassLayer
+
+            mc = by_type["centroid"]
+            mi = by_type["multi_class_topdown"]
+            c_head = get_head_config(mc.config).confmaps
+            i_head_cfg = get_head_config(mi.config)
+            post_c = post_for(mc)
+            post_c.max_instances = max_instances or 20
+            centroid_layer = CentroidLayer(
+                backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
+            )
+            inst_pre = _pre_config(mi)
+            cs = crop_size or mi.config.data_config.preprocessing.crop_size
+            if cs is None:
+                raise ValueError("crop_size not set in multi_class_topdown config.")
+            cs = int(round(cs * inst_pre.scale))
+            cs += (-cs) % inst_pre.max_stride
+            instance_layer = CenteredInstanceLayer(
+                backend_for(mi), inst_pre, post_for(mi),
+                output_stride=i_head_cfg.confmaps.output_stride,
+            )
+            layer = TopDownMultiClassLayer(
+                centroid_layer,
+                instance_layer,
+                max_instances=max_instances or 20,
+                crop_size=cs,
+                n_classes=len(i_head_cfg.class_vectors.classes),
+            )
+            p = cls(layer, "multi_class_topdown", skeleton_for(mi), loaded, batch_size)
+            p.class_names = list(i_head_cfg.class_vectors.classes)
+            return p
 
         if types == {"bottomup"}:
             m = by_type["bottomup"]
@@ -292,6 +351,33 @@ class Predictor:
                             continue
                         instances.append(self._make_instance(pts[k], vals[k], skel))
 
+                elif self.model_type == "multi_class_bottomup":
+                    pts = out["pred_keypoints"][i]  # (n_classes, n_nodes, 2)
+                    vals = np.nan_to_num(out["pred_peak_values"][i])
+                    probs = out["pred_class_probs"][i]
+                    for k in range(pts.shape[0]):
+                        if np.all(np.isnan(pts[k])):
+                            continue
+                        inst = self._make_instance(pts[k], vals[k], skel)
+                        inst.track = self._class_track(k)
+                        inst.tracking_score = float(np.nanmean(probs[k]))
+                        instances.append(inst)
+
+                elif self.model_type == "multi_class_topdown":
+                    pts = out["pred_keypoints"][i]
+                    vals = out["pred_peak_values"][i]
+                    valid = out["instance_valid"][i]
+                    cls_inds = out["pred_class_inds"][i]
+                    cls_scores = out["pred_class_scores"][i]
+                    for k in range(pts.shape[0]):
+                        if not valid[k] or np.all(np.isnan(pts[k])):
+                            continue
+                        inst = self._make_instance(pts[k], vals[k], skel)
+                        if cls_inds[k] >= 0:
+                            inst.track = self._class_track(int(cls_inds[k]))
+                            inst.tracking_score = float(np.nan_to_num(cls_scores[k]))
+                        instances.append(inst)
+
                 elif self.model_type == "bottomup":
                     pts_list = out["pred_keypoints"][i]
                     vals_list = out["pred_peak_values"][i]
@@ -305,12 +391,35 @@ class Predictor:
                             )
                         )
 
+                filters = getattr(self, "filters", None)
+                if filters is not None and filters.enabled():
+                    from sleap_nn_tpu.inference.filters import FilterPipeline
+
+                    instances = FilterPipeline(filters).apply(instances)
                 if instances:
                     lfs.append(LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances))
 
         labels = Labels(labeled_frames=lfs, videos=[v for v in videos if v is not None])
-        labels.provenance = {"model_paths": [str(m.model_dir) for m in self.models]}
+        if getattr(self, "_class_tracks", None):
+            labels.tracks = [t for t in self._class_tracks.values()]
+        from sleap_nn_tpu.inference.provenance import build_inference_provenance
+
+        labels.provenance = build_inference_provenance(
+            [m.model_dir for m in self.models], stats=getattr(self, "last_stats", None)
+        )
         return labels
+
+    def _class_track(self, class_idx: int):
+        """Track object per supervised-ID class (multiclass models)."""
+        if not hasattr(self, "_class_tracks"):
+            self._class_tracks = {}
+        if class_idx not in self._class_tracks:
+            from sleap_nn_tpu.io.model import Track
+
+            names = getattr(self, "class_names", None)
+            name = names[class_idx] if names and class_idx < len(names) else str(class_idx)
+            self._class_tracks[class_idx] = Track(name=name)
+        return self._class_tracks[class_idx]
 
     @staticmethod
     def _make_instance(pts, vals, skel, score=None) -> PredictedInstance:
