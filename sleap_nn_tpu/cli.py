@@ -235,6 +235,26 @@ def export(model_dir, output_dir, fmt):
     click.echo(f"Exported to: {out}")
 
 
+@cli.command("config-generate")
+@click.argument("slp_path", type=click.Path(exists=True))
+@click.option("--output", "-o", default=None, help="Output config YAML path.")
+@click.option("--max-epochs", default=100, show_default=True)
+def config_generate(slp_path, output, max_epochs):
+    """Analyze a dataset and generate a recommended training config."""
+    from sleap_nn_tpu.config_generator import analyze_slp, generate_config, recommend_config
+
+    stats = analyze_slp(slp_path)
+    rec = recommend_config(stats)
+    cfg = generate_config(slp_path, output_path=output, stats=stats,
+                          recommendation=rec, max_epochs=max_epochs)
+    click.echo(json.dumps({
+        "pipeline": rec.pipeline.pipeline,
+        "reason": rec.pipeline.reason,
+        "recommendation": rec.summary(),
+        "output": output,
+    }, indent=2))
+
+
 def main():
     cli()
 
