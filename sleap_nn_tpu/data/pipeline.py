@@ -65,6 +65,13 @@ class PipelineContext:
     class_maps_sigma: float = 5.0
     class_maps_output_stride: int = 2
     anchor_ind: Optional[int] = None
+    # segmentation
+    seg_output_stride: int = 2
+    seg_maxpool: bool = False
+    center_sigma: float = 4.0
+    center_output_stride: int = 2
+    offsets_output_stride: int = 2
+    mask_radius: float = 12.0
     # augmentation
     use_augmentations: bool = False
     intensity: Optional[dict] = None
@@ -191,6 +198,64 @@ def make_render_fn(ctx: PipelineContext, train: bool) -> Callable:
                 per_inst_cms, batch["track_ids"], ctx.n_classes
             )
 
+        elif ctx.model_type in ("bottomup_segmentation", "semantic_segmentation"):
+            from sleap_nn_tpu.data.segmentation_maps import (
+                generate_center_heatmap,
+                generate_center_offsets,
+                generate_foreground_mask,
+                render_masks_from_instances,
+            )
+
+            out["image"], out["instances"] = image, instances
+            # Masks synthesized from the (already augmented) keypoints so they
+            # are automatically co-transformed (the reference's synthetic-mask
+            # fixture path; real stored masks are a host-side alternative).
+            ei = edge_inds if edge_inds is not None else jnp.zeros((0, 2), jnp.int32)
+            masks = jax.vmap(
+                lambda inst: render_masks_from_instances(inst, (h, w), ei, ctx.mask_radius)
+            )(instances)  # (B, I, H, W)
+            valid = jnp.any(~jnp.isnan(instances[..., 0]), axis=-1)  # (B, I)
+            out["segmentation"] = generate_foreground_mask(
+                masks, valid, ctx.seg_output_stride, ctx.seg_maxpool
+            )
+            if ctx.model_type == "bottomup_segmentation":
+                out["center_heatmap"] = generate_center_heatmap(
+                    masks, valid, ctx.center_output_stride, ctx.center_sigma
+                )
+                offsets, weight = generate_center_offsets(
+                    masks, valid, ctx.offsets_output_stride
+                )
+                out["center_offsets"] = offsets
+                out["offsets_mask"] = weight
+
+        elif ctx.model_type == "centered_instance_segmentation":
+            from sleap_nn_tpu.data.segmentation_maps import (
+                generate_foreground_mask,
+                render_masks_from_instances,
+            )
+
+            centroids = generate_centroids(instances, ctx.anchor_ind)
+            b = image.shape[0]
+            sel = batch["center_idx"].astype(jnp.int32)
+            rows = jnp.arange(b)
+            c = centroids[rows, sel]
+            inst = instances[rows, sel]
+            crop_size = int(round(ctx.crop_size * ctx.scale))
+            crop_size += (-crop_size) % ctx.max_stride
+            crops, inst_shifted, _ = generate_crops(image, inst, c, crop_size)
+            out["image"] = crops
+            out["instances"] = inst_shifted
+            ei = edge_inds if edge_inds is not None else jnp.zeros((0, 2), jnp.int32)
+            masks = jax.vmap(
+                lambda i1: render_masks_from_instances(
+                    i1[None], (crop_size, crop_size), ei, ctx.mask_radius
+                )
+            )(inst_shifted)  # (B, 1, crop, crop)
+            valid = jnp.any(~jnp.isnan(inst_shifted[..., 0]), axis=-1, keepdims=True)
+            out["segmentation"] = generate_foreground_mask(
+                masks, valid, ctx.seg_output_stride, ctx.seg_maxpool
+            )
+
         else:
             raise NotImplementedError(f"Render fn for model type {ctx.model_type}")
 
@@ -295,6 +360,18 @@ class TopDownCenteredInstanceMultiClassDataset(CenteredInstanceDataset):
     """Centered-instance samples + class-vector targets from track ids."""
 
 
+class BottomUpSegmentationDataset(BaseDataset):
+    """One sample per frame; fg mask + center heatmap + offsets targets."""
+
+
+class SemanticSegmentationDataset(BaseDataset):
+    """One sample per frame; fg mask target only."""
+
+
+class CenteredInstanceSegmentationDataset(CenteredInstanceDataset):
+    """One sample per (frame, instance); crop fg mask target."""
+
+
 _DATASET_BY_TYPE = {
     "single_instance": SingleInstanceDataset,
     "centroid": CentroidDataset,
@@ -302,6 +379,9 @@ _DATASET_BY_TYPE = {
     "bottomup": BottomUpDataset,
     "multi_class_bottomup": BottomUpMultiClassDataset,
     "multi_class_topdown": TopDownCenteredInstanceMultiClassDataset,
+    "bottomup_segmentation": BottomUpSegmentationDataset,
+    "semantic_segmentation": SemanticSegmentationDataset,
+    "centered_instance_segmentation": CenteredInstanceSegmentationDataset,
 }
 
 
@@ -370,7 +450,25 @@ def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineCont
     if cvec is not None:
         kw["n_classes"] = len(cvec.classes or labels.tracks)
 
-    if model_type in ("centered_instance", "multi_class_topdown") and not kw["crop_size"]:
+    seg = getattr(head, "segmentation", None)
+    if seg is not None:
+        kw["seg_output_stride"] = seg.output_stride
+        kw["seg_maxpool"] = bool(getattr(seg, "target_maxpool", False))
+        kw["edge_inds"] = tuple(skel.edge_inds)
+        anchor = getattr(seg, "anchor_part", None)
+        if anchor:
+            kw["anchor_ind"] = skel.node_names.index(anchor)
+    center = getattr(head, "center", None)
+    if center is not None:
+        kw["center_sigma"] = center.sigma
+        kw["center_output_stride"] = center.output_stride
+    offsets = getattr(head, "offsets", None)
+    if offsets is not None:
+        kw["offsets_output_stride"] = offsets.output_stride
+
+    if model_type in (
+        "centered_instance", "multi_class_topdown", "centered_instance_segmentation"
+    ) and not kw["crop_size"]:
         rot_max, scale_max = 0.0, 1.0
         if aug is not None and aug.geometric is not None:
             rot_max = max(abs(aug.geometric.rotation_min), abs(aug.geometric.rotation_max))

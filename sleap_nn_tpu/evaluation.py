@@ -111,9 +111,11 @@ def find_frame_pairs(
         frame_gt = lf_gt
         if user_labels_only:
             user = lf_gt.user_instances
-            if not user:
+            if not user and not getattr(lf_gt, "masks", None):
                 continue
-            frame_gt = LabeledFrame(lf_gt.video, lf_gt.frame_idx, user)
+            frame_gt = LabeledFrame(
+                lf_gt.video, lf_gt.frame_idx, user, masks=getattr(lf_gt, "masks", None)
+            )
         lf_pr = pr_index.get((vi, lf_gt.frame_idx))
         if lf_pr is not None:
             pairs.append((frame_gt, lf_pr))
@@ -223,6 +225,91 @@ def match_centroids(gt_pts: np.ndarray, pr_pts: np.ndarray, threshold: float = 5
 
 
 # ---------------------------------------------------------------------------
+# Mask / semantic metrics (reference: evaluation.py:120-465)
+# ---------------------------------------------------------------------------
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """Pixel IoU of two binary masks (reference: :120)."""
+    a = np.asarray(a, bool)
+    b = np.asarray(b, bool)
+    union = np.logical_or(a, b).sum()
+    if union == 0:
+        return 0.0
+    return float(np.logical_and(a, b).sum() / union)
+
+
+def match_masks(gt_masks, pr_masks, iou_threshold: float = 0.5):
+    """Hungarian IoU matching of masks (reference: :161).
+
+    Returns (pairs [(gt_i, pr_j, iou)], fn_inds, fp_inds)."""
+    from scipy.optimize import linear_sum_assignment
+
+    if not gt_masks or not pr_masks:
+        return [], list(range(len(gt_masks))), list(range(len(pr_masks)))
+    iou = np.array([[mask_iou(g, p) for p in pr_masks] for g in gt_masks])
+    rows, cols = linear_sum_assignment(-iou)
+    pairs, used_g, used_p = [], set(), set()
+    for r, c in zip(rows, cols):
+        if iou[r, c] >= iou_threshold:
+            pairs.append((int(r), int(c), float(iou[r, c])))
+            used_g.add(int(r))
+            used_p.add(int(c))
+    fn = [i for i in range(len(gt_masks)) if i not in used_g]
+    fp = [j for j in range(len(pr_masks)) if j not in used_p]
+    return pairs, fn, fp
+
+
+def _mask_to_boundary(mask: np.ndarray, dilation_ratio: float = 0.02) -> np.ndarray:
+    """Boundary band of a mask (reference: :375)."""
+    from scipy import ndimage
+
+    mask = np.asarray(mask, bool)
+    h, w = mask.shape
+    d = max(1, int(round(dilation_ratio * np.hypot(h, w))))
+    eroded = ndimage.binary_erosion(mask, iterations=d)
+    return mask & ~eroded
+
+
+def boundary_iou(gt: np.ndarray, pr: np.ndarray, dilation_ratio: float = 0.02) -> float:
+    """IoU restricted to boundary bands (reference: :396)."""
+    return mask_iou(_mask_to_boundary(gt, dilation_ratio), _mask_to_boundary(pr, dilation_ratio))
+
+
+def _skeletonize(mask: np.ndarray, max_iters: int = 128) -> np.ndarray:
+    """Morphological skeleton via iterative erosion-opening (scipy-only
+    stand-in for skimage.skeletonize; reference: :412)."""
+    from scipy import ndimage
+
+    mask = np.asarray(mask, bool)
+    skel = np.zeros_like(mask)
+    m = mask.copy()
+    for _ in range(max_iters):
+        if not m.any():
+            break
+        eroded = ndimage.binary_erosion(m)
+        opened = ndimage.binary_dilation(eroded)
+        skel |= m & ~opened
+        m = eroded
+    return skel
+
+
+def mask_cldice(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Centerline Dice (clDice) for thin structures (reference: :427)."""
+    pred = np.asarray(pred, bool)
+    gt = np.asarray(gt, bool)
+    if not pred.any() or not gt.any():
+        return 0.0
+    sp = _skeletonize(pred)
+    sg = _skeletonize(gt)
+    tprec = (sp & gt).sum() / max(sp.sum(), 1)
+    tsens = (sg & pred).sum() / max(sg.sum(), 1)
+    if tprec + tsens == 0:
+        return 0.0
+    return float(2 * tprec * tsens / (tprec + tsens))
+
+
+# ---------------------------------------------------------------------------
 # Evaluator
 # ---------------------------------------------------------------------------
 
@@ -255,6 +342,8 @@ class Evaluator:
         )
         if match_method == "centroid":
             self._process_frames_centroid()
+        elif match_method in ("mask", "semantic"):
+            self._process_frames_mask()
         else:
             self._process_frames()
 
@@ -299,6 +388,81 @@ class Evaluator:
             "dists": np.array(dists) if dists else np.zeros((0, 1)),
             "frame_idxs": [p[0].frame_idx for p in self.positive_pairs],
             "video_paths": [p[0].video_path for p in self.positive_pairs],
+        }
+
+    def _process_frames_mask(self):
+        """Pair GT/pred masks per frame (mask + semantic modes).
+
+        (reference: evaluation.py:1134 ``_process_frames_mask`` / :1204
+        ``_process_frames_semantic``.)"""
+        iou_thr = self.match_threshold if self.match_threshold > 0 else 0.5
+        self.positive_pairs, self.false_negatives = [], []
+        self.mask_pairs = []  # (gt_mask, pr_mask, iou)
+        self.semantic_frames = []  # (gt_union, pr_union)
+        for frame_gt, frame_pr in self.frame_pairs:
+            gt_masks = [m.mask for m in getattr(frame_gt, "masks", [])]
+            pr_masks = [m.mask for m in getattr(frame_pr, "masks", [])]
+            if self.match_method == "semantic":
+                def union(ms, like):
+                    if ms:
+                        out = np.zeros_like(ms[0], dtype=bool)
+                        for m in ms:
+                            out |= m
+                        return out
+                    return np.zeros_like(like, dtype=bool) if like is not None else None
+
+                g = union(gt_masks, pr_masks[0] if pr_masks else None)
+                p = union(pr_masks, gt_masks[0] if gt_masks else None)
+                if g is not None and p is not None:
+                    self.semantic_frames.append((g, p))
+                continue
+            pairs, fn, fp = match_masks(gt_masks, pr_masks, iou_thr)
+            gt_mi = get_instances(frame_gt)
+            for (gi, pj, iou) in pairs:
+                self.mask_pairs.append((gt_masks[gi], pr_masks[pj], iou))
+                self.positive_pairs.append(
+                    (
+                        MatchInstance(frame_gt.masks[gi], frame_gt.frame_idx),
+                        MatchInstance(frame_pr.masks[pj], frame_pr.frame_idx),
+                        iou,
+                    )
+                )
+            self.false_negatives.extend(
+                MatchInstance(frame_gt.masks[i], frame_gt.frame_idx) for i in fn
+            )
+            self.false_positives.extend(
+                MatchInstance(frame_pr.masks[j], frame_pr.frame_idx) for j in fp
+            )
+        self.dists_dict = {"dists": np.zeros((0, 1)), "frame_idxs": [], "video_paths": []}
+
+    def mask_metrics(self) -> dict:
+        """Matched-mask quality (reference: :1456)."""
+        ious = np.array([iou for _, _, iou in self.mask_pairs])
+        bious = np.array(
+            [boundary_iou(g, p) for g, p, _ in self.mask_pairs]
+        ) if self.mask_pairs else np.array([])
+        cld = np.array(
+            [mask_cldice(p, g) for g, p, _ in self.mask_pairs]
+        ) if self.mask_pairs else np.array([])
+        return {
+            "mean_iou": float(ious.mean()) if ious.size else np.nan,
+            "mean_boundary_iou": float(bious.mean()) if bious.size else np.nan,
+            "mean_cldice": float(cld.mean()) if cld.size else np.nan,
+            "n_matched": len(self.mask_pairs),
+        }
+
+    def semantic_metrics(self) -> dict:
+        """Matching-free whole-frame foreground metrics (reference: :1554)."""
+        if not getattr(self, "semantic_frames", None):
+            return {"fg_iou": np.nan, "boundary_iou": np.nan, "cldice": np.nan}
+        ious = [mask_iou(g, p) for g, p in self.semantic_frames]
+        bious = [boundary_iou(g, p) for g, p in self.semantic_frames]
+        cld = [mask_cldice(p, g) for g, p in self.semantic_frames]
+        return {
+            "fg_iou": float(np.mean(ious)),
+            "boundary_iou": float(np.mean(bious)),
+            "cldice": float(np.mean(cld)),
+            "n_frames": len(self.semantic_frames),
         }
 
     # -- metrics ---------------------------------------------------------------
@@ -482,6 +646,13 @@ class Evaluator:
                 "detection_metrics": self.detection_metrics(),
                 "distance_metrics": self.distance_metrics(),
             }
+        if self.match_method == "mask":
+            return {
+                "detection_metrics": self.detection_metrics(),
+                "mask_metrics": self.mask_metrics(),
+            }
+        if self.match_method == "semantic":
+            return {"semantic_metrics": self.semantic_metrics()}
         metrics = {}
         metrics["voc_metrics"] = self.voc_metrics(match_score_by="oks")
         metrics["voc_metrics"].update(self.voc_metrics(match_score_by="pck"))
@@ -522,7 +693,11 @@ def run_evaluation(
         predicted_path
     )
 
-    if not len(labels_pr) or not any(len(lf.instances) for lf in labels_pr):
+    if match_method in ("mask", "semantic"):
+        has_predictions = any(len(getattr(lf, "masks", [])) for lf in labels_pr)
+    else:
+        has_predictions = any(len(lf.instances) for lf in labels_pr)
+    if not len(labels_pr) or not has_predictions:
         return None
 
     pred_skel = labels_pr.skeletons[0] if labels_pr.skeletons else None

@@ -234,6 +234,33 @@ class Predictor:
             )
             return cls(layer, "bottomup", skeleton_for(m), loaded, batch_size)
 
+        if types == {"bottomup_segmentation"}:
+            from sleap_nn_tpu.inference.segmentation import BottomUpSegmentationLayer
+
+            m = by_type["bottomup_segmentation"]
+            head = get_head_config(m.config)
+            layer = BottomUpSegmentationLayer(
+                backend_for(m),
+                _pre_config(m),
+                post_for(m),
+                seg_output_stride=head.segmentation.output_stride,
+                center_output_stride=head.center.output_stride,
+                offsets_output_stride=head.offsets.output_stride,
+                max_instances=max_instances or 50,
+            )
+            return cls(layer, "bottomup_segmentation", Skeleton(nodes=["centroid"]), loaded, batch_size)
+
+        if types == {"semantic_segmentation"}:
+            from sleap_nn_tpu.inference.segmentation import SemanticSegmentationLayer
+
+            m = by_type["semantic_segmentation"]
+            head = get_head_config(m.config)
+            layer = SemanticSegmentationLayer(
+                backend_for(m), _pre_config(m), post_for(m),
+                seg_output_stride=head.segmentation.output_stride,
+            )
+            return cls(layer, "semantic_segmentation", Skeleton(nodes=["fg"]), loaded, batch_size)
+
         raise ValueError(f"Unsupported model type combination: {sorted(types)}")
 
     # -- prediction -----------------------------------------------------------
@@ -322,6 +349,25 @@ class Predictor:
                 vid = videos[out["video_inds"][i]] if videos else None
                 frame_idx = int(out["frame_inds"][i])
                 instances = []
+                frame_masks = []
+
+                if self.model_type in ("bottomup_segmentation", "semantic_segmentation"):
+                    frame_masks = out["pred_masks"][i]
+                    if self.model_type == "bottomup_segmentation":
+                        cents = out["pred_centroids"][i]
+                        vals = out["centroid_vals"][i]
+                        valid = out["centroid_valid"][i]
+                        for k in range(cents.shape[0]):
+                            if not valid[k] or np.all(np.isnan(cents[k])):
+                                continue
+                            instances.append(
+                                self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                            )
+                    if frame_masks or instances:
+                        lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances)
+                        lf.masks = frame_masks
+                        lfs.append(lf)
+                    continue
 
                 if self.model_type == "single_instance":
                     pts = out["pred_keypoints"][i]  # (1, n_nodes, 2)

@@ -11,6 +11,7 @@ tracks, labeled frames, and round-trippable ``.slp`` read/write.
 
 from sleap_nn_tpu.io.model import (
     Edge,
+    SegmentationMask,
     Instance,
     LabeledFrame,
     Labels,
@@ -30,6 +31,7 @@ __all__ = [
     "Labels",
     "Node",
     "PredictedInstance",
+    "SegmentationMask",
     "Skeleton",
     "Symmetry",
     "Track",

@@ -242,13 +242,41 @@ class PredictedInstance(Instance):
         )
 
 
+class SegmentationMask:
+    """A (predicted) instance segmentation mask.
+
+    Mirrors the mask objects the reference attaches to ``LabeledFrame.masks``
+    for segmentation models (reference: SURVEY §2.6 segmentation inference).
+    """
+
+    def __init__(self, mask: np.ndarray, score: float = 0.0, track: Optional[Track] = None):
+        self.mask = np.asarray(mask, dtype=bool)
+        self.score = float(score)
+        self.track = track
+
+    @property
+    def area(self) -> int:
+        return int(self.mask.sum())
+
+    def centroid(self) -> np.ndarray:
+        ys, xs = np.nonzero(self.mask)
+        if len(xs) == 0:
+            return np.array([self.mask.shape[1] / 2.0, self.mask.shape[0] / 2.0])
+        return np.array([xs.mean(), ys.mean()])
+
+    def __repr__(self) -> str:
+        return f"SegmentationMask(area={self.area}, score={self.score:.3f})"
+
+
 class LabeledFrame:
     """All instances labeled/predicted on one frame of one video."""
 
-    def __init__(self, video, frame_idx: int, instances: Optional[List[Instance]] = None):
+    def __init__(self, video, frame_idx: int, instances: Optional[List[Instance]] = None,
+                 masks: Optional[List["SegmentationMask"]] = None):
         self.video = video
         self.frame_idx = int(frame_idx)
         self.instances: List[Instance] = list(instances or [])
+        self.masks: List[SegmentationMask] = list(masks or [])
 
     @property
     def user_instances(self) -> List[Instance]:

