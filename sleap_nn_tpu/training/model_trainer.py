@@ -154,6 +154,12 @@ class ModelTrainer:
             pre.max_height = pre.max_height or h
             pre.max_width = pre.max_width or w
 
+        # Backbone output stride must cover the finest head stride
+        # (reference: config/utils.py:106 check_output_strides).
+        from sleap_nn_tpu.config.utils import check_output_strides
+
+        check_output_strides(self.config)
+
         cm = getattr(head, "confmaps", None)
         if cm is not None and hasattr(cm, "part_names") and cm.part_names is None:
             cm.part_names = list(skel.node_names)
@@ -295,6 +301,10 @@ class ModelTrainer:
             self.callbacks.append(
                 EarlyStopping(min_delta=es.min_delta, patience=es.patience)
             )
+        if cfg.trainer_config.visualize_preds_during_training and self.ckpt_dir is not None:
+            from sleap_nn_tpu.training.viz import VizCallback
+
+            self.callbacks.append(VizCallback(self, self.ckpt_dir / "viz"))
         zmq_cfg = cfg.trainer_config.zmq
         if zmq_cfg is not None and zmq_cfg.controller_port:
             self.callbacks.append(
@@ -439,4 +449,12 @@ class ModelTrainer:
             for cb in self.callbacks:
                 if hasattr(cb, "close"):
                     cb.close()
+            if (
+                self.ckpt_dir is not None
+                and not cfg.trainer_config.keep_viz
+                and (self.ckpt_dir / "viz").exists()
+            ):
+                import shutil
+
+                shutil.rmtree(self.ckpt_dir / "viz", ignore_errors=True)
         return self.history

@@ -1,0 +1,72 @@
+"""Kwargs -> config builder tests (including a train-through check)."""
+
+import pytest
+
+from sleap_nn_tpu.config import verify_training_cfg
+from sleap_nn_tpu.config.get_config import (
+    get_aug_config,
+    get_backbone_config,
+    get_config,
+    get_head_configs,
+    get_trainer_config,
+)
+
+FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+
+def test_get_aug_config_shorthands():
+    aug = get_aug_config(intensity_aug="brightness", geometric_aug=["rotation", "flip"])
+    assert aug.intensity.brightness_p == 1.0
+    assert aug.geometric.affine_p == 1.0
+    assert aug.geometric.flip_p == 0.5
+    assert get_aug_config() is None
+    aug2 = get_aug_config(intensity_aug={"contrast_p": 0.7, "contrast_min": 0.8})
+    assert aug2.intensity.contrast_p == 0.7
+
+
+def test_get_backbone_config_presets():
+    b = get_backbone_config("unet_large_rf")
+    assert b.which() == "unet"
+    assert b.unet.filters_rate == 2.0
+    b2 = get_backbone_config("convnext_small")
+    assert b2.which() == "convnext" and b2.convnext.model_type == "small"
+    b3 = get_backbone_config("swint_base")
+    assert b3.swint.model_type == "base"
+    with pytest.raises(ValueError):
+        get_backbone_config("resnet")
+    b4 = get_backbone_config({"unet": {"filters": 12, "max_stride": 8}})
+    assert b4.unet.filters == 12
+
+
+def test_get_head_configs():
+    h = get_head_configs("bottomup")
+    assert h.which() == "bottomup"
+    assert h.bottomup.confmaps is not None and h.bottomup.pafs is not None
+    h2 = get_head_configs({"single_instance": {"confmaps": {"sigma": 3.0}}})
+    assert h2.single_instance.confmaps.sigma == 3.0
+    with pytest.raises(ValueError):
+        get_head_configs("psychic")
+
+
+def test_get_config_one_shot_trains(tmp_path):
+    from sleap_nn_tpu.train import run_training
+
+    cfg = get_config(
+        train_labels_path=[FIXTURE],
+        use_same_data_for_val=True,
+        scale=0.25,
+        backbone="unet",
+        head_configs="single_instance",
+        filters=8,
+        max_stride=8,
+        output_stride=2,
+        batch_size=1,
+        max_epochs=2,
+        save_ckpt=True,
+        ckpt_dir=str(tmp_path),
+        run_name="kw",
+        enable_progress_bar=False,
+    )
+    verify_training_cfg(cfg)
+    trainer = run_training(cfg)
+    assert (tmp_path / "kw" / "best.ckpt").exists()

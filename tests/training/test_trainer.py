@@ -109,3 +109,24 @@ def test_early_stopping(tmp_path):
     trainer = ModelTrainer.get_model_trainer_from_config(cfg)
     history = trainer.train()
     assert len(history) <= 5
+
+
+def test_viz_callback_and_keep_viz(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.visualize_preds_during_training = True
+    cfg.trainer_config.keep_viz = True
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    trainer.train()
+    viz = Path(tmp_path) / "test_single_instance" / "viz"
+    pngs = list(viz.glob("epoch_*.png"))
+    assert len(pngs) == 2
+    assert pngs[0].stat().st_size > 1000
+
+    # keep_viz=False removes the viz dir at train end.
+    cfg2 = make_cfg("single_instance", tmp_path, **{"trainer_config.run_name": "no_keep"})
+    cfg2.trainer_config.max_epochs = 1
+    cfg2.trainer_config.visualize_preds_during_training = True
+    cfg2.trainer_config.keep_viz = False
+    ModelTrainer.get_model_trainer_from_config(cfg2).train()
+    assert not (Path(tmp_path) / "no_keep" / "viz").exists()
