@@ -56,7 +56,16 @@ def make_multi_confmaps(
 
     Returns:
         ``(..., H, W, n_nodes)`` — elementwise max over instances.
+
+    With ``SLEAP_NN_TPU_PALLAS=1`` and a 4-D batched input, rendering is
+    routed through the fused Pallas kernel
+    (:func:`sleap_nn_tpu.ops.pallas_kernels.make_multi_confmaps_pallas`).
     """
+    if points.ndim == 4:
+        from sleap_nn_tpu.ops.pallas_kernels import make_multi_confmaps_pallas, use_pallas
+
+        if use_pallas():
+            return make_multi_confmaps_pallas(points, xv, yv, sigma)
     cms = make_confmaps(points, xv, yv, sigma)  # (..., n_inst, H, W, n_nodes)
     return jnp.max(cms, axis=-4)
 
