@@ -270,7 +270,16 @@ def make_render_fn(ctx: PipelineContext, train: bool) -> Callable:
 
 
 class BaseDataset:
-    """Host-side dataset: index + decode + pad. One item = one frame sample."""
+    """Host-side dataset: index + decode + pad. One item = one frame sample.
+
+    ``cache_mode``: "memory" (decoded frames held in RAM, the default),
+    "disk" (frames spilled to ``cache_dir`` as .npy, loaded lazily —
+    reference: custom_datasets.py:847 disk-jpg cache), or "none".
+    ``use_negative_frames`` adds instance-less frames as negatives with
+    all-NaN keypoints (zero targets) and ``sample_weight`` =
+    ``negative_loss_weight`` (reference: providers.py:150
+    ``process_negative_lf`` + negative-weighted loss).
+    """
 
     def __init__(
         self,
@@ -278,12 +287,22 @@ class BaseDataset:
         ctx: PipelineContext,
         user_instances_only: bool = True,
         cache_imgs: bool = True,
+        cache_mode: str = "memory",
+        cache_dir=None,
+        use_negative_frames: bool = False,
+        negative_loss_weight: float = 1.0,
     ):
         self.labels_list = list(labels_list)
         self.ctx = ctx
         self.user_instances_only = user_instances_only
+        self.cache_mode = cache_mode
+        self.cache_dir = cache_dir
+        self.use_negative_frames = use_negative_frames
+        self.negative_loss_weight = negative_loss_weight
         self.samples: List[Dict[str, Any]] = []
         self._build_index(cache_imgs)
+        if cache_mode == "disk":
+            self._spill_to_disk()
 
     def _track_index(self, labels: Labels) -> dict:
         # Class index = position in labels.tracks (by name order, stable).
@@ -304,8 +323,48 @@ class BaseDataset:
                     track_index=tindex,
                 )
                 if sample is None:
+                    if self.use_negative_frames:
+                        neg = self._make_negative_sample(lf, video_idx)
+                        if neg is not None:
+                            self.samples.append(neg)
                     continue
+                sample["sample_weight"] = 1.0
                 self._append_samples(sample)
+
+    def _make_negative_sample(self, lf, video_idx: int):
+        """Instance-less frame -> all-NaN keypoints (zero targets)."""
+        try:
+            img = lf.image
+        except Exception:
+            return None
+        if img.ndim == 2:
+            img = img[..., None]
+        return {
+            "image": np.ascontiguousarray(img),
+            "instances": np.full(
+                (self.ctx.max_instances, self.ctx.n_nodes, 2), np.nan, np.float32
+            ),
+            "num_instances": 0,
+            "frame_idx": int(lf.frame_idx),
+            "video_idx": int(video_idx),
+            "orig_size": np.array(img.shape[:2], np.float32),
+            "track_ids": np.full((self.ctx.max_instances,), -1, np.int32),
+            "sample_weight": float(self.negative_loss_weight),
+        }
+
+    def _spill_to_disk(self):
+        """Move decoded frames to .npy files; reload lazily in get_sample."""
+        import tempfile
+        from pathlib import Path
+
+        cache_dir = Path(self.cache_dir or tempfile.mkdtemp(prefix="sleap_tpu_cache_"))
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        self.cache_dir = cache_dir
+        for i, s in enumerate(self.samples):
+            path = cache_dir / f"sample_{i}.npy"
+            np.save(path, s["image"])
+            s["image_path"] = str(path)
+            del s["image"]
 
     def _append_samples(self, sample: Dict[str, Any]):
         self.samples.append(sample)
@@ -314,7 +373,10 @@ class BaseDataset:
         return len(self.samples)
 
     def get_sample(self, idx: int) -> Dict[str, Any]:
-        return self.samples[idx]
+        s = self.samples[idx]
+        if "image" not in s and "image_path" in s:
+            s = dict(s, image=np.load(s["image_path"]))
+        return s
 
     def make_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         samples = [self.get_sample(i) for i in indices]
@@ -327,6 +389,9 @@ class BaseDataset:
             batch["center_idx"] = np.asarray(
                 [s["center_idx"] for s in samples], dtype=np.int32
             )
+        batch["sample_weight"] = np.asarray(
+            [s.get("sample_weight", 1.0) for s in samples], dtype=np.float32
+        )
         return batch
 
 

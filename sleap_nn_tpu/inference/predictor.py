@@ -479,3 +479,89 @@ class Predictor:
             point_scores=vals,
             score=score,
         )
+
+
+class ExportedLayer:
+    """Thin layer over a serialized export (postproc is baked in the graph).
+
+    Parity target: reference inference/layers/exported.py:71-562.
+    """
+
+    def __init__(self, call, meta):
+        self.call = call
+        self.meta = meta
+        self.batch_size = int(meta.input_shape[0])
+
+    def predict_async(self, images):
+        import jax.numpy as jnp
+
+        images = np.asarray(images)
+        b = images.shape[0]
+        tb = self.batch_size
+        pad = 0
+        if b < tb:
+            pad = tb - b
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+        elif b > tb:
+            raise ValueError(
+                f"Exported model compiled for batch {tb}; got {b}. "
+                "Use batch_size <= the exported batch."
+            )
+        # Channel adaptation to the baked input spec.
+        want_c = self.meta.input_shape[-1]
+        if images.shape[-1] == 3 and want_c == 1:
+            images = (
+                images[..., 0] * 0.2989 + images[..., 1] * 0.587 + images[..., 2] * 0.114
+            ).astype(np.uint8)[..., None]
+        elif images.shape[-1] == 1 and want_c == 3:
+            images = np.repeat(images, 3, axis=-1)
+        out = self.call(images.astype(np.uint8))
+        out = {k: v for k, v in out.items()}
+        out["_pad"] = pad
+        return out
+
+    def finalize(self, dev):
+        import jax
+
+        pad = dev.pop("_pad", 0)
+        out = jax.device_get(dev)
+        if pad:
+            out = {k: v[: len(v) - pad] for k, v in out.items()}
+        # Match the live layers' contracts (instance axis on single_instance;
+        # centroid validity when the graph didn't emit one).
+        if self.meta.model_type == "single_instance":
+            out["pred_keypoints"] = out["pred_keypoints"][:, None]
+            out["pred_peak_values"] = out["pred_peak_values"][:, None]
+        return out
+
+    def predict(self, images):
+        return self.finalize(self.predict_async(images))
+
+
+def from_export_dir(
+    export_dir, batch_size: Optional[int] = None
+) -> Predictor:
+    """Build a Predictor from a serialized export dir (reference: predictor.py:1124).
+
+    Currently supports single_instance and centroid exports (whose graphs
+    emit final keypoints); topdown/bottomup exports require the host
+    grouping stage and are loaded via their source model dirs instead.
+    """
+    from sleap_nn_tpu.export import load_exported_model
+
+    call, meta = load_exported_model(export_dir)
+    layer = ExportedLayer(call, meta)
+    skel = Skeleton(nodes=list(meta.skeleton_nodes) or ["centroid"],
+                    edges=list(meta.skeleton_edges))
+    model_type = meta.model_type if meta.model_type in ("single_instance", "centroid") else None
+    if model_type is None:
+        raise NotImplementedError(
+            f"from_export_dir supports single_instance/centroid exports; "
+            f"got {meta.model_type}."
+        )
+    p = Predictor(layer, model_type, skel, [], batch_size or layer.batch_size)
+    p.filters = None
+    return p
+
+
+Predictor.from_export_dir = staticmethod(from_export_dir)

@@ -199,9 +199,19 @@ class ModelTrainer:
         self.key = jax.random.PRNGKey(seed)
 
         # datasets + loaders
-        self.train_ds = make_dataset(self.model_type, self.train_labels, self.ctx)
+        ds_kwargs = dict(
+            user_instances_only=cfg.data_config.user_instances_only,
+            use_negative_frames=cfg.data_config.use_negative_frames,
+            negative_loss_weight=cfg.data_config.negative_loss_weight,
+            cache_mode="disk" if cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk" else "memory",
+            cache_dir=cfg.data_config.cache_img_path,
+        )
+        self.train_ds = make_dataset(self.model_type, self.train_labels, self.ctx, **ds_kwargs)
         val_ctx = dataclasses.replace(self.ctx, use_augmentations=False)
-        self.val_ds = make_dataset(self.model_type, self.val_labels, val_ctx)
+        self.val_ds = make_dataset(
+            self.model_type, self.val_labels, val_ctx,
+            **{**ds_kwargs, "use_negative_frames": False},
+        )
         if len(self.train_ds) == 0:
             raise ValueError("Train dataset is empty (no usable labeled frames).")
         if len(self.val_ds) == 0:
@@ -264,13 +274,21 @@ class ModelTrainer:
         val_render = make_render_fn(self.ctx, train=False)
         model = self.model
 
+        def _sample_weights(batch):
+            w = batch.get("batch_mask")
+            w = None if w is None else w.astype(jnp.float32)
+            sw = batch.get("sample_weight")
+            if sw is not None:
+                w = sw if w is None else w * sw
+            return w
+
         def train_step(params, opt_state, batch, key):
             processed = train_render(batch, key)
 
             def loss_fn(p):
                 preds = model.apply(p, processed["image"])
                 loss, parts = compute_loss(
-                    preds, processed, heads, batch.get("batch_mask"), ohkm
+                    preds, processed, heads, _sample_weights(batch), ohkm
                 )
                 return loss, parts
 
@@ -282,7 +300,7 @@ class ModelTrainer:
         def val_step(params, batch):
             processed = val_render(batch, None)
             preds = model.apply(params, processed["image"])
-            loss, parts = compute_loss(preds, processed, heads, batch.get("batch_mask"), None)
+            loss, parts = compute_loss(preds, processed, heads, _sample_weights(batch), None)
             return loss, parts
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))

@@ -202,3 +202,34 @@ def test_loader_padding_and_shuffle(labels):
     # drop_last
     loader2 = Loader(ds, batch_size=4, drop_last=True)
     assert list(loader2) == []
+
+
+def test_negative_frames_and_disk_cache(labels, tmp_path):
+    from sleap_nn_tpu.io.model import LabeledFrame, Labels as L
+
+    # Add an instance-less frame -> negative sample when enabled.
+    lf = labels[0]
+    neg_labels = L(
+        labeled_frames=[lf, LabeledFrame(video=lf.video, frame_idx=0, instances=[])],
+        videos=labels.videos, skeletons=labels.skeletons,
+    )
+    cfg = base_cfg("single_instance", labels)
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+
+    ds = make_dataset("single_instance", [neg_labels], ctx,
+                      use_negative_frames=True, negative_loss_weight=0.5)
+    assert len(ds) == 2
+    batch = ds.make_batch([0, 1])
+    assert batch["sample_weight"].tolist() == [1.0, 0.5]
+    assert np.isnan(batch["instances"][1]).all()
+    # Negative sample renders zero confmaps.
+    out = make_render_fn(ctx, train=False)({k: jnp.asarray(v) for k, v in batch.items()})
+    assert float(out["confmaps"][1].max()) == 0.0
+    assert float(out["confmaps"][0].max()) > 0.9
+
+    # Disk cache: images spilled + reloaded identically.
+    ds2 = make_dataset("single_instance", [labels], ctx,
+                       cache_mode="disk", cache_dir=str(tmp_path / "cache"))
+    assert "image" not in ds2.samples[0]
+    s = ds2.get_sample(0)
+    np.testing.assert_array_equal(s["image"], labels[0].image)

@@ -159,3 +159,24 @@ def test_cli_subprocess_entry():
     assert result.returncode == 0
     for cmd in ("train", "predict", "track", "eval", "system", "info", "config", "export"):
         assert cmd in result.stdout
+
+
+def test_exported_predictor(trained_model, tmp_path):
+    """Predictor.from_export_dir runs the serialized graph end-to-end."""
+    from sleap_nn_tpu.export import export_model
+    from sleap_nn_tpu.inference.predictor import Predictor
+    from sleap_nn_tpu.io import load_slp
+
+    out = tmp_path / "exp2"
+    export_model(trained_model, output_dir=out, batch_size=2, peak_threshold=0.1)
+    p = Predictor.from_export_dir(out)
+    labels = load_slp(FIXTURE)
+    preds = p.predict(labels, make_labels=True)
+    assert p.model_type == "single_instance"
+    assert len(preds) >= 0  # runs through; instances depend on model quality
+    # Raw path too.
+    raw = p.predict(labels, make_labels=False)
+    assert "pred_keypoints" in raw[0]
+    # Provider pads to the exported batch; the valid mask marks real rows.
+    assert raw[0]["pred_keypoints"].shape[1] == 1  # instance axis added
+    assert raw[0]["valid"].sum() == 1
