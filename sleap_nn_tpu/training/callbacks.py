@@ -47,22 +47,23 @@ class CSVLoggerCallback(Callback):
     def __init__(self, path, keys: Optional[List[str]] = None):
         self.path = Path(path)
         self.keys = keys
-        self._initialized = False
-
-    def _init_file(self, logs: Dict):
-        if self.keys is None:
-            self.keys = ["epoch"] + sorted(k for k in logs if k != "epoch")
-        with open(self.path, "w", newline="") as f:
-            csv.writer(f).writerow(self.keys)
-        self._initialized = True
+        self._fixed_keys = keys is not None
+        self._rows: List[Dict] = []
 
     def on_epoch_end(self, trainer, epoch: int, logs: Dict):
         logs = dict(logs, epoch=epoch)
-        if not self._initialized:
-            self._init_file(logs)
-        row = [logs.get(k, "") for k in self.keys]
-        with open(self.path, "a", newline="") as f:
-            csv.writer(f).writerow(row)
+        self._rows.append(logs)
+        if not self._fixed_keys:
+            # Columns grow as new metrics appear (e.g. periodic epoch-end
+            # eval keys); the whole file is rewritten — one row per epoch,
+            # so this stays cheap.
+            seen = {k for r in self._rows for k in r if k != "epoch"}
+            self.keys = ["epoch"] + sorted(seen)
+        with open(self.path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.keys)
+            for r in self._rows:
+                w.writerow([r.get(k, "") for k in self.keys])
 
 
 class EarlyStopping(Callback):
@@ -197,3 +198,108 @@ def _sanitize(logs: Dict) -> Dict:
         except (TypeError, ValueError):
             out[k] = v
     return out
+
+
+class EpochEndEvaluationCallback(Callback):
+    """OKS/distance eval on the val set every N epochs during training.
+
+    Parity target: reference callbacks.py:1198 (``EpochEndEvaluationCallback``):
+    runs peak finding on current-params predictions over the validation set
+    and adds ``val/mOKS`` / ``val/dist.avg`` (and centroid-mode
+    ``val/detection.f1``) to the epoch logs + CSV.
+    """
+
+    def __init__(self, trainer, frequency: int = 1, oks_stddev: float = 0.025,
+                 match_threshold: float = 50.0, peak_threshold: float = 0.2):
+        self.trainer = trainer
+        self.frequency = max(int(frequency), 1)
+        self.oks_stddev = oks_stddev
+        self.match_threshold = match_threshold
+        self.peak_threshold = peak_threshold
+
+    def on_epoch_end(self, trainer, epoch: int, logs: Dict):
+        if (epoch + 1) % self.frequency:
+            return
+        try:
+            logs.update(self._evaluate(trainer))
+        except Exception as e:  # eval must never break training
+            print(f"epoch-end eval failed at epoch {epoch}: {e}")
+
+    def _evaluate(self, trainer) -> Dict:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sleap_nn_tpu.data.pipeline import make_render_fn
+        from sleap_nn_tpu.evaluation import compute_oks, match_centroids
+        from sleap_nn_tpu.ops.peaks import find_global_peaks, find_local_peaks
+
+        render = make_render_fn(trainer.ctx, train=False)
+        mtype = trainer.model_type
+        cm_head = next((h for h in trainer.model.heads if "Confmaps" in h.name), None)
+        if cm_head is None:
+            return {}
+        stride = cm_head.output_stride
+
+        oks_list, dist_list, n_tp = [], [], 0
+        n_gt = n_pr = 0
+        for batch in trainer.val_loader:
+            processed = render({k: jnp.asarray(v) for k, v in batch.items()})
+            preds = trainer.model.apply(trainer.params, processed["image"])
+            cms = preds[cm_head.name]
+            mask = np.asarray(batch["batch_mask"])
+            if mtype in ("single_instance", "centered_instance", "multi_class_topdown"):
+                pts, _ = find_global_peaks(cms, self.peak_threshold, "integral")
+                pts = np.asarray(pts) * stride
+                gt = np.asarray(processed["instances"])
+                if gt.ndim == 4:  # (B, I, N, 2): compare against each GT instance
+                    for i in np.nonzero(mask)[0]:
+                        g = gt[i][~np.isnan(gt[i][:, :, 0]).all(axis=-1)]
+                        if not len(g):
+                            continue
+                        oks = compute_oks(g, pts[i][None], stddev=self.oks_stddev)
+                        oks_list.append(float(np.nanmax(oks)))
+                        best = int(np.nanargmax(oks[:, 0]))
+                        dist_list.extend(
+                            np.linalg.norm(pts[i] - g[best], axis=-1)[
+                                ~np.isnan(g[best][:, 0])
+                            ].tolist()
+                        )
+                else:
+                    for i in np.nonzero(mask)[0]:
+                        oks = compute_oks(gt[i][None], pts[i][None], stddev=self.oks_stddev)
+                        oks_list.append(float(oks[0, 0]))
+                        d = np.linalg.norm(pts[i] - gt[i], axis=-1)
+                        dist_list.extend(d[~np.isnan(d)].tolist())
+            elif mtype == "centroid":
+                pts, vals, ch, valid = find_local_peaks(
+                    cms, self.peak_threshold, "integral", max_peaks=20
+                )
+                pts = np.asarray(pts) * stride
+                valid = np.asarray(valid)
+                gt_c = np.asarray(processed["centroids"])
+                for i in np.nonzero(mask)[0]:
+                    g = gt_c[i][~np.isnan(gt_c[i][:, 0])]
+                    p = pts[i][valid[i]]
+                    pairs, fn, fp = match_centroids(g, p, self.match_threshold)
+                    n_tp += len(pairs)
+                    n_gt += len(g)
+                    n_pr += len(p)
+                    dist_list.extend(d for _, _, d in pairs)
+            else:
+                return {}
+
+        out: Dict = {}
+        if oks_list:
+            out["val/mOKS"] = float(np.nanmean(oks_list))
+        if dist_list:
+            out["val/dist.avg"] = float(np.mean(dist_list))
+        if mtype == "centroid" and (n_gt or n_pr):
+            precision = n_tp / n_pr if n_pr else 0.0
+            recall = n_tp / n_gt if n_gt else 0.0
+            out["val/detection.f1"] = (
+                2 * precision * recall / (precision + recall)
+                if precision + recall
+                else 0.0
+            )
+        return out

@@ -319,6 +319,19 @@ class ModelTrainer:
             self.callbacks.append(
                 EarlyStopping(min_delta=es.min_delta, patience=es.patience)
             )
+        if cfg.trainer_config.eval is not None and cfg.trainer_config.eval.enabled:
+            from sleap_nn_tpu.training.callbacks import EpochEndEvaluationCallback
+
+            # Insert ahead of the CSV logger so eval keys land in the row.
+            self.callbacks.insert(
+                0,
+                EpochEndEvaluationCallback(
+                    self,
+                    frequency=cfg.trainer_config.eval.frequency,
+                    oks_stddev=cfg.trainer_config.eval.oks_stddev,
+                    match_threshold=cfg.trainer_config.eval.match_threshold,
+                ),
+            )
         if cfg.trainer_config.visualize_preds_during_training and self.ckpt_dir is not None:
             from sleap_nn_tpu.training.viz import VizCallback
 

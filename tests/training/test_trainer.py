@@ -130,3 +130,16 @@ def test_viz_callback_and_keep_viz(tmp_path):
     cfg2.trainer_config.keep_viz = False
     ModelTrainer.get_model_trainer_from_config(cfg2).train()
     assert not (Path(tmp_path) / "no_keep" / "viz").exists()
+
+
+def test_epoch_end_evaluation_callback(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 2
+    apply_overrides(cfg, {"trainer_config.eval.enabled": True,
+                          "trainer_config.eval.frequency": 1})
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    # dist.avg logged (mOKS may be NaN-free too once peaks exist).
+    assert "val/dist.avg" in history[-1] or "val/mOKS" in history[-1]
+    csv_text = (Path(tmp_path) / "test_single_instance" / "training_log.csv").read_text()
+    assert "val/dist.avg" in csv_text or "val/mOKS" in csv_text
