@@ -137,6 +137,43 @@ def track(**kw):
     _run_inference(**kw)
 
 
+@cli.command("sam")
+@click.option("--data-path", "-i", required=True, type=click.Path(exists=True),
+              help="Pose .slp/.pkg.slp to produce masks for.")
+@click.option("--mask-backend", required=True, type=click.Choice(["sam", "sam3"]),
+              help="Explicit mask backend (no default).")
+@click.option("--output-path", "-o", default=None)
+@click.option("--prompt-mode", default="pose", show_default=True,
+              type=click.Choice(["pose", "centroid", "box"]))
+@click.option("--sam-model-id", default="facebook/sam-vit-huge", show_default=True)
+@click.option("--anchor-ind", default=None, type=int,
+              help="Centroid anchor node index (prompt-mode=centroid).")
+@click.option("--disjointify/--no-disjointify", default=False, show_default=True,
+              help="Make per-frame masks disjoint via keypoint-Voronoi.")
+@click.option("--overlay-path", default=None, help="Review overlay PNG path.")
+@click.option("--frames", default=None, help="Frame subset, e.g. 0-100 or 3,7,9.")
+def sam_cmd(data_path, mask_backend, output_path, prompt_mode, sam_model_id,
+            anchor_ind, disjointify, overlay_path, frames):
+    """Predict per-instance SAM masks for an existing pose .slp (review workflow)."""
+    from sleap_nn_tpu.inference.sam import run_sam_segmentation
+
+    if output_path is None:
+        output_path = str(Path(data_path).with_suffix("")) + ".masks.slp"
+    labels = run_sam_segmentation(
+        data_path,
+        mask_backend,
+        prompt_mode=prompt_mode,
+        sam_model_id=sam_model_id,
+        anchor_ind=anchor_ind,
+        disjointify_masks=disjointify,
+        output_path=output_path,
+        overlay_path=overlay_path,
+        frames=_parse_frames(frames),
+    )
+    n_masks = sum(len(lf.masks) for lf in labels)
+    click.echo(f"Masked {len(labels)} frames, {n_masks} masks -> {output_path}")
+
+
 @cli.command("track-only")
 @click.option("--data-path", "-i", required=True, help="Predicted .slp to re-track.")
 @click.option("--output-path", "-o", default=None)

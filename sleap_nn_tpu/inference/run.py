@@ -26,6 +26,13 @@ def predict(
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
+    mask_backend: Optional[str] = None,
+    sam_model_id: str = "facebook/sam-vit-huge",
+    sam_prompt_mode: str = "pose",
+    sam_anchor_ind: Optional[int] = None,
+    sam_disjointify_masks: bool = False,
+    sam_overlay_path: Optional[Union[str, Path]] = None,
+    sam_backend=None,
     **tracker_kwargs,
 ):
     """Run inference on a video/labels source with one or two trained models.
@@ -33,7 +40,26 @@ def predict(
     Returns ``Labels`` (and writes ``output_path`` if given). Mirrors the
     reference entry semantics: model_paths of length 1 (single_instance /
     centroid / bottomup) or 2 (topdown).
+
+    When ``mask_backend`` is set, ``data_path`` is treated as a pose ``.slp``
+    and the call short-circuits to SAM prompted segmentation — no trained
+    model is involved (reference run.py:481 SAM short-circuit).
     """
+    if mask_backend is not None:
+        from sleap_nn_tpu.inference.sam import run_sam_segmentation
+
+        return run_sam_segmentation(
+            data_path,
+            mask_backend,
+            backend=sam_backend,
+            prompt_mode=sam_prompt_mode,
+            sam_model_id=sam_model_id,
+            anchor_ind=sam_anchor_ind,
+            disjointify_masks=sam_disjointify_masks,
+            output_path=output_path,
+            overlay_path=sam_overlay_path,
+            frames=frames,
+        )
     predictor = Predictor.from_model_paths(
         model_paths,
         peak_threshold=peak_threshold,

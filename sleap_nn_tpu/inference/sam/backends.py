@@ -1,0 +1,236 @@
+"""Mask backends + mask post-processing for SAM-prompted segmentation.
+
+Parity target: reference sleap_nn/inference/sam/backends.py (:314 MaskBackend,
+:347 SamBackend, :495 Sam3Backend, plus _pick/_cleanup_speckle/disjointify
+helpers). The heavy model dependencies load lazily inside each backend so the
+package imports dependency-free; all the mask *post-processing* here is
+numpy/scipy only and fully testable without model weights.
+
+TPU note: SAM itself is an external foundation model checkpoint, not part of
+the trained pose stack — it runs through whatever runtime hosts the weights
+(``transformers`` torch-CPU in this image). Everything downstream of the raw
+candidate masks (selection, speckle cleanup, Voronoi disjointify,
+reconciliation) is host-side numpy, same placement as the reference.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sleap_nn_tpu.inference.sam.prompts import SamPrompt
+
+
+def to_3ch(img: np.ndarray, clahe: bool = True,
+           clahe_clip_limit: float = 3.0,
+           clahe_tile_grid: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Grayscale ``(H, W)`` -> optional CLAHE -> ``(H, W, 3)`` uint8 RGB."""
+    import cv2
+
+    src = img[..., 0] if img.ndim == 3 else img
+    src = np.ascontiguousarray(src).astype(np.uint8)
+    if clahe:
+        src = cv2.createCLAHE(clahe_clip_limit, clahe_tile_grid).apply(src)
+    return np.repeat(src[..., None], 3, axis=-1)
+
+
+def pick_candidate(
+    masks: np.ndarray,
+    scores: np.ndarray,
+    reject_box: np.ndarray,
+    max_box_area_factor: float = 1.5,
+) -> int:
+    """Choose the best multimask candidate index (reference backends.py:72).
+
+    Candidates whose area exceeds ``max_box_area_factor`` x reject-box area
+    (SAM's over-confident whole-arena candidate) are rejected; the highest
+    predicted-IoU survivor wins. If everything is rejected, the smallest
+    candidate is returned.
+    """
+    box_area = max(1.0, float((reject_box[2] - reject_box[0]) * (reject_box[3] - reject_box[1])))
+    areas = masks.reshape(len(masks), -1).sum(axis=1).astype(float)
+    ok = areas <= max_box_area_factor * box_area
+    if ok.any():
+        scores = np.where(ok, np.asarray(scores, float), -np.inf)
+        return int(np.argmax(scores))
+    return int(np.argmin(areas))
+
+
+def own_containment(mask: np.ndarray, kpts: np.ndarray) -> float:
+    """Fraction of visible keypoints inside ``mask`` (a quality score, not a gate).
+
+    Reference backends.py:102; vectorized here.
+    """
+    kpts = np.asarray(kpts, dtype=np.float32).reshape(-1, 2)
+    if len(kpts) == 0:
+        return 0.0
+    h, w = mask.shape
+    xi = np.rint(kpts[:, 0]).astype(int)
+    yi = np.rint(kpts[:, 1]).astype(int)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    inside = mask[yi[ok], xi[ok]].sum() if ok.any() else 0
+    return float(inside) / len(kpts)
+
+
+def cleanup_speckle(mask: np.ndarray, kpts: np.ndarray, radius: int = 3) -> np.ndarray:
+    """De-speckle a fragmented mask, keeping keypoint-connected components.
+
+    Morphological open (drop specks) + close (fill pinholes), then keep only
+    the connected components containing a visible keypoint; fall back to the
+    largest component if the cleanup detached every keypoint, or to the raw
+    mask if opening erased it entirely (reference backends.py:128 semantics).
+    """
+    from scipy import ndimage
+
+    mask = np.asarray(mask, dtype=bool)
+    if not mask.any():
+        return mask
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (yy * yy + xx * xx) <= radius * radius
+    mm = ndimage.binary_opening(mask, structure=disk)
+    mm = ndimage.binary_closing(mm, structure=disk)
+    comp, n = ndimage.label(mm)
+    if n == 0:
+        return mask
+    h, w = mask.shape
+    keep = set()
+    for x, y in np.asarray(kpts, dtype=np.float32).reshape(-1, 2):
+        xi, yi = int(round(float(x))), int(round(float(y)))
+        if 0 <= yi < h and 0 <= xi < w and comp[yi, xi] > 0:
+            keep.add(int(comp[yi, xi]))
+    if not keep:
+        sizes = np.bincount(comp.ravel())[1:]
+        keep = {int(np.argmax(sizes)) + 1}
+    return np.isin(comp, list(keep))
+
+
+def disjointify(masks: Sequence[np.ndarray], kpts: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Make per-instance masks disjoint via keypoint-Voronoi ownership.
+
+    Contested pixels (claimed by >=2 masks) go to the instance whose nearest
+    visible keypoint is closest (reference backends.py:180 semantics).
+    """
+    from scipy.ndimage import distance_transform_edt
+
+    n = len(masks)
+    if n == 0:
+        return []
+    stack = np.stack([np.asarray(m, bool) for m in masks])
+    contested = stack.sum(axis=0) >= 2
+    if not contested.any():
+        return [m.copy() for m in stack]
+    h, w = stack.shape[1:]
+    dists = np.full((n, h, w), np.inf, np.float32)
+    for i, ks in enumerate(kpts):
+        ks = np.asarray(ks, np.float32).reshape(-1, 2)
+        seed = np.ones((h, w), bool)
+        xi = np.rint(ks[:, 0]).astype(int)
+        yi = np.rint(ks[:, 1]).astype(int)
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        seed[yi[ok], xi[ok]] = False
+        if not seed.all():
+            dists[i] = distance_transform_edt(seed)
+    owner = np.argmin(dists, axis=0)
+    return [np.where(contested & (owner != i), False, stack[i]) for i in range(n)]
+
+
+class MaskBackend(ABC):
+    """Interface a prompted-mask producer implements (reference :314).
+
+    ``pred_iou_min`` is the per-model nominal predicted-IoU floor surfaced to
+    review overlays (a flagging threshold, never a drop-gate).
+    """
+
+    pred_iou_min: float = 0.88
+
+    @abstractmethod
+    def masks(
+        self, image: np.ndarray, prompts: Sequence[SamPrompt]
+    ) -> Tuple[List[np.ndarray], List[float]]:
+        """Encode ``image`` once and produce one ``(H, W)`` bool mask + score per prompt."""
+
+
+class HFSamBackend(MaskBackend):
+    """SAM via the Hugging Face ``transformers`` port (``SamModel``).
+
+    Plays the reference's SAM1 ``SamBackend`` role (backends.py:347) without
+    the ``segment-anything`` package (not in this image): ``facebook/sam-vit-*``
+    checkpoints through ``transformers``. ``multimask_output`` is always on
+    and :func:`pick_candidate` chooses among the 3 candidates.
+    """
+
+    def __init__(self, model, processor, clahe: bool = True,
+                 max_box_area_factor: float = 1.5, pred_iou_min: float = 0.88,
+                 device: str = "cpu"):
+        self.model = model
+        self.processor = processor
+        self.clahe = bool(clahe)
+        self.max_box_area_factor = float(max_box_area_factor)
+        self.pred_iou_min = float(pred_iou_min)
+        self.device = device
+
+    @classmethod
+    def from_pretrained(cls, model_id: str = "facebook/sam-vit-huge",
+                        device: str = "cpu", **kwargs) -> "HFSamBackend":
+        try:
+            import torch  # noqa: F401
+            from transformers import SamModel, SamProcessor
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "mask_backend='sam' needs `transformers` with SAM support and "
+                "torch; install them or pass a prebuilt backend."
+            ) from e
+        model = SamModel.from_pretrained(model_id).to(device).eval()
+        processor = SamProcessor.from_pretrained(model_id)
+        return cls(model, processor, device=device, **kwargs)
+
+    def masks(self, image, prompts):
+        import torch
+
+        rgb = to_3ch(image, clahe=self.clahe)
+        out_masks: List[np.ndarray] = []
+        out_scores: List[float] = []
+        with torch.no_grad():
+            for p in prompts:
+                kw = {}
+                if p.point_coords is not None:
+                    kw["input_points"] = [[p.point_coords.tolist()]]
+                    kw["input_labels"] = [[p.point_labels.tolist()]]
+                if p.box is not None:
+                    kw["input_boxes"] = [[p.box.tolist()]]
+                inputs = self.processor(rgb, return_tensors="pt", **kw).to(self.device)
+                outputs = self.model(**inputs, multimask_output=True)
+                cands = self.processor.image_processor.post_process_masks(
+                    outputs.pred_masks.cpu(),
+                    inputs["original_sizes"].cpu(),
+                    inputs["reshaped_input_sizes"].cpu(),
+                )[0][0].numpy().astype(bool)  # (3, H, W)
+                scores = outputs.iou_scores.cpu().numpy().reshape(-1)
+                b = pick_candidate(cands, scores, p.reject_box, self.max_box_area_factor)
+                out_masks.append(cands[b])
+                out_scores.append(float(scores[b]))
+        return out_masks, out_scores
+
+
+class Sam3Backend(MaskBackend):
+    """SAM3 backend placeholder (reference backends.py:495).
+
+    SAM3 support in ``transformers`` (gated ``facebook/sam3``) is not present
+    in this image; constructing this backend raises an actionable ImportError.
+    The SAM3-specific post-processing (mandatory :func:`cleanup_speckle`,
+    recalibrated ``pred_iou_min=0.5``) is implemented above and shared.
+    """
+
+    pred_iou_min: float = 0.5
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "mask_backend='sam3' requires a transformers release with SAM3 "
+            "(`facebook/sam3`) support, which is not available in this "
+            "environment. Use mask_backend='sam' or pass a prebuilt backend."
+        )
+
+    def masks(self, image, prompts):  # pragma: no cover - unreachable
+        raise NotImplementedError

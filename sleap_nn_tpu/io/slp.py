@@ -247,6 +247,8 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
         )
         instances_ds = f["instances"][:] if "instances" in f else np.zeros(0, dtype=_INSTANCE_DTYPE)
         frames_ds = f["frames"][:] if "frames" in f else np.zeros(0, dtype=_FRAME_DTYPE)
+        mask_meta = f["pred_masks_json"][:] if "pred_masks_json" in f else []
+        mask_blobs = f["pred_masks_data"][:] if "pred_masks_data" in f else []
 
     # Build instance objects indexed by instance_id.
     inst_by_id = {}
@@ -291,6 +293,25 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
         ]
         labeled_frames.append(
             LabeledFrame(video=video, frame_idx=int(rec["frame_idx"]), instances=insts)
+        )
+
+    # Re-attach persisted segmentation masks (see save_slp's mask extension).
+    from sleap_nn_tpu.io.model import SegmentationMask
+
+    for meta_row, blob in zip(mask_meta, mask_blobs):
+        meta = json.loads(meta_row)
+        fi = int(meta["frame"])
+        if not 0 <= fi < len(labeled_frames):
+            continue
+        h, w = meta["shape"]
+        mask = np.unpackbits(np.asarray(blob, np.uint8), count=h * w).reshape(h, w)
+        ti = int(meta.get("track", -1))
+        labeled_frames[fi].masks.append(
+            SegmentationMask(
+                mask=mask.astype(bool),
+                score=float(meta.get("score", 0.0)),
+                track=tracks[ti] if 0 <= ti < len(tracks) else None,
+            )
         )
 
     labels = Labels(
@@ -477,3 +498,31 @@ def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
             "instances", data=np.array(instance_rows, dtype=_INSTANCE_DTYPE)
         )
         f.create_dataset("frames", data=np.array(frame_rows, dtype=_FRAME_DTYPE))
+
+        # Per-frame segmentation masks (packbits RLE + JSON index). The
+        # reference persists masks via sleap-io's PredictedSegmentationMask
+        # records; this writer uses an equivalent self-describing extension
+        # (ignored by readers that don't know it) and round-trips losslessly.
+        mask_meta, mask_blobs = [], []
+        for fi, lf in enumerate(labels.labeled_frames):
+            for sm in getattr(lf, "masks", []) or []:
+                m = np.asarray(sm.mask, bool)
+                mask_meta.append(
+                    json.dumps(
+                        {
+                            "frame": fi,
+                            "score": float(sm.score),
+                            "track": track_idx.get(id(sm.track), -1),
+                            "shape": [int(m.shape[0]), int(m.shape[1])],
+                        }
+                    ).encode()
+                )
+                mask_blobs.append(np.packbits(m).tobytes())
+        if mask_meta:
+            f.create_dataset("pred_masks_json", data=np.array(mask_meta))
+            blobs = np.empty(len(mask_blobs), dtype=object)
+            for i, b in enumerate(mask_blobs):
+                blobs[i] = np.frombuffer(b, dtype=np.uint8)
+            f.create_dataset(
+                "pred_masks_data", data=blobs, dtype=h5py.vlen_dtype(np.uint8)
+            )
