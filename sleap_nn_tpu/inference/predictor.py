@@ -234,6 +234,37 @@ class Predictor:
             )
             return cls(layer, "bottomup", skeleton_for(m), loaded, batch_size)
 
+        if types == {"centroid", "centered_instance_segmentation"}:
+            from sleap_nn_tpu.inference.segmentation import TopDownSegmentationLayer
+
+            mc = by_type["centroid"]
+            ms = by_type["centered_instance_segmentation"]
+            c_head = get_head_config(mc.config).confmaps
+            s_head = get_head_config(ms.config).segmentation
+            post_c = post_for(mc)
+            post_c.max_instances = max_instances or 20
+            centroid_layer = CentroidLayer(
+                backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
+            )
+            seg_pre = _pre_config(ms)
+            cs = crop_size or ms.config.data_config.preprocessing.crop_size
+            if cs is None:
+                raise ValueError(
+                    "crop_size not set in centered_instance_segmentation config."
+                )
+            cs = int(round(cs * seg_pre.scale))
+            cs += (-cs) % seg_pre.max_stride
+            layer = TopDownSegmentationLayer(
+                centroid_layer,
+                backend_for(ms),
+                seg_pre,
+                seg_output_stride=s_head.output_stride,
+                max_instances=max_instances or 20,
+                crop_size=cs,
+            )
+            return cls(layer, "topdown_segmentation", Skeleton(nodes=["centroid"]),
+                       loaded, batch_size)
+
         if types == {"bottomup_segmentation"}:
             from sleap_nn_tpu.inference.segmentation import BottomUpSegmentationLayer
 
@@ -350,6 +381,16 @@ class Predictor:
                 frame_idx = int(out["frame_inds"][i])
                 instances = []
                 frame_masks = []
+
+                if self.model_type == "topdown_segmentation":
+                    # Masks only — no phantom keypoint instances (matches the
+                    # reference TopDownSegmentationLayer emission contract).
+                    frame_masks = out["pred_masks"][i]
+                    if frame_masks:
+                        lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=[])
+                        lf.masks = frame_masks
+                        lfs.append(lf)
+                    continue
 
                 if self.model_type in ("bottomup_segmentation", "semantic_segmentation"):
                     frame_masks = out["pred_masks"][i]

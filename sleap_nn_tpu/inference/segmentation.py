@@ -209,3 +209,135 @@ class SemanticSegmentationLayer:
 
     def predict(self, images):
         return self.finalize(self.predict_async(images))
+
+
+class TopDownSegmentationLayer:
+    """Two-stage crop-centered instance segmentation.
+
+    Parity target: reference layers/topdown_segmentation.py:40-280
+    (``CenteredInstanceMaskLayer`` + ``TopDownSegmentationLayer``). Stage 1 is
+    the centroid model; stage 2 runs a ``centered_instance_segmentation``
+    model on fixed-size per-instance crops and binarizes the
+    ``SegmentationHead`` logits into one foreground mask per crop. Both
+    stages plus the crop gather fuse into ONE jitted XLA program (static
+    ``max_instances`` crop batch with a validity mask — no dynamic shapes);
+    the host side only upsamples each crop mask and pastes it at its
+    full-frame location.
+
+    Per-crop score = mean foreground probability over the predicted mask
+    (a mask-quality signal; empty crops score 0 and are dropped).
+    """
+
+    def __init__(self, centroid_layer, seg_backend, seg_pre, seg_output_stride: int = 2,
+                 fg_threshold: float = 0.5, max_instances: int = 20,
+                 crop_size: int = 160, min_mask_area: int = 16):
+        from sleap_nn_tpu.inference.layers import preprocess_images
+        from sleap_nn_tpu.ops.crops import crop_bboxes, make_centered_bboxes
+
+        self.centroid_layer = centroid_layer
+        self.seg_pre = seg_pre
+        self.seg_output_stride = seg_output_stride
+        self.fg_threshold = fg_threshold
+        self.max_instances = max_instances
+        self.crop_size = crop_size
+        self.min_mask_area = min_mask_area
+
+        crop = crop_size
+        max_inst = max_instances
+        c = centroid_layer
+
+        def full(images):
+            cres = c._fn(images)
+            cres = {k: (v[:, :max_inst] if k in (
+                "centroids_scaled", "pred_centroids", "centroid_vals", "centroid_valid"
+            ) else v) for k, v in cres.items()}
+            x2, eff2 = preprocess_images(seg_pre, images)
+            ratio = (seg_pre.scale * eff2) / (c.pre.scale * cres["eff_scale"])
+            cent2 = jnp.nan_to_num(cres["centroids_scaled"] * ratio, nan=-1e6)
+
+            b, k = cent2.shape[:2]
+            flat_c = cent2.reshape(b * k, 2)
+            bboxes = make_centered_bboxes(flat_c, crop, crop)
+            sample_inds = jnp.repeat(jnp.arange(b), k)
+            crops = crop_bboxes(x2, bboxes, sample_inds, crop, crop)
+
+            logits = seg_backend(crops)["SegmentationHead"][..., 0]  # (b*k, h, w)
+            probs = jax.nn.sigmoid(logits)
+            masks = probs > fg_threshold
+            denom = jnp.maximum(masks.sum(axis=(1, 2)), 1.0)
+            scores = jnp.where(
+                masks.any(axis=(1, 2)),
+                (probs * masks).sum(axis=(1, 2)) / denom,
+                0.0,
+            )
+
+            # Integer-floored bbox top-left matching crop_bboxes' gather.
+            half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
+            top_left = jnp.trunc((flat_c - (crop - 1) / 2.0) + half) - half
+
+            h = masks.shape[1]
+            return {
+                "crop_masks": masks.reshape(b, k, h, h),
+                "crop_scores": scores.reshape(b, k),
+                "top_left": top_left.reshape(b, k, 2),
+                "valid": cres["centroid_valid"],
+                "pred_centroids": cres["pred_centroids"],
+                "centroid_vals": cres["centroid_vals"],
+                "stage2_scale": seg_pre.scale * eff2,
+                "orig_hw": jnp.array(images.shape[1:3], jnp.int32),
+            }
+
+        self._fn = jax.jit(full)
+
+    def predict_async(self, images):
+        return self._fn(jnp.asarray(images))
+
+    def finalize(self, dev) -> Dict:
+        """Upsample each crop mask and paste it at its full-frame location.
+
+        Image-space placement: the crop content came from ``top_left`` in
+        stage-2 scaled space, so ``origin = top_left / s`` and the crop span
+        is ``crop / s`` with ``s = seg_pre.scale * eff_scale``; the head mask
+        (crop/stride px) is resized by ``stride / s``.
+        """
+        import cv2
+
+        dev = jax.device_get(dev)
+        b, k = dev["crop_masks"].shape[:2]
+        H, W = (int(x) for x in dev["orig_hw"])
+        s = np.broadcast_to(np.asarray(dev["stage2_scale"]).reshape(-1), (b,))
+        out_masks: List[List[SegmentationMask]] = []
+        for i in range(b):
+            frame_masks = []
+            span = self.crop_size / float(s[i])
+            for j in range(k):
+                if not dev["valid"][i, j] or not dev["crop_masks"][i, j].any():
+                    continue
+                size = max(1, int(round(span)))
+                up = cv2.resize(
+                    dev["crop_masks"][i, j].astype(np.uint8), (size, size),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
+                canvas = np.zeros((H, W), bool)
+                ox = int(round(float(dev["top_left"][i, j, 0]) / float(s[i])))
+                oy = int(round(float(dev["top_left"][i, j, 1]) / float(s[i])))
+                y0, x0 = max(0, oy), max(0, ox)
+                y1, x1 = min(H, oy + size), min(W, ox + size)
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                canvas[y0:y1, x0:x1] = up[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+                canvas = mask_cleanup(canvas, self.min_mask_area)
+                if canvas.any():
+                    frame_masks.append(
+                        SegmentationMask(canvas, score=float(dev["crop_scores"][i, j]))
+                    )
+            out_masks.append(frame_masks)
+        return {
+            "pred_masks": out_masks,
+            "pred_centroids": dev["pred_centroids"],
+            "centroid_vals": dev["centroid_vals"],
+            "centroid_valid": dev["valid"],
+        }
+
+    def predict(self, images):
+        return self.finalize(self.predict_async(images))

@@ -345,6 +345,9 @@ def _encode_frame_png(img: np.ndarray) -> bytes:
 def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
     """Write a ``.slp`` labels file (sleap-io format_id 1.2 layout)."""
     path = str(path)
+    parent = Path(path).parent
+    if str(parent) not in ("", "."):
+        parent.mkdir(parents=True, exist_ok=True)
     skeletons = labels.skeletons or [Skeleton()]
     skel_idx = {id(s): i for i, s in enumerate(skeletons)}
     track_idx = {id(t): i for i, t in enumerate(labels.tracks)}

@@ -173,3 +173,67 @@ def test_mask_eval_mode(seg_model):
     # Semantic mode on the same data.
     sem = run_evaluation(labels, out, match_method="semantic")
     assert sem["semantic_metrics"]["fg_iou"] > 0.1
+
+
+@pytest.fixture(scope="module")
+def topdown_seg_models(tmp_path_factory):
+    """Tiny centroid + centered_instance_segmentation pair on the fixture."""
+    out = tmp_path_factory.mktemp("tds")
+
+    def train(model_type, overrides, epochs):
+        cfg = TrainingJobConfig()
+        cfg.data_config.train_labels_path = [FIXTURE]
+        cfg.data_config.use_same_data_for_val = True
+        cfg.data_config.use_augmentations_train = False
+        apply_overrides(cfg, {
+            "model_config.backbone_config.unet.filters": 16,
+            "model_config.backbone_config.unet.filters_rate": 1.5,
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.backbone_config.unet.output_stride": 2,
+            **overrides,
+        })
+        cfg.trainer_config.max_epochs = epochs
+        cfg.trainer_config.train_data_loader.batch_size = 1
+        cfg.trainer_config.val_data_loader.batch_size = 1
+        cfg.trainer_config.save_ckpt = True
+        cfg.trainer_config.ckpt_dir = str(out)
+        cfg.trainer_config.run_name = model_type
+        cfg.trainer_config.enable_progress_bar = False
+        cfg.trainer_config.optimizer.lr = 2e-3
+        cfg.trainer_config.early_stopping.stop_training_on_plateau = False
+        ModelTrainer.get_model_trainer_from_config(cfg).train()
+        return str(out / model_type)
+
+    centroid = train("centroid", {
+        "data_config.preprocessing.scale": 0.5,
+        "model_config.head_configs.centroid.confmaps.output_stride": 2,
+        "model_config.head_configs.centroid.confmaps.sigma": 3.5,
+    }, epochs=60)
+    seg = train("centered_instance_segmentation", {
+        "model_config.head_configs.centered_instance_segmentation.segmentation.output_stride": 2,
+    }, epochs=80)
+    return centroid, seg
+
+
+def test_topdown_segmentation_e2e(topdown_seg_models):
+    centroid, seg = topdown_seg_models
+    labels = load_slp(FIXTURE)
+    gt = labels[0].numpy()  # (2 inst, 2 nodes, 2) in full-frame coords
+    out = predict(labels, [centroid, seg], make_labels=True, peak_threshold=0.2)
+    assert len(out) == 1
+    lf = out[0]
+    assert len(lf.masks) == 2
+    # Masks are full-frame resolution and emitted WITHOUT phantom keypoints.
+    assert lf.masks[0].mask.shape == (384, 384)
+    assert lf.instances == []
+    # Each GT instance's keypoints are covered by exactly one mask.
+    covered = 0
+    for inst_pts in gt:
+        hits = [
+            m for m in lf.masks
+            if all(m.mask[int(y), int(x)] for x, y in inst_pts)
+        ]
+        if len(hits) >= 1:
+            covered += 1
+    assert covered == 2, [m.area for m in lf.masks]
+    assert all(m.score > 0.5 for m in lf.masks)
