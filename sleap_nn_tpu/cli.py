@@ -180,14 +180,29 @@ def sam_cmd(data_path, mask_backend, output_path, prompt_mode, sam_model_id,
 @click.option("--window-size", default=5, show_default=True)
 @click.option("--scoring-method", default="oks", show_default=True)
 @click.option("--max-tracks", default=None, type=int)
-def track_only(data_path, output_path, window_size, scoring_method, max_tracks):
+@click.option("--target-instance-count", default=None, type=int,
+              help="Expected instances per frame (enables culling / break repair).")
+@click.option("--pre-cull-to-target/--no-pre-cull-to-target", default=False,
+              show_default=True, help="Cull frames to the target count before tracking.")
+@click.option("--pre-cull-iou-threshold", default=0.0, show_default=True)
+@click.option("--post-connect-single-breaks/--no-post-connect-single-breaks",
+              default=False, show_default=True,
+              help="Merge single-frame track breaks after tracking.")
+def track_only(data_path, output_path, window_size, scoring_method, max_tracks,
+               target_instance_count, pre_cull_to_target, pre_cull_iou_threshold,
+               post_connect_single_breaks):
     """Assign tracks to an existing predictions file (no model inference)."""
     from sleap_nn_tpu.io import load_slp
     from sleap_nn_tpu.tracking import run_tracker
 
     labels = load_slp(data_path)
     labels = run_tracker(
-        labels, window_size=window_size, scoring_method=scoring_method, max_tracks=max_tracks
+        labels, window_size=window_size, scoring_method=scoring_method,
+        max_tracks=max_tracks,
+        target_instance_count=target_instance_count,
+        pre_cull_to_target=pre_cull_to_target,
+        pre_cull_iou_threshold=pre_cull_iou_threshold,
+        post_connect_single_breaks=post_connect_single_breaks,
     )
     out = output_path or str(Path(data_path).with_suffix("")) + ".tracked.slp"
     labels.save(out)

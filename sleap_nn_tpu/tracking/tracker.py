@@ -397,33 +397,71 @@ class KalmanShiftTracker(Tracker):
 
 
 def connect_single_breaks(labels: Labels, max_instances: int) -> Labels:
-    """Merge single-frame track breaks (reference: :1522).
+    """Merge single-frame track breaks (reference tracker.py:1522 semantics).
 
-    When a track ends at frame t and a new track starts at t+1 while the
-    total instance count stays at ``max_instances``, join them.
+    Walks frames in order keeping the last "good" track set. When exactly one
+    track disappears and exactly one new track appears on the same frame, the
+    new track is an identity continuation of the lost one: the instance is
+    remapped and the old->new mapping is remembered so later frames that
+    still carry the spurious new track are fixed too.
     """
     lfs = sorted(labels.labeled_frames, key=lambda lf: lf.frame_idx)
-    last_seen: Dict[int, Track] = {}
+    if not lfs:
+        return labels
+
+    fix_track_map: Dict[int, Track] = {}  # id(spurious track) -> original
+    last_good = {inst.track for inst in lfs[0].instances if inst.track is not None}
     for lf in lfs:
-        preds = lf.predicted_instances
-        tracks_now = {id(i.track) for i in preds if i.track is not None}
-        for inst in preds:
-            if inst.track is None:
-                continue
-        if len(preds) == max_instances:
-            # map new tracks onto the most recently ended ones
-            ended = [t for t in last_seen.values() if id(t) not in tracks_now]
-            for inst in preds:
-                if inst.track is not None and inst.track.spawned_on == lf.frame_idx and ended:
-                    old = ended.pop(0)
-                    inst.track = old
-        for inst in preds:
-            if inst.track is not None:
-                last_seen[id(inst.track)] = inst.track
+        frame_tracks = {i.track for i in lf.instances if i.track is not None}
+
+        # Apply previously-discovered fixes first (only when the fix target
+        # isn't already present on this frame — no duplicate identities).
+        for inst in lf.instances:
+            fixed = fix_track_map.get(id(inst.track))
+            if fixed is not None and fixed not in frame_tracks:
+                inst.track = fixed
+                frame_tracks = {i.track for i in lf.instances if i.track is not None}
+
+        extra = frame_tracks - last_good
+        missing = last_good - frame_tracks
+        if len(extra) == 1 and len(missing) == 1:
+            for inst in lf.instances:
+                if inst.track in extra:
+                    old, new = inst.track, missing.pop()
+                    fix_track_map[id(old)] = new
+                    inst.track = new
+                    break
+        elif len(frame_tracks) >= len(last_good):
+            # Only refresh the reference set when the frame is at least as
+            # populated — prevents a dropout frame from becoming the baseline.
+            last_good = frame_tracks
     return labels
 
 
-def run_tracker(labels: Labels, **config) -> Labels:
-    """Track a Labels end-to-end from config knobs (reference: :1586)."""
+def run_tracker(
+    labels: Labels,
+    post_connect_single_breaks: bool = False,
+    target_instance_count: Optional[int] = None,
+    pre_cull_to_target: bool = False,
+    pre_cull_iou_threshold: float = 0,
+    **config,
+) -> Labels:
+    """Track a Labels end-to-end from config knobs (reference: :1586).
+
+    ``pre_cull_to_target`` culls every frame to ``target_instance_count``
+    before tracking (bbox-NMS + score); ``post_connect_single_breaks`` merges
+    single-frame identity breaks afterwards.
+    """
+    if pre_cull_to_target and target_instance_count:
+        from sleap_nn_tpu.tracking.utils import cull_instances
+
+        cull_instances(labels, target_instance_count, pre_cull_iou_threshold)
     tracker = Tracker.from_config(**config)
-    return tracker.track_labels(labels)
+    labels = tracker.track_labels(labels)
+    if post_connect_single_breaks:
+        if not target_instance_count:
+            raise ValueError(
+                "post_connect_single_breaks requires target_instance_count."
+            )
+        labels = connect_single_breaks(labels, target_instance_count)
+    return labels

@@ -143,3 +143,22 @@ def cull_frame_instances(
             return instances
     order = np.argsort([-getattr(i, "score", 0.0) for i in instances])
     return [instances[i] for i in order[:target_count]]
+
+
+def cull_instances(labels, target_count: int, iou_threshold: float = 0):
+    """Cull every labeled frame's predictions to ``target_count`` in place.
+
+    Labels-level counterpart of :func:`cull_frame_instances` (reference
+    tracking/utils.py:344): optional bbox-NMS first, then keep the
+    top-scoring instances. User instances are never removed.
+    """
+    for lf in labels.labeled_frames:
+        preds = lf.predicted_instances
+        if len(preds) <= target_count:
+            continue
+        kept = set(map(id, cull_frame_instances(preds, target_count, iou_threshold)))
+        lf.instances = [
+            i for i in lf.instances
+            if not isinstance(i, PredictedInstance) or id(i) in kept
+        ]
+    return labels

@@ -118,3 +118,65 @@ def test_min_match_points_gate():
     tracker = Tracker.from_config(min_new_track_points=2)
     tracker.track_labels(labels)
     assert inst.track is None
+
+
+def test_connect_single_breaks():
+    from sleap_nn_tpu.io import Track
+    from sleap_nn_tpu.tracking import connect_single_breaks
+
+    t1, t2, t3 = Track("track_0"), Track("track_1"), Track("track_2")
+    lfs = []
+    for fi in range(6):
+        a = make_instance([20 + 2 * fi, 20])
+        b = make_instance([80, 80 + 2 * fi])
+        a.track = t1
+        # The tracker loses t2 at frame 3 and spawns t3 in its place.
+        b.track = t2 if fi < 3 else t3
+        lfs.append(LabeledFrame(video=None, frame_idx=fi, instances=[a, b]))
+    labels = Labels(lfs)
+    connect_single_breaks(labels, max_instances=2)
+    for lf in labels.labeled_frames:
+        names = {i.track.name for i in lf.instances}
+        assert names == {"track_0", "track_1"}, (lf.frame_idx, names)
+
+
+def test_cull_instances_and_run_tracker_knobs():
+    from sleap_nn_tpu.tracking.utils import cull_instances
+
+    # Frame with 3 predictions (one low-score duplicate) -> cull to 2.
+    lfs = []
+    for fi in range(4):
+        insts = [
+            make_instance([20 + 2 * fi, 20], score=0.9),
+            make_instance([80, 80 + 2 * fi], score=0.8),
+            make_instance([21 + 2 * fi, 20], score=0.1),  # near-duplicate
+        ]
+        lfs.append(LabeledFrame(video=None, frame_idx=fi, instances=insts))
+    labels = Labels(lfs)
+    cull_instances(labels, target_count=2, iou_threshold=0.3)
+    assert all(len(lf.instances) == 2 for lf in labels.labeled_frames)
+    assert all(
+        min(i.score for i in lf.predicted_instances) >= 0.8
+        for lf in labels.labeled_frames
+    )
+
+    # run_tracker wiring: pre-cull + post-connect run end to end.
+    labels2 = Labels([
+        LabeledFrame(video=None, frame_idx=fi, instances=[
+            make_instance([20 + 2 * fi, 20], score=0.9),
+            make_instance([80, 80 + 2 * fi], score=0.8),
+            make_instance([22 + 2 * fi, 20], score=0.1),
+        ]) for fi in range(6)
+    ])
+    out = run_tracker(
+        labels2, window_size=3, scoring_method="oks",
+        target_instance_count=2, pre_cull_to_target=True,
+        pre_cull_iou_threshold=0.3, post_connect_single_breaks=True,
+    )
+    ids = track_ids_over_time(out)
+    assert all(len(set(row)) == 2 for row in ids)
+    # Identities are stable over the whole clip.
+    assert len({frozenset(row) for row in ids}) == 1
+
+    with pytest.raises(ValueError):
+        run_tracker(labels2, post_connect_single_breaks=True)
