@@ -58,6 +58,8 @@ def _inference_options(f):
         click.option("--max-peaks", default=200, show_default=True),
         click.option("--use-bf16/--no-use-bf16", default=False, show_default=True,
                      help="bfloat16 forward pass (TPU fast path)."),
+        click.option("--paf-workers", default=0, show_default=True,
+                     help="Worker processes for bottom-up PAF grouping (0 = inline)."),
         click.option("--tracking/--no-tracking", default=False, show_default=True),
         click.option("--tracking-window-size", default=5, show_default=True),
         click.option("--tracking-scoring-method", default="oks", show_default=True),

@@ -329,28 +329,22 @@ class BottomUpLayer(InferenceLayer):
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
 
+    def device_to_payload(self, dev) -> Dict[str, Any]:
+        """Fetch the device scores into a picklable numpy grouping payload."""
+        return {
+            "grouped_peaks": np.asarray(dev["grouped_peaks"]),
+            "grouped_vals": np.asarray(dev["grouped_vals"]),
+            "scores": np.asarray(dev["scores"]),
+            "lift": 1.0 / (self.pre.scale * float(np.asarray(dev["eff_scale"]).reshape(-1)[0])),
+        }
+
     def finalize(self, dev):
         """Host grouping of fetched device scores (reference CPU boundary)."""
-        gp = np.asarray(dev["grouped_peaks"])
-        gv = np.asarray(dev["grouped_vals"])
-        sc = np.asarray(dev["scores"])
-        lift = 1.0 / (self.pre.scale * float(dev["eff_scale"]))
-        b = gp.shape[0]
-        max_inst = self.post.max_instances
-        pred_instances, pred_vals, inst_scores = [], [], []
-        for i in range(b):
-            pts, vals, scores = self.paf_scorer.group_sample(gp[i], gv[i], sc[i])
-            if max_inst is not None and pts.shape[0] > max_inst:
-                order = np.argsort(-scores)[:max_inst]
-                pts, vals, scores = pts[order], vals[order], scores[order]
-            pred_instances.append(pts * lift)
-            pred_vals.append(vals)
-            inst_scores.append(scores)
-        return {
-            "pred_keypoints": pred_instances,
-            "pred_peak_values": pred_vals,
-            "pred_instance_scores": inst_scores,
-        }
+        from sleap_nn_tpu.inference.streaming import group_batch_host
+
+        return group_batch_host(
+            self.device_to_payload(dev), self.paf_scorer, self.post.max_instances
+        )
 
     def predict(self, images):
         return self.finalize(self.predict_async(images))

@@ -91,6 +91,7 @@ class Predictor:
         crop_size: Optional[int] = None,
         return_confmaps: bool = False,
         filters=None,
+        paf_workers: int = 0,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
@@ -119,6 +120,7 @@ class Predictor:
         def cls(*args, **kwargs_):  # attach filters to every branch's predictor
             p = _cls(*args, **kwargs_)
             p.filters = filters
+            p.paf_workers = paf_workers
             return p
 
         if types == {"single_instance"}:
@@ -331,29 +333,72 @@ class Predictor:
         depth = 2
         in_flight = []
 
+        # PAF grouping pool: with paf_workers > 0 on a bottom-up layer, the
+        # host grouping stage runs in worker processes overlapped with device
+        # dispatch (reference streaming.py PafGroupingPool). Batch metadata is
+        # kept by ordinal; results merge in submission order.
+        pool = None
+        pool_meta: List = []
+        use_pool = (
+            getattr(self, "paf_workers", 0) > 0
+            and hasattr(self.layer, "device_to_payload")
+        )
+        if use_pool:
+            from sleap_nn_tpu.inference.streaming import PafGroupingPool
+
+            pool = PafGroupingPool(
+                self.paf_workers, self.layer.paf_scorer,
+                self.layer.post.max_instances,
+            )
+
         def drain_one():
             nonlocal n_frames
             dev_out, batch = in_flight.pop(0)
-            out = self.layer.finalize(dev_out)
-            out["frame_inds"] = batch.frame_inds
-            out["video_inds"] = batch.video_inds
-            out["valid"] = batch.valid
-            n_frames += int(batch.valid.sum())
-            results.append(out)
+            if pool is not None:
+                pool.submit(len(pool_meta), self.layer.device_to_payload(dev_out))
+                pool_meta.append(batch)
+                # Bound in-worker backlog to keep memory O(window).
+                if len(pool) > 2 * self.paf_workers:
+                    merge_grouped(*pool.drain_one())
+            else:
+                out = self.layer.finalize(dev_out)
+                out["frame_inds"] = batch.frame_inds
+                out["video_inds"] = batch.video_inds
+                out["valid"] = batch.valid
+                n_frames += int(batch.valid.sum())
+                results.append(out)
 
-        for batch in provider:
-            frames = batch.frames
-            if self._host_grayscale and frames.shape[-1] == 3:
-                frames = (
-                    frames[..., 0] * 0.2989
-                    + frames[..., 1] * 0.587
-                    + frames[..., 2] * 0.114
-                ).astype(np.uint8)[..., None]
-            in_flight.append((self.layer.predict_async(frames), batch))
-            if len(in_flight) > depth:
+        def merge_grouped(ordinal, grouped):
+            nonlocal n_frames
+            batch = pool_meta[ordinal]
+            grouped["frame_inds"] = batch.frame_inds
+            grouped["video_inds"] = batch.video_inds
+            grouped["valid"] = batch.valid
+            n_frames += int(batch.valid.sum())
+            results.append(grouped)
+
+        try:
+            if pool is not None:
+                pool.__enter__()
+            for batch in provider:
+                frames = batch.frames
+                if self._host_grayscale and frames.shape[-1] == 3:
+                    frames = (
+                        frames[..., 0] * 0.2989
+                        + frames[..., 1] * 0.587
+                        + frames[..., 2] * 0.114
+                    ).astype(np.uint8)[..., None]
+                in_flight.append((self.layer.predict_async(frames), batch))
+                if len(in_flight) > depth:
+                    drain_one()
+            while in_flight:
                 drain_one()
-        while in_flight:
-            drain_one()
+            if pool is not None:
+                for ordinal, grouped in pool.iter_completed():
+                    merge_grouped(ordinal, grouped)
+        finally:
+            if pool is not None:
+                pool.__exit__(None, None, None)
         elapsed = time.perf_counter() - t0
         self.last_stats = {
             "n_frames": n_frames,

@@ -22,6 +22,7 @@ def predict(
     use_bf16: bool = False,
     max_peaks: int = 200,
     min_line_scores: float = 0.25,
+    paf_workers: int = 0,
     crop_size: Optional[int] = None,
     make_labels: bool = True,
     tracking: bool = False,
@@ -70,6 +71,7 @@ def predict(
         use_bf16=use_bf16,
         max_peaks=max_peaks,
         min_line_scores=min_line_scores,
+        paf_workers=paf_workers,
         crop_size=crop_size,
     )
     result = predictor.predict(data_path, frames=frames, make_labels=make_labels)

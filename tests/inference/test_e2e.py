@@ -168,3 +168,17 @@ def test_predict_raw_results(single_instance_model, gt):
     results = predict(labels, [single_instance_model], make_labels=False)
     assert isinstance(results, list)
     assert "pred_keypoints" in results[0]
+
+
+def test_bottomup_paf_pool_parity(bottomup_model, gt):
+    """paf_workers>0 must produce identical instances to the inline path."""
+    labels, _ = gt
+    inline = predict(labels, [bottomup_model], make_labels=True, peak_threshold=0.2)
+    pooled = predict(labels, [bottomup_model], make_labels=True, peak_threshold=0.2,
+                     paf_workers=2)
+    a = sorted(inline[0].predicted_instances, key=lambda p: np.nansum(p.numpy()))
+    b = sorted(pooled[0].predicted_instances, key=lambda p: np.nansum(p.numpy()))
+    assert len(a) == len(b) == 2
+    for pa, pb in zip(a, b):
+        np.testing.assert_allclose(pa.numpy(), pb.numpy(), equal_nan=True)
+        assert pa.score == pb.score
