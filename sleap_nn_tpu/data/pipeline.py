@@ -437,6 +437,104 @@ class CenteredInstanceSegmentationDataset(CenteredInstanceDataset):
     """One sample per (frame, instance); crop fg mask target."""
 
 
+class TiledDataset:
+    """Epoch-seeded tile sampler over any frame-level dataset.
+
+    Parity target: reference custom_datasets.py:3001/:3877/:4305
+    (``SingleInstanceTiledDataset`` / ``BottomUpSegmentationTiledDataset`` /
+    ``SemanticSegmentationTiledDataset``): each epoch draws
+    ``samples_per_frame`` fixed-size tiles per frame — foreground-biased with
+    center jitter, deterministic per ``(frame, tile, epoch)`` via
+    ``tile_sample_seed`` — and shifts the instances into tile-local coords.
+    Host side stays decode+slice only; all target rendering happens in the
+    fused device render fn on the (static-shape) tiles, so one wrapper covers
+    every model type instead of three subclasses.
+    """
+
+    def __init__(self, inner: BaseDataset, tiling, base_seed: int = 0):
+        from sleap_nn_tpu.data.tiling import generate_tile_grid
+
+        if not tiling.tile_size:
+            raise ValueError("tiling.enabled requires tiling.tile_size.")
+        self.inner = inner
+        self.cfg = tiling
+        self.base_seed = base_seed
+        self.epoch = 0
+        if tiling.samples_per_frame:
+            self.samples_per_frame = int(tiling.samples_per_frame)
+        else:
+            # Default: the deterministic grid count of the first frame.
+            s0 = inner.get_sample(0)
+            grid = generate_tile_grid(
+                s0["image"].shape[:2], tiling.tile_size,
+                overlap=tiling.overlap or 0,
+                output_stride=1,
+                min_overlap_fraction=tiling.min_overlap_fraction,
+            )
+            self.samples_per_frame = max(1, len(grid))
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return len(self.inner) * self.samples_per_frame
+
+    @property
+    def ctx(self):
+        return self.inner.ctx
+
+    @property
+    def samples(self):
+        return self.inner.samples
+
+    def get_sample(self, idx: int) -> Dict[str, Any]:
+        from sleap_nn_tpu.data.tiling import (
+            draw_tile_origin,
+            extract_tile,
+            frame_foreground_centers,
+            tile_sample_seed,
+        )
+
+        frame_i, k = divmod(int(idx), self.samples_per_frame)
+        s = self.inner.get_sample(frame_i)
+        key = f"{s['video_idx']}:{s['frame_idx']}"
+        rng = np.random.default_rng(
+            tile_sample_seed(self.base_seed, key, k, self.epoch)
+        )
+        centers = frame_foreground_centers(s["instances"])
+        origin = draw_tile_origin(
+            centers,
+            s["image"].shape[:2],
+            self.cfg.tile_size,
+            sample_k=k,
+            samples_per_frame=self.samples_per_frame,
+            tile_fg_fraction=self.cfg.tile_fg_fraction,
+            center_jitter=self.cfg.center_jitter,
+            rng=rng,
+        )
+        tile, pts = extract_tile(
+            s["image"], s["instances"], origin, self.cfg.tile_size,
+            min_visible_keypoints=self.cfg.min_visible_keypoints,
+        )
+        # Compact visible instances to the front: model types that supervise
+        # instance slot 0 (single_instance) must see the tile's surviving
+        # instance there, and track_ids stay aligned.
+        vis = ~np.isnan(pts[..., 0]).all(axis=-1)
+        order = np.concatenate([np.nonzero(vis)[0], np.nonzero(~vis)[0]])
+        out = dict(s)
+        out["image"] = tile
+        out["instances"] = pts[order]
+        if "track_ids" in s:
+            out["track_ids"] = np.asarray(s["track_ids"])[order]
+        out["orig_size"] = np.array([self.cfg.tile_size, self.cfg.tile_size], np.float32)
+        out["num_instances"] = int(vis.sum())
+        return out
+
+    def make_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        # Same stacking contract as BaseDataset.make_batch, through get_sample.
+        return BaseDataset.make_batch(self, indices)
+
+
 _DATASET_BY_TYPE = {
     "single_instance": SingleInstanceDataset,
     "centroid": CentroidDataset,
@@ -572,6 +670,8 @@ class Loader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)

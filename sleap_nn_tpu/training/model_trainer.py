@@ -212,6 +212,22 @@ class ModelTrainer:
             self.model_type, self.val_labels, val_ctx,
             **{**ds_kwargs, "use_negative_frames": False},
         )
+        tiling = cfg.data_config.preprocessing.tiling
+        if tiling is not None and tiling.enabled:
+            if self.model_type in ("centered_instance", "centered_instance_segmentation",
+                                   "multi_class_topdown"):
+                raise ValueError(
+                    f"Tiled training is not supported for crop-based model type "
+                    f"{self.model_type!r}."
+                )
+            from sleap_nn_tpu.data.pipeline import TiledDataset
+
+            self.train_ds = TiledDataset(self.train_ds, tiling, base_seed=seed)
+            # Val tiles stay fixed (epoch 0) so val/loss is comparable.
+            self.val_ds = TiledDataset(self.val_ds, tiling, base_seed=seed + 1)
+            # Tiles are already fixed-size: the labels-derived sizematcher dims
+            # would rescale every tile back up to the full-frame size.
+            self.ctx = dataclasses.replace(self.ctx, max_height=None, max_width=None)
         if len(self.train_ds) == 0:
             raise ValueError("Train dataset is empty (no usable labeled frames).")
         if len(self.val_ds) == 0:

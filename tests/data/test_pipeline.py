@@ -233,3 +233,92 @@ def test_negative_frames_and_disk_cache(labels, tmp_path):
     assert "image" not in ds2.samples[0]
     s = ds2.get_sample(0)
     np.testing.assert_array_equal(s["image"], labels[0].image)
+
+
+def test_tiled_dataset(labels):
+    from sleap_nn_tpu.config.data_config import TilingConfig
+    from sleap_nn_tpu.data.pipeline import TiledDataset
+
+    cfg = base_cfg("single_instance", labels)
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    inner = make_dataset("single_instance", [labels], ctx)
+    tiling = TilingConfig(enabled=True, tile_size=128, samples_per_frame=4,
+                          tile_fg_fraction=0.5, min_visible_keypoints=1)
+    ds = TiledDataset(inner, tiling, base_seed=7)
+    assert len(ds) == 4  # 1 frame x 4 tiles
+
+    s = ds.get_sample(0)
+    assert s["image"].shape == (128, 128, 1)
+    assert s["instances"].shape == inner.get_sample(0)["instances"].shape
+    # Deterministic for a fixed epoch; resamples on set_epoch.
+    s2 = ds.get_sample(0)
+    np.testing.assert_array_equal(s["image"], s2["image"])
+    imgs_e0 = [ds.get_sample(i)["image"].copy() for i in range(4)]
+    ds.set_epoch(1)
+    imgs_e1 = [ds.get_sample(i)["image"] for i in range(4)]
+    assert any(not np.array_equal(a, b) for a, b in zip(imgs_e0, imgs_e1))
+    ds.set_epoch(0)
+
+    # Foreground bias: the last tiles (force_fg slots) contain an instance.
+    fg = ds.get_sample(3)
+    assert not np.isnan(fg["instances"]).all()
+    # Tile-local keypoints are inside the tile, and the confmap renders there.
+    pts = fg["instances"][~np.isnan(fg["instances"][..., 0]).all(axis=-1)]
+    assert np.nanmin(pts) >= 0 and np.nanmax(pts) < 128
+    batch = ds.make_batch([3])
+    out = make_render_fn(ctx, train=False)({k: jnp.asarray(v) for k, v in batch.items()})
+    assert out["confmaps"].shape == (1, 64, 64, 2)
+    cm = np.asarray(out["confmaps"][0, ..., 0])
+    yx = np.unravel_index(cm.argmax(), cm.shape)
+    kp = fg["instances"][np.nonzero(~np.isnan(fg["instances"][..., 0]).all(axis=-1))[0][0], 0]
+    np.testing.assert_allclose([yx[1] * 2, yx[0] * 2], kp, atol=2.5)
+
+    # Grid-count default when samples_per_frame is unset.
+    auto = TiledDataset(inner, TilingConfig(enabled=True, tile_size=128))
+    assert auto.samples_per_frame >= 9  # 384/128 grid with overlap
+
+    with pytest.raises(ValueError):
+        TiledDataset(inner, TilingConfig(enabled=True))
+
+
+def test_tiled_training_smoke(labels, tmp_path):
+    """Tiled single_instance training runs end to end (2 epochs)."""
+    from sleap_nn_tpu.config import TrainingJobConfig
+    from sleap_nn_tpu.training import ModelTrainer
+
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [
+        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        "data_config.preprocessing.tiling.enabled": True,
+        "data_config.preprocessing.tiling.tile_size": 128,
+        "data_config.preprocessing.tiling.samples_per_frame": 4,
+    })
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.train_data_loader.batch_size = 2
+    cfg.trainer_config.val_data_loader.batch_size = 2
+    cfg.trainer_config.enable_progress_bar = False
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert len(trainer.train_ds) == 4
+    assert len(history) == 2 and np.isfinite(history[-1]["train/loss"])
+    assert trainer._input_shape[1:3] == (128, 128)
+
+    # Crop-based types reject tiling.
+    cfg2 = TrainingJobConfig()
+    cfg2.data_config.train_labels_path = cfg.data_config.train_labels_path
+    cfg2.data_config.use_same_data_for_val = True
+    apply_overrides(cfg2, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.centered_instance.confmaps.part_names": ["A", "B"],
+        "data_config.preprocessing.tiling.enabled": True,
+        "data_config.preprocessing.tiling.tile_size": 128,
+    })
+    with pytest.raises(ValueError, match="crop-based"):
+        ModelTrainer.get_model_trainer_from_config(cfg2).train()
