@@ -60,6 +60,9 @@ def _inference_options(f):
                      help="bfloat16 forward pass (TPU fast path)."),
         click.option("--paf-workers", default=0, show_default=True,
                      help="Worker processes for bottom-up PAF grouping (0 = inline)."),
+        click.option("--merge-fragments/--no-merge-fragments", default=False,
+                     show_default=True,
+                     help="Fuse over-segmented mask fragments (bottom-up segmentation)."),
         click.option("--tracking/--no-tracking", default=False, show_default=True),
         click.option("--tracking-window-size", default=5, show_default=True),
         click.option("--tracking-scoring-method", default="oks", show_default=True),

@@ -92,6 +92,7 @@ class Predictor:
         return_confmaps: bool = False,
         filters=None,
         paf_workers: int = 0,
+        merge_fragments: bool = False,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
@@ -280,6 +281,7 @@ class Predictor:
                 center_output_stride=head.center.output_stride,
                 offsets_output_stride=head.offsets.output_stride,
                 max_instances=max_instances or 50,
+                merge_fragments=merge_fragments,
             )
             return cls(layer, "bottomup_segmentation", Skeleton(nodes=["centroid"]), loaded, batch_size)
 

@@ -23,6 +23,7 @@ def predict(
     max_peaks: int = 200,
     min_line_scores: float = 0.25,
     paf_workers: int = 0,
+    merge_fragments: bool = False,
     crop_size: Optional[int] = None,
     make_labels: bool = True,
     tracking: bool = False,
@@ -72,6 +73,7 @@ def predict(
         max_peaks=max_peaks,
         min_line_scores=min_line_scores,
         paf_workers=paf_workers,
+        merge_fragments=merge_fragments,
         crop_size=crop_size,
     )
     result = predictor.predict(data_path, frames=frames, make_labels=make_labels)

@@ -9,7 +9,7 @@ a dense device-side argmin over detected centers (static shapes); cleanup
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,8 @@ class BottomUpSegmentationLayer:
 
     def __init__(self, backend, pre, post, seg_output_stride=2, center_output_stride=2,
                  offsets_output_stride=2, max_center_dist=64.0, min_mask_area=16,
-                 max_instances: int = 50):
+                 max_instances: int = 50, merge_fragments: bool = False,
+                 merge_method: str = "greedy"):
         from sleap_nn_tpu.inference.layers import preprocess_images
 
         self.backend = backend
@@ -116,7 +117,10 @@ class BottomUpSegmentationLayer:
         self.post = post
         self.seg_output_stride = seg_output_stride
         self.min_mask_area = min_mask_area
+        self.merge_fragments = bool(merge_fragments)
+        self.merge_method = merge_method
         post_cfg = post
+        want_merge = self.merge_fragments
 
         def fn(images):
             x, eff_scale = preprocess_images(pre, images)
@@ -133,7 +137,7 @@ class BottomUpSegmentationLayer:
                 output_stride=seg_output_stride,
                 max_center_dist=max_center_dist,
             )
-            return {
+            out = {
                 "instance_masks": inst,
                 "fg": fg,
                 "centers": centers_px / (pre.scale * eff_scale),
@@ -141,6 +145,12 @@ class BottomUpSegmentationLayer:
                 "center_valid": valid,
                 "eff_scale": eff_scale,
             }
+            if want_merge:
+                # Extra host payload only when the fragment-merge will run.
+                out["centers_scaled"] = centers_px
+                out["center_heatmap"] = centers_hm[..., 0]
+                out["offsets"] = offsets
+            return out
 
         self._fn = jax.jit(fn)
 
@@ -150,23 +160,49 @@ class BottomUpSegmentationLayer:
     def finalize(self, dev) -> Dict:
         dev = jax.device_get(dev)
         b = dev["instance_masks"].shape[0]
+        # A center detection only counts as an instance if its grouped mask
+        # survives (otherwise weak heatmap maxima become phantom centroids).
+        valid = np.asarray(dev["center_valid"], bool).copy()
         out_masks: List[List[SegmentationMask]] = []
         for i in range(b):
-            frame_masks = []
+            cands = []
             for k in range(dev["instance_masks"].shape[1]):
-                if not dev["center_valid"][i, k]:
+                if not valid[i, k]:
                     continue
-                m = mask_cleanup(dev["instance_masks"][i, k], self.min_mask_area)
+                m = np.asarray(dev["instance_masks"][i, k], bool)
+                if m.sum() < self.min_mask_area:
+                    valid[i, k] = False
+                    continue
+                cands.append(
+                    {
+                        "mask": m,
+                        "center": (
+                            tuple(np.asarray(dev["centers_scaled"][i, k]))
+                            if self.merge_fragments
+                            else (0.0, 0.0)
+                        ),
+                        "score": float(dev["center_vals"][i, k]),
+                    }
+                )
+            if self.merge_fragments and len(cands) >= 2:
+                cands = merge_instances(
+                    cands,
+                    np.asarray(dev["center_heatmap"][i]),
+                    np.asarray(dev["offsets"][i]),
+                    self.seg_output_stride,
+                    method=self.merge_method,
+                )
+            frame_masks = []
+            for c in cands:
+                m = mask_cleanup(c["mask"], self.min_mask_area)
                 if m.any():
-                    frame_masks.append(
-                        SegmentationMask(m, score=float(dev["center_vals"][i, k]))
-                    )
+                    frame_masks.append(SegmentationMask(m, score=c["score"]))
             out_masks.append(frame_masks)
         return {
             "pred_masks": out_masks,
             "pred_centroids": dev["centers"],
             "centroid_vals": dev["center_vals"],
-            "centroid_valid": dev["center_valid"],
+            "centroid_valid": valid,
         }
 
     def predict(self, images):
@@ -341,3 +377,245 @@ class TopDownSegmentationLayer:
 
     def predict(self, images):
         return self.finalize(self.predict_async(images))
+
+
+# --------------------------------------------------------------------------- #
+# Fragment merge: RAG over candidate masks + greedy / multicut agglomeration.
+#
+# Parity target: reference segmentation.py:410-780. Failure mode addressed:
+# one animal split into >=2 adjacent masks because two surviving center peaks
+# each claimed a half. The pieces are re-fused by scoring each TOUCHING pair
+# with a center-heatmap ridge signal (a deep valley between two centers means
+# two animals -> don't merge) blended with offset-agreement (do both masks'
+# pixels vote for one shared center?). Inert unless merge_fragments is on.
+# --------------------------------------------------------------------------- #
+
+
+def mask_predicted_centers(
+    mask: np.ndarray, offsets: np.ndarray, output_stride: int
+) -> np.ndarray:
+    """Offset-voted center (x, y) px for every fg pixel of a grid-res mask.
+
+    ``offsets`` is ``(H, W, 2)`` channel-last; the pixel-center convention
+    matches :func:`group_instances_from_offsets` (``grid*stride + stride/2``).
+    """
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros((0, 2), np.float64)
+    px = xs * float(output_stride) + output_stride / 2.0
+    py = ys * float(output_stride) + output_stride / 2.0
+    return np.stack([px + offsets[ys, xs, 0], py + offsets[ys, xs, 1]], axis=1)
+
+
+def contact_fraction(a: np.ndarray, b: np.ndarray, dilate_iters: int = 1) -> float:
+    """Symmetric touch fraction; >=1 dilation since candidate masks are disjoint."""
+    from scipy.ndimage import binary_dilation
+
+    iters = max(1, int(dilate_iters))
+    da = binary_dilation(a, iterations=iters)
+    db = binary_dilation(b, iterations=iters)
+    overlap = int((da & b).sum() + (a & db).sum())
+    if overlap == 0:
+        return 0.0
+    return overlap / max(1, min(int(a.sum()), int(b.sum())))
+
+
+def center_valley_ridge(
+    heatmap: np.ndarray,
+    ca: Tuple[float, float],
+    cb: Tuple[float, float],
+    peak_a: float,
+    peak_b: float,
+    n_samples: int = 48,
+) -> float:
+    """Ridge score along the center-line (grid coords), interior 70% only.
+
+    ~1 = the heatmap stays high between the two centers (one body -> merge);
+    ~0 = it dips to background (two animals -> keep apart).
+    """
+    h, w = heatmap.shape
+    t = np.linspace(0.0, 1.0, n_samples)[int(0.15 * n_samples):int(0.85 * n_samples)]
+    if len(t) == 0:
+        return 1.0
+    xi = np.clip(np.round(ca[0] + (cb[0] - ca[0]) * t).astype(int), 0, w - 1)
+    yi = np.clip(np.round(ca[1] + (cb[1] - ca[1]) * t).astype(int), 0, h - 1)
+    return float(np.clip(heatmap[yi, xi].min() / max(1e-6, min(peak_a, peak_b)), 0.0, 1.0))
+
+
+def offset_agreement(pa: np.ndarray, pb: np.ndarray, output_stride: int) -> float:
+    """~1 when both masks' pixels vote for one shared center; ~0 a body apart."""
+    if len(pa) == 0 or len(pb) == 0:
+        return 0.0
+    sep = float(np.hypot(*(pa.mean(0) - pb.mean(0))))
+    spread = float(0.5 * (pa.std(0).mean() + pb.std(0).mean()))
+    scale = max(spread, float(output_stride))
+    return float(np.exp(-(sep ** 2) / (2.0 * (2.0 * scale) ** 2)))
+
+
+def build_merge_rag(
+    instances: List[Dict],
+    center_heatmap: np.ndarray,
+    offsets: np.ndarray,
+    output_stride: int,
+    dilate_iters: int = 1,
+    w_valley: float = 1.0,
+    w_offset: float = 0.25,
+    contact_floor: float = 1e-3,
+) -> Dict[Tuple[int, int], float]:
+    """Edges (i<j) -> affinity in [0,1]; only touching pairs get an edge.
+
+    affinity = contact_gate * (w_valley*ridge + w_offset*agree)/(w_valley+w_offset)
+    with the contact gate saturating at contact=0.05. With both weights 0 the
+    affinity collapses to the raw contact gate (over-merges; ablation only).
+    """
+    n = len(instances)
+    voted = [mask_predicted_centers(i["mask"], offsets, output_stride) for i in instances]
+    half = output_stride / 2.0
+    edges: Dict[Tuple[int, int], float] = {}
+    wsum = w_valley + w_offset
+    for i in range(n):
+        for j in range(i + 1, n):
+            contact = contact_fraction(instances[i]["mask"], instances[j]["mask"], dilate_iters)
+            if contact <= contact_floor:
+                continue
+            gate = min(1.0, contact / 0.05)
+            if wsum <= 0:
+                edges[(i, j)] = gate
+                continue
+            # Invert the grid->px convention so the sampled line has no
+            # half-cell offset.
+            ca = tuple((c - half) / output_stride for c in instances[i]["center"])
+            cb = tuple((c - half) / output_stride for c in instances[j]["center"])
+            ridge = center_valley_ridge(
+                center_heatmap, ca, cb, instances[i]["score"], instances[j]["score"]
+            )
+            agree = offset_agreement(voted[i], voted[j], output_stride)
+            edges[(i, j)] = float(gate * (w_valley * ridge + w_offset * agree) / wsum)
+    return edges
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int):
+        self.parent[self.find(b)] = self.find(a)
+
+    def groups(self, n: int) -> List[set]:
+        out: Dict[int, set] = {}
+        for i in range(n):
+            out.setdefault(self.find(i), set()).add(i)
+        return list(out.values())
+
+
+def _materialize_groups(groups: List[set], instances: List[Dict]) -> List[Dict]:
+    """OR each group's masks; keep the best-scoring member's center/score."""
+    out = []
+    for g in groups:
+        members = sorted(g)
+        best = max(members, key=lambda k: instances[k]["score"])
+        mask = np.zeros_like(instances[members[0]]["mask"])
+        for k in members:
+            mask |= instances[k]["mask"]
+        out.append({"mask": mask, "center": instances[best]["center"],
+                    "score": instances[best]["score"]})
+    return out
+
+
+def merge_greedy_affinity(
+    instances: List[Dict],
+    edges: Dict[Tuple[int, int], float],
+    thresholds: Sequence[float] = (0.85, 0.6, 0.4),
+) -> List[Dict]:
+    """Greedy decreasing-threshold agglomeration; super-node affinity = mean."""
+    n = len(instances)
+    uf = _UnionFind(n)
+    aff: Dict[Tuple[int, int], List[float]] = {k: [v] for k, v in edges.items()}
+
+    def rekey():
+        new: Dict[Tuple[int, int], List[float]] = {}
+        for (a, b), vals in aff.items():
+            ra, rb = uf.find(a), uf.find(b)
+            if ra != rb:
+                new.setdefault((min(ra, rb), max(ra, rb)), []).extend(vals)
+        return new
+
+    for thr in thresholds:
+        while True:
+            live = [((a, b), float(np.mean(v))) for (a, b), v in aff.items()
+                    if uf.find(a) != uf.find(b)]
+            if not live:
+                break
+            (a, b), best = max(live, key=lambda kv: kv[1])
+            if best < thr:
+                break
+            uf.union(uf.find(a), uf.find(b))
+            aff = rekey()
+    return _materialize_groups(uf.groups(n), instances)
+
+
+def merge_multicut_greedy(
+    instances: List[Dict],
+    edges: Dict[Tuple[int, int], float],
+    join_bias: float = 0.5,
+) -> List[Dict]:
+    """Greedy correlation clustering: contract the most-attractive edge while
+    any positive logit-cost edge remains; parallel edge costs sum."""
+    import math
+
+    def logit(p: float) -> float:
+        p = min(max(p, 1e-4), 1 - 1e-4)
+        return math.log(p / (1 - p))
+
+    n = len(instances)
+    uf = _UnionFind(n)
+    cost: Dict[Tuple[int, int], float] = {
+        k: logit(v) - logit(join_bias) for k, v in edges.items()
+    }
+    while True:
+        live = [((a, b), c) for (a, b), c in cost.items() if uf.find(a) != uf.find(b)]
+        live = [kv for kv in live if kv[1] > 0.0]
+        if not live:
+            break
+        (a, b), _ = max(live, key=lambda kv: kv[1])
+        uf.union(uf.find(a), uf.find(b))
+        new: Dict[Tuple[int, int], float] = {}
+        for (x, y), c in cost.items():
+            rx, ry = uf.find(x), uf.find(y)
+            if rx != ry:
+                k = (min(rx, ry), max(rx, ry))
+                new[k] = new.get(k, 0.0) + c
+        cost = new
+    return _materialize_groups(uf.groups(n), instances)
+
+
+def merge_instances(
+    instances: List[Dict],
+    center_heatmap: np.ndarray,
+    offsets: np.ndarray,
+    output_stride: int,
+    method: str = "greedy",
+    dilate_iters: int = 1,
+    w_valley: float = 1.0,
+    w_offset: float = 0.25,
+    thresholds: Sequence[float] = (0.85, 0.6, 0.4),
+    join_bias: float = 0.5,
+) -> List[Dict]:
+    """Fuse over-segmented fragments of one animal via a RAG over masks."""
+    if len(instances) < 2:
+        return list(instances)
+    edges = build_merge_rag(
+        instances, center_heatmap, offsets, output_stride,
+        dilate_iters=dilate_iters, w_valley=w_valley, w_offset=w_offset,
+    )
+    if not edges:
+        return list(instances)
+    if method == "multicut":
+        return merge_multicut_greedy(instances, edges, join_bias=join_bias)
+    return merge_greedy_affinity(instances, edges, thresholds=thresholds)

@@ -237,3 +237,77 @@ def test_topdown_segmentation_e2e(topdown_seg_models):
             covered += 1
     assert covered == 2, [m.area for m in lf.masks]
     assert all(m.score > 0.5 for m in lf.masks)
+
+
+def _merge_fixture(ridge: bool):
+    """Two abutting half-masks; heatmap has a ridge or a valley between centers."""
+    from sleap_nn_tpu.inference.segmentation import merge_instances
+
+    h = w = 64
+    left = np.zeros((h, w), bool); left[28:36, 10:32] = True
+    right = np.zeros((h, w), bool); right[28:36, 32:54] = True
+    ca, cb = (21 * 2 + 1.0, 32 * 2 + 1.0), (43 * 2 + 1.0, 32 * 2 + 1.0)
+    hm = np.zeros((h, w), np.float32)
+    yy, xx = np.mgrid[:h, :w]
+    for cx, cy in ((21, 32), (43, 32)):
+        hm = np.maximum(hm, np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 40.0))
+    if ridge:
+        hm[30:35, 20:46] = np.maximum(hm[30:35, 20:46], 0.9)
+    offsets = np.zeros((h, w, 2), np.float32)
+    if ridge:
+        # Both halves vote for the shared mid center (one body).
+        mid = (32 * 2 + 1.0, 32 * 2 + 1.0)
+        for m in (left, right):
+            ys, xs = np.nonzero(m)
+            offsets[ys, xs, 0] = mid[0] - (xs * 2 + 1.0)
+            offsets[ys, xs, 1] = mid[1] - (ys * 2 + 1.0)
+    else:
+        # Each animal's pixels vote for its own center.
+        for m, c in ((left, ca), (right, cb)):
+            ys, xs = np.nonzero(m)
+            offsets[ys, xs, 0] = c[0] - (xs * 2 + 1.0)
+            offsets[ys, xs, 1] = c[1] - (ys * 2 + 1.0)
+    cands = [
+        {"mask": left, "center": ca, "score": 0.9},
+        {"mask": right, "center": cb, "score": 0.85},
+    ]
+    return cands, hm, offsets, merge_instances
+
+
+def test_fragment_merge_ridge_merges():
+    cands, hm, offsets, merge_instances = _merge_fixture(ridge=True)
+    out = merge_instances(cands, hm, offsets, 2)
+    assert len(out) == 1
+    assert out[0]["mask"].sum() == cands[0]["mask"].sum() + cands[1]["mask"].sum()
+    assert out[0]["score"] == 0.9  # best member kept
+    # Multicut path agrees.
+    out2 = merge_instances(cands, hm, offsets, 2, method="multicut")
+    assert len(out2) == 1
+
+
+def test_fragment_merge_valley_keeps_apart():
+    cands, hm, offsets, merge_instances = _merge_fixture(ridge=False)
+    out = merge_instances(cands, hm, offsets, 2)
+    assert len(out) == 2
+    out2 = merge_instances(cands, hm, offsets, 2, method="multicut")
+    assert len(out2) == 2
+    # Non-touching masks: no edges -> unchanged.
+    far = [dict(cands[0]), dict(cands[1])]
+    far[1] = dict(far[1], mask=np.roll(far[1]["mask"], 20, axis=0))
+    out3 = merge_instances(far, hm, offsets, 2)
+    assert len(out3) == 2
+
+
+def test_merge_fragments_e2e(seg_model):
+    """The tiny model over-segments each fly (duplicate center peaks); the
+    fragment-merge must fuse the within-animal pieces back to 2 animals
+    without fusing the two distinct flies (valley between them)."""
+    labels = load_slp(FIXTURE)
+    base = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2)
+    merged = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2,
+                     merge_fragments=True)
+    assert len(merged[0].masks) <= len(base[0].masks)
+    assert len(merged[0].masks) == 2  # one mask per GT fly
+    # Merged masks absorbed the fragments: total area is preserved-ish
+    # (mask_cleanup may trim, never grow).
+    assert sum(m.area for m in merged[0].masks) >= max(m.area for m in base[0].masks)
