@@ -60,6 +60,10 @@ def _inference_options(f):
                      help="bfloat16 forward pass (TPU fast path)."),
         click.option("--paf-workers", default=0, show_default=True,
                      help="Worker processes for bottom-up PAF grouping (0 = inline)."),
+        click.option("--output-format", "output_format", multiple=True,
+                     type=click.Choice(["slp", "analysis_h5"]),
+                     help="Repeatable; default slp. analysis_h5 writes one "
+                          "SLEAP Analysis HDF5 per video."),
         click.option("--merge-fragments/--no-merge-fragments", default=False,
                      show_default=True,
                      help="Fuse over-segmented mask fragments (bottom-up segmentation)."),
@@ -100,6 +104,8 @@ def _run_inference(**kw):
                   "tracking_max_tracks", "tracking_use_flow"):
             kw.pop(k)
 
+    out_fmt = kw.pop("output_format") or ("slp",)
+    kw["output_format"] = list(out_fmt)
     data_path = kw.pop("data_path")
     model_paths = list(kw.pop("model_paths"))
     output_path = kw.pop("output_path")

@@ -25,6 +25,7 @@ def predict(
     paf_workers: int = 0,
     merge_fragments: bool = False,
     crop_size: Optional[int] = None,
+    output_format: Union[str, Sequence[str]] = "slp",
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
@@ -83,5 +84,39 @@ def predict(
         trk = tracker or Tracker.from_config(**tracker_kwargs)
         result = trk.track_labels(result)
     if make_labels and output_path is not None:
-        result.save(output_path)
+        save_predictions(result, output_path, output_format=output_format)
     return result
+
+
+def _normalize_output_formats(output_format) -> set:
+    formats = (
+        {output_format} if isinstance(output_format, str) else set(output_format)
+    )
+    bad = formats - {"slp", "analysis_h5"}
+    if bad:
+        raise ValueError(
+            f"Unknown output_format {sorted(bad)}; expected 'slp' and/or 'analysis_h5'."
+        )
+    return formats
+
+
+def save_predictions(
+    labels: Labels,
+    output_path,
+    output_format: Union[str, Sequence[str]] = "slp",
+    video_index: Optional[int] = None,
+    embed: bool = False,
+):
+    """Save predictions as .slp and/or SLEAP Analysis HDF5 (reference run.py:208).
+
+    Returns the list of analysis HDF5 paths written (empty unless
+    'analysis_h5' was requested).
+    """
+    from sleap_nn_tpu.io.analysis import save_analysis_h5_files
+
+    formats = _normalize_output_formats(output_format)
+    if "slp" in formats:
+        labels.save(str(output_path), embed=embed)
+    if "analysis_h5" in formats:
+        return save_analysis_h5_files(labels, output_path, video_index=video_index)
+    return []
