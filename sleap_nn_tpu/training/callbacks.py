@@ -236,6 +236,23 @@ class EpochEndEvaluationCallback(Callback):
 
         render = make_render_fn(trainer.ctx, train=False)
         mtype = trainer.model_type
+
+        if mtype in ("bottomup_segmentation", "semantic_segmentation",
+                     "centered_instance_segmentation"):
+            # Segmentation family: foreground IoU vs the rendered GT mask
+            # (reference SegmentationEvaluationCallback, callbacks.py:1542).
+            inter = union = 0.0
+            for batch in trainer.val_loader:
+                processed = render({k: jnp.asarray(v) for k, v in batch.items()})
+                preds = trainer.model.apply(trainer.params, processed["image"])
+                fg = np.asarray(jax.nn.sigmoid(preds["SegmentationHead"][..., 0])) > 0.5
+                gt = np.asarray(processed["segmentation"][..., 0]) > 0.5
+                mask = np.asarray(batch["batch_mask"], bool)
+                fg, gt = fg[mask], gt[mask]
+                inter += float(np.logical_and(fg, gt).sum())
+                union += float(np.logical_or(fg, gt).sum())
+            return {"val/fg_iou": inter / union if union else 0.0}
+
         cm_head = next((h for h in trainer.model.heads if "Confmaps" in h.name), None)
         if cm_head is None:
             return {}

@@ -143,3 +143,28 @@ def test_epoch_end_evaluation_callback(tmp_path):
     assert "val/dist.avg" in history[-1] or "val/mOKS" in history[-1]
     csv_text = (Path(tmp_path) / "test_single_instance" / "training_log.csv").read_text()
     assert "val/dist.avg" in csv_text or "val/mOKS" in csv_text
+
+
+def test_epoch_end_evaluation_segmentation(tmp_path):
+    """Segmentation model types log val/fg_iou from the eval callback."""
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.5
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.semantic_segmentation.segmentation.output_stride": 2,
+        "trainer_config.eval.enabled": True,
+        "trainer_config.eval.frequency": 1,
+    })
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.enable_progress_bar = False
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert "val/fg_iou" in history[-1]
+    assert 0.0 <= history[-1]["val/fg_iou"] <= 1.0
