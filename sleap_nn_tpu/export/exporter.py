@@ -221,8 +221,13 @@ def verify_export_numerics(export_dir, eager_fn, x: np.ndarray, atol: float = 1e
     report = {"ok": True, "max_abs_diff": {}}
     for k in out_r:
         a, b = np.asarray(out_e[k], dtype=np.float64), np.asarray(out_r[k], dtype=np.float64)
-        both_nan = np.isnan(a) & np.isnan(b)
-        d = np.abs(np.where(both_nan, 0.0, a - b))
+        # Matching non-finite sentinels (NaN pads, -inf masked scores) are
+        # equal; a NaN/inf on one side only is a real mismatch.
+        same_sentinel = (np.isnan(a) & np.isnan(b)) | (
+            np.isinf(a) & np.isinf(b) & (np.sign(a) == np.sign(b))
+        )
+        with np.errstate(invalid="ignore"):
+            d = np.abs(np.where(same_sentinel, 0.0, a - b))
         d = np.nan_to_num(d, nan=np.inf)
         md = float(d.max()) if d.size else 0.0
         report["max_abs_diff"][k] = md

@@ -575,10 +575,12 @@ class ExportedLayer:
     Parity target: reference inference/layers/exported.py:71-562.
     """
 
-    def __init__(self, call, meta):
+    def __init__(self, call, meta, paf_scorer=None, max_instances: Optional[int] = None):
         self.call = call
         self.meta = meta
         self.batch_size = int(meta.input_shape[0])
+        self.paf_scorer = paf_scorer
+        self.max_instances = max_instances
 
     def predict_async(self, images):
         import jax.numpy as jnp
@@ -620,6 +622,22 @@ class ExportedLayer:
         if self.meta.model_type == "single_instance":
             out["pred_keypoints"] = out["pred_keypoints"][:, None]
             out["pred_peak_values"] = out["pred_peak_values"][:, None]
+        elif self.meta.model_type == "bottomup":
+            # The exported graph bakes the device half (dense PAF scoring);
+            # the host Hungarian/greedy grouping runs here, identical to the
+            # live BottomUpLayer (grouped peaks already in original coords).
+            from sleap_nn_tpu.inference.streaming import group_batch_host
+
+            out = group_batch_host(
+                {
+                    "grouped_peaks": out["grouped_peaks"],
+                    "grouped_vals": out["grouped_vals"],
+                    "scores": out["paf_scores"],
+                    "lift": 1.0,
+                },
+                self.paf_scorer,
+                self.max_instances,
+            )
         return out
 
     def predict(self, images):
@@ -627,27 +645,52 @@ class ExportedLayer:
 
 
 def from_export_dir(
-    export_dir, batch_size: Optional[int] = None
+    export_dir, batch_size: Optional[int] = None,
+    max_instances: Optional[int] = None,
+    min_line_scores: float = 0.25,
 ) -> Predictor:
     """Build a Predictor from a serialized export dir (reference: predictor.py:1124).
 
-    Currently supports single_instance and centroid exports (whose graphs
-    emit final keypoints); topdown/bottomup exports require the host
-    grouping stage and are loaded via their source model dirs instead.
+    Supports single_instance / centroid exports (whose graphs emit final
+    keypoints) and bottomup exports (the graph bakes the dense PAF scoring;
+    the host grouping stage is reconstructed from the export's
+    training_config.yaml). Topdown exports load via their source model dirs.
     """
     from sleap_nn_tpu.export import load_exported_model
 
     call, meta = load_exported_model(export_dir)
-    layer = ExportedLayer(call, meta)
     skel = Skeleton(nodes=list(meta.skeleton_nodes) or ["centroid"],
                     edges=list(meta.skeleton_edges))
-    model_type = meta.model_type if meta.model_type in ("single_instance", "centroid") else None
-    if model_type is None:
-        raise NotImplementedError(
-            f"from_export_dir supports single_instance/centroid exports; "
-            f"got {meta.model_type}."
+
+    if meta.model_type == "bottomup":
+        from sleap_nn_tpu.config import TrainingJobConfig
+
+        cfg_path = Path(export_dir) / "training_config.yaml"
+        if not cfg_path.exists():
+            raise FileNotFoundError(
+                f"bottomup export needs training_config.yaml for the PAF "
+                f"grouping stage; not found under {export_dir}."
+            )
+        head = get_head_config(TrainingJobConfig.load_yaml(str(cfg_path)))
+        scorer = PAFScorer(
+            part_names=head.confmaps.part_names,
+            edges=[tuple(e) for e in head.pafs.edges],
+            pafs_stride=head.pafs.output_stride,
+            min_line_scores=min_line_scores,
         )
-    p = Predictor(layer, model_type, skel, [], batch_size or layer.batch_size)
+        layer = ExportedLayer(call, meta, paf_scorer=scorer,
+                              max_instances=max_instances)
+        p = Predictor(layer, "bottomup", skel, [], batch_size or layer.batch_size)
+        p.filters = None
+        return p
+
+    if meta.model_type not in ("single_instance", "centroid"):
+        raise NotImplementedError(
+            f"from_export_dir supports single_instance/centroid/bottomup "
+            f"exports; got {meta.model_type}."
+        )
+    layer = ExportedLayer(call, meta)
+    p = Predictor(layer, meta.model_type, skel, [], batch_size or layer.batch_size)
     p.filters = None
     return p
 

@@ -63,6 +63,19 @@ def predict(
             overlay_path=sam_overlay_path,
             frames=frames,
         )
+    # A single -m pointing at a serialized export dir loads the baked graph
+    # (reference run.py export_dir path).
+    if len(model_paths) == 1:
+        mp = Path(model_paths[0])
+        if (mp / "metadata.json").exists() and (mp / "model.stablehlo").exists():
+            predictor = Predictor.from_export_dir(
+                mp, max_instances=max_instances, min_line_scores=min_line_scores
+            )
+            result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
+            if make_labels and output_path is not None:
+                save_predictions(result, output_path, output_format=output_format)
+            return result
+
     predictor = Predictor.from_model_paths(
         model_paths,
         peak_threshold=peak_threshold,

@@ -182,3 +182,23 @@ def test_bottomup_paf_pool_parity(bottomup_model, gt):
     for pa, pb in zip(a, b):
         np.testing.assert_allclose(pa.numpy(), pb.numpy(), equal_nan=True)
         assert pa.score == pb.score
+
+
+def test_bottomup_export_roundtrip(bottomup_model, gt, tmp_path):
+    """Exported bottomup graph + host grouping matches the live predictor."""
+    from sleap_nn_tpu.export import export_model
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    labels, _ = gt
+    live = predict(labels, [bottomup_model], make_labels=True, peak_threshold=0.2)
+
+    out_dir = export_model(bottomup_model, tmp_path / "exp", batch_size=1,
+                           peak_threshold=0.2)
+    p = Predictor.from_export_dir(out_dir)
+    exported = p.predict(labels)
+
+    a = sorted(live[0].predicted_instances, key=lambda i: np.nansum(i.numpy()))
+    b = sorted(exported[0].predicted_instances, key=lambda i: np.nansum(i.numpy()))
+    assert len(a) == len(b) == 2
+    for ia, ib in zip(a, b):
+        np.testing.assert_allclose(ia.numpy(), ib.numpy(), atol=1e-3, equal_nan=True)
