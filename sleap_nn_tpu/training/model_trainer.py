@@ -415,7 +415,15 @@ class ModelTrainer:
         self.setup()
         cfg = self.config
         self._log_all("on_train_start")
+        # Effective steps per epoch (reference trainer_config.py:338-371 /
+        # Lightning limit_train_batches): an explicit train_steps_per_epoch
+        # wins; otherwise max(n_batches, min_train_steps_per_epoch) so tiny
+        # datasets still take a full optimization epoch by re-drawing data.
         steps_cap = cfg.trainer_config.train_steps_per_epoch
+        if steps_cap is None:
+            steps_cap = max(
+                len(self.train_loader), cfg.trainer_config.min_train_steps_per_epoch
+            )
 
         try:
             for epoch in range(self.current_epoch, cfg.trainer_config.max_epochs):

@@ -301,6 +301,7 @@ def test_tiled_training_smoke(labels, tmp_path):
         "data_config.preprocessing.tiling.samples_per_frame": 4,
     })
     cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 2
     cfg.trainer_config.val_data_loader.batch_size = 2
     cfg.trainer_config.enable_progress_bar = False

@@ -37,6 +37,7 @@ def _train(model_type: str, out_dir, epochs=80, **overrides):
             "model_config.head_configs.bottomup.pafs.sigma": 10.0,
         })
     cfg.trainer_config.max_epochs = epochs
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 1
     cfg.trainer_config.val_data_loader.batch_size = 1
     cfg.trainer_config.save_ckpt = True

@@ -58,6 +58,7 @@ def _train(model_type, labels_path, out_dir, epochs=80):
             "model_config.head_configs.centroid.confmaps.sigma": 3.5,
         })
     cfg.trainer_config.max_epochs = epochs
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 1
     cfg.trainer_config.val_data_loader.batch_size = 1
     cfg.trainer_config.save_ckpt = True

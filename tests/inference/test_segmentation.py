@@ -109,6 +109,7 @@ def seg_model(tmp_path_factory):
         "model_config.head_configs.bottomup_segmentation.offsets.output_stride": 2,
     })
     cfg.trainer_config.max_epochs = 120
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 1
     cfg.trainer_config.val_data_loader.batch_size = 1
     cfg.trainer_config.save_ckpt = True
@@ -193,6 +194,7 @@ def topdown_seg_models(tmp_path_factory):
             **overrides,
         })
         cfg.trainer_config.max_epochs = epochs
+        cfg.trainer_config.min_train_steps_per_epoch = 1
         cfg.trainer_config.train_data_loader.batch_size = 1
         cfg.trainer_config.val_data_loader.batch_size = 1
         cfg.trainer_config.save_ckpt = True

@@ -40,6 +40,7 @@ model_config:
         output_stride: 2
 trainer_config:
   max_epochs: 25
+  min_train_steps_per_epoch: 1
   train_data_loader: {{batch_size: 1}}
   val_data_loader: {{batch_size: 1}}
   save_ckpt: true

@@ -36,6 +36,7 @@ def make_cfg(model_type: str, tmp_path, **over):
             "model_config.head_configs.bottomup.pafs.output_stride": 4,
         })
     cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 2
     cfg.trainer_config.val_data_loader.batch_size = 2
     cfg.trainer_config.save_ckpt = True
@@ -77,6 +78,7 @@ def test_train_two_epochs(model_type, tmp_path):
 def test_loss_decreases(tmp_path):
     cfg = make_cfg("single_instance", tmp_path)
     cfg.trainer_config.max_epochs = 10
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_steps_per_epoch = 5
     trainer = ModelTrainer.get_model_trainer_from_config(cfg)
     history = trainer.train()
@@ -101,6 +103,7 @@ def test_scheduler_and_ohkm(tmp_path):
 def test_early_stopping(tmp_path):
     cfg = make_cfg("single_instance", tmp_path)
     cfg.trainer_config.max_epochs = 50
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.optimizer.lr = 0.0  # loss frozen -> plateau
     apply_overrides(cfg, {
         "trainer_config.early_stopping.patience": 2,
@@ -114,6 +117,7 @@ def test_early_stopping(tmp_path):
 def test_viz_callback_and_keep_viz(tmp_path):
     cfg = make_cfg("single_instance", tmp_path)
     cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.visualize_preds_during_training = True
     cfg.trainer_config.keep_viz = True
     trainer = ModelTrainer.get_model_trainer_from_config(cfg)
@@ -126,6 +130,7 @@ def test_viz_callback_and_keep_viz(tmp_path):
     # keep_viz=False removes the viz dir at train end.
     cfg2 = make_cfg("single_instance", tmp_path, **{"trainer_config.run_name": "no_keep"})
     cfg2.trainer_config.max_epochs = 1
+    cfg2.trainer_config.min_train_steps_per_epoch = 1
     cfg2.trainer_config.visualize_preds_during_training = True
     cfg2.trainer_config.keep_viz = False
     ModelTrainer.get_model_trainer_from_config(cfg2).train()
@@ -135,6 +140,7 @@ def test_viz_callback_and_keep_viz(tmp_path):
 def test_epoch_end_evaluation_callback(tmp_path):
     cfg = make_cfg("single_instance", tmp_path)
     cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     apply_overrides(cfg, {"trainer_config.eval.enabled": True,
                           "trainer_config.eval.frequency": 1})
     trainer = ModelTrainer.get_model_trainer_from_config(cfg)
@@ -161,6 +167,7 @@ def test_epoch_end_evaluation_segmentation(tmp_path):
         "trainer_config.eval.frequency": 1,
     })
     cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
     cfg.trainer_config.train_data_loader.batch_size = 1
     cfg.trainer_config.val_data_loader.batch_size = 1
     cfg.trainer_config.enable_progress_bar = False
