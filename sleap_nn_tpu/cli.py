@@ -56,6 +56,23 @@ def _inference_options(f):
         click.option("--peak-threshold", default=0.2, show_default=True),
         click.option("--max-instances", default=None, type=int),
         click.option("--max-peaks", default=200, show_default=True),
+        click.option("--refinement", default="integral", show_default=True,
+                     type=click.Choice(["integral", "local", "none"])),
+        click.option("--integral-patch-size", default=5, show_default=True),
+        click.option("--no-empty-frames/--keep-empty-frames", "no_empty_frames",
+                     default=False, show_default=True,
+                     help="Drop frames with no predictions before saving."),
+        click.option("--filter-min-visible-nodes", default=None, type=int,
+                     help="Drop instances with fewer visible nodes."),
+        click.option("--filter-min-node-confidence", default=None, type=float,
+                     help="NaN-out nodes below this confidence."),
+        click.option("--filter-min-instance-score", default=None, type=float,
+                     help="Drop instances below this score."),
+        click.option("--filter-overlapping-method", default=None,
+                     type=click.Choice(["iou", "oks"]),
+                     help="Suppress overlapping instances by IoU/OKS."),
+        click.option("--filter-overlapping-threshold", default=0.8,
+                     show_default=True),
         click.option("--use-bf16/--no-use-bf16", default=False, show_default=True,
                      help="bfloat16 forward pass (TPU fast path)."),
         click.option("--paf-workers", default=0, show_default=True,
@@ -106,6 +123,19 @@ def _run_inference(**kw):
 
     out_fmt = kw.pop("output_format") or ("slp",)
     kw["output_format"] = list(out_fmt)
+
+    from sleap_nn_tpu.inference.filters import FilterConfig
+
+    fc = FilterConfig(
+        min_node_count=kw.pop("filter_min_visible_nodes"),
+        min_node_confidence=kw.pop("filter_min_node_confidence"),
+        min_instance_score=kw.pop("filter_min_instance_score"),
+        overlap_method=kw.pop("filter_overlapping_method"),
+        overlap_threshold=kw.pop("filter_overlapping_threshold"),
+    )
+    if fc.enabled():
+        kw["filters"] = fc
+    kw["no_empty_frames"] = kw.pop("no_empty_frames")
     data_path = kw.pop("data_path")
     model_paths = list(kw.pop("model_paths"))
     output_path = kw.pop("output_path")

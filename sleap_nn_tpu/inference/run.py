@@ -26,6 +26,8 @@ def predict(
     merge_fragments: bool = False,
     crop_size: Optional[int] = None,
     output_format: Union[str, Sequence[str]] = "slp",
+    filters=None,
+    no_empty_frames: bool = False,
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
@@ -89,6 +91,7 @@ def predict(
         paf_workers=paf_workers,
         merge_fragments=merge_fragments,
         crop_size=crop_size,
+        filters=filters,
     )
     result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
     if make_labels and (tracking or tracker is not None):
@@ -96,6 +99,12 @@ def predict(
 
         trk = tracker or Tracker.from_config(**tracker_kwargs)
         result = trk.track_labels(result)
+    if make_labels and no_empty_frames:
+        # Mirror the reference --no_empty_frames: drop frames with nothing on
+        # them (neither instances nor masks) before saving.
+        result.labeled_frames = [
+            lf for lf in result.labeled_frames if lf.instances or lf.masks
+        ]
     if make_labels and output_path is not None:
         save_predictions(result, output_path, output_format=output_format)
     return result

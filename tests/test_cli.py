@@ -181,3 +181,19 @@ def test_exported_predictor(trained_model, tmp_path):
     # Provider pads to the exported batch; the valid mask marks real rows.
     assert raw[0]["pred_keypoints"].shape[1] == 1  # instance axis added
     assert raw[0]["valid"].sum() == 1
+
+
+def test_predict_filters_and_no_empty_frames(trained_model):
+    """CLI filter flags drop low-score instances; --no-empty-frames drops frames."""
+    from sleap_nn_tpu.io import load_slp
+
+    runner = CliRunner()
+    out = "/tmp/test_cli_filtered.slp"
+    result = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model,
+        "-o", out, "--filter-min-instance-score", "2.0",  # impossible score
+        "--no-empty-frames",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "Predicted 0 frames, 0 instances" in result.output
+    assert len(load_slp(out)) == 0
