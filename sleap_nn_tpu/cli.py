@@ -59,6 +59,10 @@ def _inference_options(f):
         click.option("--refinement", default="integral", show_default=True,
                      type=click.Choice(["integral", "local", "none"])),
         click.option("--integral-patch-size", default=5, show_default=True),
+        click.option("--only-suggested-frames/--all-frames", "only_suggested_frames",
+                     default=False, show_default=True,
+                     help="Predict on the .slp's suggested frames instead of "
+                          "its labeled frames."),
         click.option("--no-empty-frames/--keep-empty-frames", "no_empty_frames",
                      default=False, show_default=True,
                      help="Drop frames with no predictions before saving."),

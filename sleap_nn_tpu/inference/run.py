@@ -28,6 +28,7 @@ def predict(
     output_format: Union[str, Sequence[str]] = "slp",
     filters=None,
     no_empty_frames: bool = False,
+    only_suggested_frames: bool = False,
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
@@ -50,6 +51,29 @@ def predict(
     and the call short-circuits to SAM prompted segmentation — no trained
     model is involved (reference run.py:481 SAM short-circuit).
     """
+    if only_suggested_frames:
+        # GUI workflow: predict on the .slp's suggested frames (which may be
+        # unlabeled) instead of its labeled frames (reference cli.py:680).
+        from sleap_nn_tpu.io import load_slp
+        from sleap_nn_tpu.io.model import LabeledFrame, Labels as _Labels
+
+        labels = data_path if isinstance(data_path, Labels) else load_slp(str(data_path))
+        if not labels.suggestions:
+            raise ValueError(
+                "only_suggested_frames: the labels file has no suggestions."
+            )
+        wanted = set(frames) if frames else None
+        data_path = _Labels(
+            labeled_frames=[
+                LabeledFrame(video=s_.video, frame_idx=s_.frame_idx, instances=[])
+                for s_ in labels.suggestions
+                if wanted is None or s_.frame_idx in wanted
+            ],
+            videos=labels.videos,
+            skeletons=labels.skeletons,
+        )
+        frames = None
+
     if mask_backend is not None:
         from sleap_nn_tpu.inference.sam import run_sam_segmentation
 

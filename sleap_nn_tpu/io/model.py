@@ -117,6 +117,19 @@ class Skeleton:
 
 
 @dataclass
+class SuggestionFrame:
+    """A frame suggested for labeling/prediction (GUI workflow).
+
+    Mirrors sleap-io's SuggestionFrame: a (video, frame_idx) pointer with an
+    optional grouping id, persisted in the .slp ``suggestions_json`` rows.
+    """
+
+    video: object = None
+    frame_idx: int = 0
+    group: int = 0
+
+
+@dataclass
 class Track:
     """A track identity persisting across frames."""
 
@@ -327,13 +340,14 @@ class Labels:
         skeletons: Optional[List[Skeleton]] = None,
         tracks: Optional[List[Track]] = None,
         provenance: Optional[dict] = None,
+        suggestions: Optional[List["SuggestionFrame"]] = None,
     ):
         self.labeled_frames: List[LabeledFrame] = list(labeled_frames or [])
         self.videos = list(videos or [])
         self.skeletons = list(skeletons or [])
         self.tracks = list(tracks or [])
         self.provenance = dict(provenance or {})
-        self.suggestions: List = []
+        self.suggestions: List[SuggestionFrame] = list(suggestions or [])
         self._update_from_frames()
 
     def _update_from_frames(self):

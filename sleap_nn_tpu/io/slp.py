@@ -32,6 +32,7 @@ from sleap_nn_tpu.io.model import (
     Node,
     PredictedInstance,
     Skeleton,
+    SuggestionFrame,
     Track,
 )
 from sleap_nn_tpu.io.video import HDF5VideoBackend, Video
@@ -249,6 +250,9 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
         frames_ds = f["frames"][:] if "frames" in f else np.zeros(0, dtype=_FRAME_DTYPE)
         mask_meta = f["pred_masks_json"][:] if "pred_masks_json" in f else []
         mask_blobs = f["pred_masks_data"][:] if "pred_masks_data" in f else []
+        sugg_rows = []
+        if "suggestions_json" in f and f["suggestions_json"].shape[0]                 and f["suggestions_json"].dtype != np.float64:
+            sugg_rows = [json.loads(r) for r in f["suggestions_json"][:]]
 
     # Build instance objects indexed by instance_id.
     inst_by_id = {}
@@ -314,12 +318,24 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
             )
         )
 
+    suggestions = []
+    for row in sugg_rows:
+        vi = int(row.get("video", 0))
+        suggestions.append(
+            SuggestionFrame(
+                video=videos[vi] if 0 <= vi < len(videos) else None,
+                frame_idx=int(row.get("frame_idx", row.get("frame_id", 0))),
+                group=int(row.get("group") or 0),
+            )
+        )
+
     labels = Labels(
         labeled_frames=labeled_frames,
         videos=videos,
         skeletons=skeletons,
         tracks=tracks,
         provenance=metadata.get("provenance", {}),
+        suggestions=suggestions,
     )
     return labels
 
@@ -487,7 +503,21 @@ def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
             f.create_dataset("tracks_json", data=np.array(tracks_rows))
         else:
             f.create_dataset("tracks_json", data=np.zeros(0))
-        f.create_dataset("suggestions_json", data=np.zeros(0))
+        sugg = getattr(labels, "suggestions", None) or []
+        if sugg:
+            rows = [
+                json.dumps(
+                    {
+                        "video": str(video_idx.get(id(s_.video), 0)),
+                        "frame_idx": int(s_.frame_idx),
+                        "group": int(s_.group),
+                    }
+                ).encode()
+                for s_ in sugg
+            ]
+            f.create_dataset("suggestions_json", data=np.array(rows))
+        else:
+            f.create_dataset("suggestions_json", data=np.zeros(0))
 
         md = f.create_group("metadata")
         md.attrs["format_id"] = 1.2

@@ -203,3 +203,19 @@ def test_bottomup_export_roundtrip(bottomup_model, gt, tmp_path):
     assert len(a) == len(b) == 2
     for ia, ib in zip(a, b):
         np.testing.assert_allclose(ia.numpy(), ib.numpy(), atol=1e-3, equal_nan=True)
+
+
+def test_predict_only_suggested_frames(single_instance_model, gt):
+    from sleap_nn_tpu.io.model import SuggestionFrame
+
+    labels, _ = gt
+    labels.suggestions = [SuggestionFrame(video=labels.videos[0], frame_idx=0)]
+    out = predict(labels, [single_instance_model], only_suggested_frames=True,
+                  peak_threshold=0.05)
+    assert len(out) == 1 and out[0].frame_idx == 0
+    assert len(out[0].predicted_instances) == 1
+
+    labels.suggestions = []
+    import pytest
+    with pytest.raises(ValueError, match="no suggestions"):
+        predict(labels, [single_instance_model], only_suggested_frames=True)

@@ -77,3 +77,19 @@ def test_save_predictions_formats(tmp_path):
     assert not out2.exists() and len(h5s2) == 1
     with pytest.raises(ValueError, match="output_format"):
         save_predictions(labels, out, output_format="csv")
+
+
+def test_suggestions_roundtrip(tmp_path):
+    from sleap_nn_tpu.io import load_slp, save_slp
+    from sleap_nn_tpu.io.model import SuggestionFrame
+
+    labels = make_labels()
+    labels.suggestions = [
+        SuggestionFrame(video=labels.videos[0], frame_idx=5, group=0),
+        SuggestionFrame(video=labels.videos[0], frame_idx=9, group=1),
+    ]
+    path = tmp_path / "sugg.slp"
+    save_slp(str(path), labels)
+    back = load_slp(str(path))
+    assert [(s.frame_idx, s.group) for s in back.suggestions] == [(5, 0), (9, 1)]
+    assert back.suggestions[0].video is back.videos[0]
