@@ -54,6 +54,10 @@ def _inference_options(f):
         click.option("--frames", default=None, help="Frame range like 0-100 or comma list."),
         click.option("--batch-size", default=4, show_default=True),
         click.option("--peak-threshold", default=0.2, show_default=True),
+        click.option("--centroid-peak-threshold", default=None, type=float,
+                     help="Separate stage-1 (centroid) threshold for topdown."),
+        click.option("--video-index", default=None, type=int,
+                     help="Restrict a multi-video .slp source to one video."),
         click.option("--max-instances", default=None, type=int),
         click.option("--max-peaks", default=200, show_default=True),
         click.option("--refinement", default="integral", show_default=True,
@@ -259,10 +263,13 @@ def track_only(data_path, output_path, window_size, scoring_method, max_tracks,
 @click.option("--predictions", "-p", "predictions", required=True, type=click.Path(exists=True))
 @click.option("--save-metrics", default=None, help="Optional .npz output path.")
 @click.option("--oks-stddev", default=0.025, show_default=True)
+@click.option("--oks-scale", default=None, type=float,
+              help="Fixed OKS object scale (default: GT bbox area).")
 @click.option("--match-threshold", default=0.0, show_default=True)
 @click.option("--match-method", default="oks", show_default=True,
-              type=click.Choice(["oks", "centroid", "auto"]))
-def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, match_threshold, match_method):
+              type=click.Choice(["oks", "centroid", "mask", "semantic", "auto"]))
+def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, oks_scale,
+             match_threshold, match_method):
     """Evaluate predictions against ground truth labels."""
     from sleap_nn_tpu.evaluation import run_evaluation
 
@@ -270,6 +277,7 @@ def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, match_threshol
         ground_truth,
         predictions,
         oks_stddev=oks_stddev,
+        oks_scale=oks_scale,
         match_threshold=match_threshold,
         match_method=match_method,
         save_metrics=save_metrics,

@@ -93,6 +93,7 @@ class Predictor:
         filters=None,
         paf_workers: int = 0,
         merge_fragments: bool = False,
+        centroid_peak_threshold: Optional[float] = None,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
@@ -147,6 +148,8 @@ class Predictor:
             i_head = get_head_config(mi.config).confmaps
             post_c = post_for(mc)
             post_c.max_instances = max_instances or 20
+            if centroid_peak_threshold is not None:
+                post_c.peak_threshold = centroid_peak_threshold
             centroid_layer = CentroidLayer(
                 backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
             )
@@ -194,6 +197,8 @@ class Predictor:
             i_head_cfg = get_head_config(mi.config)
             post_c = post_for(mc)
             post_c.max_instances = max_instances or 20
+            if centroid_peak_threshold is not None:
+                post_c.peak_threshold = centroid_peak_threshold
             centroid_layer = CentroidLayer(
                 backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
             )
@@ -246,6 +251,8 @@ class Predictor:
             s_head = get_head_config(ms.config).segmentation
             post_c = post_for(mc)
             post_c.max_instances = max_instances or 20
+            if centroid_peak_threshold is not None:
+                post_c.peak_threshold = centroid_peak_threshold
             centroid_layer = CentroidLayer(
                 backend_for(mc), _pre_config(mc), post_c, output_stride=c_head.output_stride
             )

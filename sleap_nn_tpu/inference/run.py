@@ -29,6 +29,8 @@ def predict(
     filters=None,
     no_empty_frames: bool = False,
     only_suggested_frames: bool = False,
+    centroid_peak_threshold: Optional[float] = None,
+    video_index: Optional[int] = None,
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
@@ -51,6 +53,28 @@ def predict(
     and the call short-circuits to SAM prompted segmentation — no trained
     model is involved (reference run.py:481 SAM short-circuit).
     """
+    if video_index is not None:
+        # Scope a multi-video .slp source to one video (reference cli.py
+        # _scope_labels_to_video, :1344): frames re-indexed to slot 0,
+        # suggestions carried.
+        from sleap_nn_tpu.io import load_slp
+        from sleap_nn_tpu.io.model import Labels as _Labels
+
+        labels = data_path if isinstance(data_path, Labels) else load_slp(str(data_path))
+        if not 0 <= video_index < len(labels.videos):
+            raise ValueError(
+                f"video_index {video_index} out of range: the source has "
+                f"{len(labels.videos)} video(s)."
+            )
+        target = labels.videos[video_index]
+        data_path = _Labels(
+            labeled_frames=[lf for lf in labels.labeled_frames if lf.video is target],
+            videos=[target],
+            skeletons=labels.skeletons,
+            suggestions=[s_ for s_ in labels.suggestions if s_.video is target],
+            provenance=dict(labels.provenance),
+        )
+
     if only_suggested_frames:
         # GUI workflow: predict on the .slp's suggested frames (which may be
         # unlabeled) instead of its labeled frames (reference cli.py:680).
@@ -116,6 +140,7 @@ def predict(
         merge_fragments=merge_fragments,
         crop_size=crop_size,
         filters=filters,
+        centroid_peak_threshold=centroid_peak_threshold,
     )
     result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
     if make_labels and (tracking or tracker is not None):

@@ -219,3 +219,21 @@ def test_predict_only_suggested_frames(single_instance_model, gt):
     import pytest
     with pytest.raises(ValueError, match="no suggestions"):
         predict(labels, [single_instance_model], only_suggested_frames=True)
+
+
+def test_video_index_and_centroid_threshold(centroid_model, centered_instance_model, gt):
+    labels, _ = gt
+    # Unreachable stage-1 threshold -> no centroids -> no instances.
+    out = predict(labels, [centroid_model, centered_instance_model],
+                  centroid_peak_threshold=2.0)
+    assert sum(len(lf.predicted_instances) for lf in out) == 0
+    # Normal threshold finds both instances.
+    out2 = predict(labels, [centroid_model, centered_instance_model])
+    assert len(out2[0].predicted_instances) == 2
+
+    # video_index scoping: index 0 works, out of range raises.
+    out3 = predict(labels, [centroid_model, centered_instance_model], video_index=0)
+    assert len(out3[0].predicted_instances) == 2
+    import pytest
+    with pytest.raises(ValueError, match="out of range"):
+        predict(labels, [centroid_model, centered_instance_model], video_index=3)
