@@ -252,6 +252,23 @@ class ModelTrainer:
         params = self.model.init(init_key, jnp.zeros_like(probe["image"]))
         if cfg.model_config.init_weights in ("default", "xavier"):
             params = xavier_init_params(params, xavier_key)
+        if cfg.trainer_config.resume_ckpt_path:
+            # Resume: restore params + epoch + best-val from a saved ckpt
+            # (reference trainer_config.py:349 resume_ckpt_path). The
+            # optimizer state restarts fresh (warm restart); the deterministic
+            # seeded splits keep train/val membership identical across runs.
+            state = self.load_checkpoint_params(cfg.trainer_config.resume_ckpt_path)
+            restored = state["params"]
+            want = jax.tree_util.tree_structure(params)
+            got = jax.tree_util.tree_structure(restored)
+            if want != got:
+                raise ValueError(
+                    f"resume_ckpt_path params do not match the configured "
+                    f"model architecture ({cfg.trainer_config.resume_ckpt_path})."
+                )
+            params = jax.tree_util.tree_map(jnp.asarray, restored)
+            self.current_epoch = int(state.get("epoch", -1)) + 1
+            self.best_val_loss = float(state.get("best_val_loss", math.inf))
         self.params = params
         cfg.model_config.total_params = int(
             sum(p.size for p in jax.tree_util.tree_leaves(params))

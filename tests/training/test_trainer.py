@@ -175,3 +175,33 @@ def test_epoch_end_evaluation_segmentation(tmp_path):
     history = trainer.train()
     assert "val/fg_iou" in history[-1]
     assert 0.0 <= history[-1]["val/fg_iou"] <= 1.0
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """resume_ckpt_path continues from the saved epoch with the saved params."""
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    t1 = ModelTrainer.get_model_trainer_from_config(cfg)
+    t1.train()
+    ckpt = str(Path(tmp_path) / "test_single_instance" / "best.ckpt")
+
+    cfg2 = make_cfg("single_instance", tmp_path)
+    cfg2.trainer_config.max_epochs = 4
+    cfg2.trainer_config.min_train_steps_per_epoch = 1
+    cfg2.trainer_config.run_name = "resumed"
+    cfg2.trainer_config.resume_ckpt_path = ckpt
+    t2 = ModelTrainer.get_model_trainer_from_config(cfg2)
+    history = t2.train()
+    # Resumed at epoch 2 -> only epochs 2 and 3 ran.
+    assert len(history) == 2 and t2.current_epoch == 3
+    # Loss continues from the trained point (well below a fresh init's).
+    assert history[0]["train/loss"] < t1.history[0]["train/loss"]
+
+    # Architecture mismatch is rejected.
+    cfg3 = make_cfg("centroid", tmp_path)
+    cfg3.trainer_config.min_train_steps_per_epoch = 1
+    cfg3.trainer_config.run_name = "bad_resume"
+    cfg3.trainer_config.resume_ckpt_path = ckpt
+    with pytest.raises((ValueError, Exception)):
+        ModelTrainer.get_model_trainer_from_config(cfg3).train()
