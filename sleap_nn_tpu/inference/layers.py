@@ -641,3 +641,57 @@ class TiledLayer(InferenceLayer):
             "peak_channels": channels,
             "peak_valid": valid,
         }
+
+
+class GTCentroidTopDownLayer(InferenceLayer):
+    """Centered-instance-only inference using GROUND-TRUTH centroids.
+
+    Parity target: the reference's centered-instance-only combo
+    (predictor.py:652 ``_build_centroid_layer_gt_only``): no centroid model —
+    the .slp source's instance centroids (anchor node or mean-of-visible)
+    drive the crop placement, and only the stage-2 model runs. Requires a
+    labels source; video sources have no centroids to use.
+    """
+
+    needs_gt_centroids = True
+
+    def __init__(self, instance_layer: CenteredInstanceLayer,
+                 max_instances: int = 20, crop_size: int = 160):
+        self.instance_layer = instance_layer
+        self.max_instances = max_instances
+        self.crop_size = crop_size
+        inst_pre = instance_layer.pre
+        crop = crop_size
+
+        def full(images, centroids_orig, valid):
+            """centroids_orig: (B, K, 2) in ORIGINAL image coords (NaN pads)."""
+            x2, eff2 = preprocess_images(inst_pre, images)
+            s = inst_pre.scale * eff2
+            cent2 = jnp.nan_to_num(centroids_orig * s, nan=-1e6)
+            b, k = cent2.shape[:2]
+            flat_c = cent2.reshape(b * k, 2)
+            bboxes = make_centered_bboxes(flat_c, crop, crop)
+            sample_inds = jnp.repeat(jnp.arange(b), k)
+            crops = crop_bboxes(x2, bboxes, sample_inds, crop, crop)
+            peaks, vals = instance_layer._fn(crops)
+            half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
+            top_left = jnp.trunc((flat_c - (crop - 1) / 2.0) + half) - half
+            peaks = (peaks + top_left[:, None, :]).reshape(b, k, -1, 2) / s
+            vals = vals.reshape(b, k, -1)
+            peaks = jnp.where(valid[..., None, None], peaks, jnp.nan)
+            vals = jnp.where(valid[..., None], vals, 0.0)
+            return {
+                "pred_keypoints": peaks,
+                "pred_peak_values": vals,
+                "pred_centroids": centroids_orig,
+                "centroid_vals": valid.astype(jnp.float32),
+                "instance_valid": valid,
+            }
+
+        self._full = jax.jit(full)
+
+    def predict_async(self, images, centroids=None, valid=None):
+        return self._full(jnp.asarray(images), jnp.asarray(centroids), jnp.asarray(valid))
+
+    def finalize(self, device_out):
+        return jax.device_get(device_out)

@@ -170,6 +170,25 @@ class Predictor:
             )
             return cls(layer, "topdown", skeleton_for(mi), loaded, batch_size)
 
+        if types == {"centered_instance"}:
+            from sleap_nn_tpu.inference.layers import GTCentroidTopDownLayer
+
+            mi = by_type["centered_instance"]
+            i_head = get_head_config(mi.config).confmaps
+            inst_pre = _pre_config(mi)
+            cs = crop_size or mi.config.data_config.preprocessing.crop_size
+            if cs is None:
+                raise ValueError("crop_size not set in centered-instance config.")
+            cs = int(round(cs * inst_pre.scale))
+            cs += (-cs) % inst_pre.max_stride
+            instance_layer = CenteredInstanceLayer(
+                backend_for(mi), inst_pre, post_for(mi), output_stride=i_head.output_stride
+            )
+            layer = GTCentroidTopDownLayer(
+                instance_layer, max_instances=max_instances or 20, crop_size=cs
+            )
+            return cls(layer, "topdown", skeleton_for(mi), loaded, batch_size)
+
         if types == {"multi_class_bottomup"}:
             from sleap_nn_tpu.inference.layers import BottomUpMultiClassLayer
 
@@ -307,16 +326,33 @@ class Predictor:
 
     # -- prediction -----------------------------------------------------------
     def _make_provider(self, data, frames=None):
+        needs_gt = getattr(self.layer, "needs_gt_centroids", False)
+        provider_kwargs = {"batch_size": self.batch_size}
+        if needs_gt:
+            provider_kwargs.update(
+                with_centroids=True,
+                max_instances=getattr(self.layer, "max_instances", 20),
+            )
         if isinstance(data, Labels):
-            return LabelsProvider(data, batch_size=self.batch_size)
+            return LabelsProvider(data, **provider_kwargs)
         if isinstance(data, (str, Path)):
             p = str(data)
             if p.endswith(".slp"):
                 from sleap_nn_tpu.io.slp import load_slp
 
-                return LabelsProvider(load_slp(p), batch_size=self.batch_size)
+                return LabelsProvider(load_slp(p), **provider_kwargs)
+            if needs_gt:
+                raise ValueError(
+                    "Centered-instance-only inference uses GROUND-TRUTH "
+                    "centroids and needs a .slp source (a video has none); "
+                    "pair the model with a centroid model for videos."
+                )
             return VideoProvider(p, batch_size=self.batch_size, frames=frames)
         if isinstance(data, Video):
+            if needs_gt:
+                raise ValueError(
+                    "Centered-instance-only inference needs a .slp source."
+                )
             return VideoProvider(data, batch_size=self.batch_size, frames=frames)
         raise ValueError(f"Unsupported data source: {type(data)}")
 
@@ -397,7 +433,13 @@ class Predictor:
                         + frames[..., 1] * 0.587
                         + frames[..., 2] * 0.114
                     ).astype(np.uint8)[..., None]
-                in_flight.append((self.layer.predict_async(frames), batch))
+                if getattr(self.layer, "needs_gt_centroids", False):
+                    dev = self.layer.predict_async(
+                        frames, batch.gt_centroids, batch.gt_centroid_valid
+                    )
+                else:
+                    dev = self.layer.predict_async(frames)
+                in_flight.append((dev, batch))
                 if len(in_flight) > depth:
                     drain_one()
             while in_flight:

@@ -26,6 +26,8 @@ class Batch:
     frame_inds: np.ndarray  # (B,)
     video_inds: np.ndarray  # (B,)
     valid: np.ndarray  # (B,) bool — False on padded rows
+    gt_centroids: np.ndarray = None  # (B, K, 2) original coords, NaN pads
+    gt_centroid_valid: np.ndarray = None  # (B, K) bool
 
     def __len__(self):
         return len(self.frame_inds)
@@ -116,12 +118,35 @@ class LabelsProvider:
     """Batched frames from the labeled frames of a Labels file."""
 
     def __init__(self, labels: Labels, batch_size: int = 4, prefetch: int = 2,
-                 user_frames_only: bool = False):
+                 user_frames_only: bool = False, with_centroids: bool = False,
+                 max_instances: int = 20, anchor_ind=None):
         self.labels = labels
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.with_centroids = with_centroids
+        self.max_instances = max_instances
+        self.anchor_ind = anchor_ind
         lfs = labels.user_labeled_frames if user_frames_only else labels.labeled_frames
         self.lfs = lfs
+
+    def _frame_centroids(self, lf):
+        """GT centroids: anchor node if set/visible else NaN-mean of visible."""
+        k = self.max_instances
+        cents = np.full((k, 2), np.nan, np.float32)
+        ok = np.zeros(k, bool)
+        for i, inst in enumerate(lf.instances[:k]):
+            pts = np.asarray(inst.numpy(), np.float64)
+            c = None
+            if self.anchor_ind is not None and 0 <= self.anchor_ind < len(pts):
+                a = pts[self.anchor_ind]
+                if np.isfinite(a).all():
+                    c = a
+            if c is None and np.isfinite(pts).any():
+                c = np.nanmean(pts, axis=0)
+            if c is not None and np.isfinite(c).all():
+                cents[i] = c
+                ok[i] = True
+        return cents, ok
 
     def __len__(self):
         return (len(self.lfs) + self.batch_size - 1) // self.batch_size
@@ -141,17 +166,28 @@ class LabelsProvider:
                 for lf in chunk
             ]
             valid = np.ones(bs, dtype=bool)
+            gt_c = gt_v = None
+            if self.with_centroids:
+                pairs = [self._frame_centroids(lf) for lf in chunk]
+                gt_c = [p[0] for p in pairs]
+                gt_v = [p[1] for p in pairs]
             if len(chunk) < bs:
                 pad = bs - len(chunk)
                 imgs += [imgs[-1]] * pad
                 fidx += [fidx[-1]] * pad
                 vidx += [vidx[-1]] * pad
                 valid[len(chunk) :] = False
+                if self.with_centroids:
+                    empty = np.full_like(gt_c[-1], np.nan)
+                    gt_c += [empty] * pad
+                    gt_v += [np.zeros_like(gt_v[-1])] * pad
             yield Batch(
                 frames=np.stack(imgs),
                 frame_inds=np.asarray(fidx, dtype=np.int64),
                 video_inds=np.asarray(vidx, dtype=np.int32),
                 valid=valid,
+                gt_centroids=np.stack(gt_c) if gt_c is not None else None,
+                gt_centroid_valid=np.stack(gt_v) if gt_v is not None else None,
             )
 
     def __iter__(self) -> Iterator[Batch]:

@@ -237,3 +237,23 @@ def test_video_index_and_centroid_threshold(centroid_model, centered_instance_mo
     import pytest
     with pytest.raises(ValueError, match="out of range"):
         predict(labels, [centroid_model, centered_instance_model], video_index=3)
+
+
+def test_centered_instance_only_gt_centroids(centered_instance_model, gt):
+    """Centered-instance-only model uses GT centroids from the .slp source."""
+    labels, gt_pts = gt
+    out = predict(labels, [centered_instance_model], peak_threshold=0.1)
+    lf = out[0]
+    assert len(lf.predicted_instances) == 2
+    for g in gt_pts:
+        best = min(
+            np.nanmean(np.linalg.norm(p.numpy() - g, axis=-1))
+            for p in lf.predicted_instances
+        )
+        assert best < 4.0
+
+    # A video source has no GT centroids -> actionable error.
+    import pytest
+    with pytest.raises(ValueError, match="GROUND-TRUTH"):
+        predict("/root/reference/tests/assets/datasets/small_robot.mp4",
+                [centered_instance_model], frames=[0])
