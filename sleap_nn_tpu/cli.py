@@ -56,6 +56,9 @@ def _inference_options(f):
         click.option("--peak-threshold", default=0.2, show_default=True),
         click.option("--centroid-peak-threshold", default=None, type=float,
                      help="Separate stage-1 (centroid) threshold for topdown."),
+        click.option("--anchor-part", default=None,
+                     help="Skeleton node used as the GT-centroid anchor "
+                          "(centered-instance-only inference)."),
         click.option("--video-index", default=None, type=int,
                      help="Restrict a multi-video .slp source to one video."),
         click.option("--max-instances", default=None, type=int),

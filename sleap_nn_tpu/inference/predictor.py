@@ -94,6 +94,7 @@ class Predictor:
         paf_workers: int = 0,
         merge_fragments: bool = False,
         centroid_peak_threshold: Optional[float] = None,
+        anchor_part: Optional[str] = None,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
@@ -187,6 +188,14 @@ class Predictor:
             layer = GTCentroidTopDownLayer(
                 instance_layer, max_instances=max_instances or 20, crop_size=cs
             )
+            if anchor_part is not None:
+                nodes = list(mi.skeleton_nodes)
+                if anchor_part not in nodes:
+                    raise ValueError(
+                        f"anchor_part {anchor_part!r} is not a skeleton node; "
+                        f"nodes: {nodes}."
+                    )
+                layer.anchor_ind = nodes.index(anchor_part)
             return cls(layer, "topdown", skeleton_for(mi), loaded, batch_size)
 
         if types == {"multi_class_bottomup"}:
@@ -332,6 +341,7 @@ class Predictor:
             provider_kwargs.update(
                 with_centroids=True,
                 max_instances=getattr(self.layer, "max_instances", 20),
+                anchor_ind=getattr(self.layer, "anchor_ind", None),
             )
         if isinstance(data, Labels):
             return LabelsProvider(data, **provider_kwargs)

@@ -30,6 +30,7 @@ def predict(
     no_empty_frames: bool = False,
     only_suggested_frames: bool = False,
     centroid_peak_threshold: Optional[float] = None,
+    anchor_part: Optional[str] = None,
     video_index: Optional[int] = None,
     make_labels: bool = True,
     tracking: bool = False,
@@ -141,6 +142,7 @@ def predict(
         crop_size=crop_size,
         filters=filters,
         centroid_peak_threshold=centroid_peak_threshold,
+        anchor_part=anchor_part,
     )
     result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
     if make_labels and (tracking or tracker is not None):
