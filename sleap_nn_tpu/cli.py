@@ -56,6 +56,9 @@ def _inference_options(f):
         click.option("--peak-threshold", default=0.2, show_default=True),
         click.option("--centroid-peak-threshold", default=None, type=float,
                      help="Separate stage-1 (centroid) threshold for topdown."),
+        click.option("--profile-dir", default=None,
+                     help="Write an XLA profiler trace of the predict loop "
+                          "here (open with TensorBoard/Perfetto)."),
         click.option("--anchor-part", default=None,
                      help="Skeleton node used as the GT-centroid anchor "
                           "(centered-instance-only inference)."),

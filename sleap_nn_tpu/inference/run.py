@@ -32,6 +32,7 @@ def predict(
     centroid_peak_threshold: Optional[float] = None,
     anchor_part: Optional[str] = None,
     video_index: Optional[int] = None,
+    profile_dir: Optional[Union[str, Path]] = None,
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
@@ -144,7 +145,17 @@ def predict(
         centroid_peak_threshold=centroid_peak_threshold,
         anchor_part=anchor_part,
     )
-    result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
+    if profile_dir is not None:
+        # XLA/TPU profiler trace around the whole predict loop; open with
+        # TensorBoard or Perfetto to see device steps vs H2D vs host gaps.
+        import jax
+
+        with jax.profiler.trace(str(profile_dir)):
+            result = predictor.predict(
+                data_path, frames=frames, make_labels=make_labels
+            )
+    else:
+        result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
     if make_labels and (tracking or tracker is not None):
         from sleap_nn_tpu.tracking.tracker import Tracker
 
