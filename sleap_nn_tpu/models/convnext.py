@@ -157,6 +157,11 @@ class ConvNextWrapper(nn.Module):
     def from_config(cls, config) -> "ConvNextWrapper":
         arch = getattr(config, "arch", None)
         if isinstance(arch, dict):
+            if len(arch["depths"]) != 4:
+                raise ValueError(
+                    f"convnext arch must have 4 stages, got "
+                    f"{len(arch['depths'])} (depths={arch['depths']})."
+                )
             arch = (tuple(arch["depths"]), tuple(arch["channels"]))
         return cls(
             model_type=getattr(config, "model_type", "tiny"),

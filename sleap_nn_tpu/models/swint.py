@@ -274,6 +274,14 @@ class SwinTWrapper(nn.Module):
     def from_config(cls, config) -> "SwinTWrapper":
         arch = getattr(config, "arch", None)
         if isinstance(arch, dict):
+            if len(arch["depths"]) != 4:
+                # The decoder skip schedule and the configured max_stride both
+                # assume the standard 4-stage layout; a different stage count
+                # would silently shift every claimed output stride.
+                raise ValueError(
+                    f"swint arch must have 4 stages, got "
+                    f"{len(arch['depths'])} (depths={arch['depths']})."
+                )
             arch = (arch["embed"], tuple(arch["depths"]), tuple(arch["num_heads"]))
         return cls(
             model_type=getattr(config, "model_type", "tiny"),

@@ -205,3 +205,38 @@ def test_resume_from_checkpoint(tmp_path):
     cfg3.trainer_config.resume_ckpt_path = ckpt
     with pytest.raises((ValueError, Exception)):
         ModelTrainer.get_model_trainer_from_config(cfg3).train()
+
+
+@pytest.mark.parametrize("backbone", ["convnext", "swint"])
+def test_train_nonunet_backbones(backbone, tmp_path):
+    """ConvNeXt/SwinT train end to end through the real trainer (1 epoch)."""
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    tiny_arch = {"depths": [1, 1, 1, 1], "channels": [8, 16, 32, 64]}
+    if backbone == "convnext":
+        apply_overrides(cfg, {
+            "model_config.backbone_config.convnext.arch": tiny_arch,
+            "model_config.backbone_config.convnext.output_stride": 4,
+        })
+    else:
+        apply_overrides(cfg, {
+            "model_config.backbone_config.swint.arch": {
+                "embed": 8, "depths": [1, 1, 1, 1], "num_heads": [1, 2, 4, 8],
+            },
+            "model_config.backbone_config.swint.output_stride": 4,
+        })
+    apply_overrides(cfg, {
+        "model_config.head_configs.single_instance.confmaps.output_stride": 4,
+    })
+    cfg.trainer_config.max_epochs = 1
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.enable_progress_bar = False
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    history = trainer.train()
+    assert np.isfinite(history[-1]["train/loss"])
+    assert np.isfinite(history[-1]["val/loss"])
