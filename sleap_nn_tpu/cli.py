@@ -17,6 +17,7 @@ import click
 
 
 @click.group(name="sleap-nn-tpu")
+@click.version_option("0.1.0", prog_name="sleap-nn-tpu")
 def cli():
     """sleap-nn-tpu: TPU-native animal pose estimation (train / predict / track / eval)."""
 
@@ -69,6 +70,10 @@ def _inference_options(f):
         click.option("--refinement", default="integral", show_default=True,
                      type=click.Choice(["integral", "local", "none"])),
         click.option("--integral-patch-size", default=5, show_default=True),
+        click.option("--exclude-user-labeled/--include-user-labeled",
+                     "exclude_user_labeled", default=False, show_default=True,
+                     help="Skip frames that already carry user labels "
+                          "(.slp sources; don't re-predict labeled frames)."),
         click.option("--only-suggested-frames/--all-frames", "only_suggested_frames",
                      default=False, show_default=True,
                      help="Predict on the .slp's suggested frames instead of "

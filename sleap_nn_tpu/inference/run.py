@@ -29,6 +29,7 @@ def predict(
     filters=None,
     no_empty_frames: bool = False,
     only_suggested_frames: bool = False,
+    exclude_user_labeled: bool = False,
     centroid_peak_threshold: Optional[float] = None,
     anchor_part: Optional[str] = None,
     video_index: Optional[int] = None,
@@ -75,6 +76,22 @@ def predict(
             skeletons=labels.skeletons,
             suggestions=[s_ for s_ in labels.suggestions if s_.video is target],
             provenance=dict(labels.provenance),
+        )
+
+    if exclude_user_labeled:
+        # Don't re-predict frames a human already labeled (reference
+        # cli.py --exclude_user_labeled).
+        from sleap_nn_tpu.io import load_slp
+        from sleap_nn_tpu.io.model import Labels as _Labels
+
+        labels = data_path if isinstance(data_path, Labels) else load_slp(str(data_path))
+        data_path = _Labels(
+            labeled_frames=[
+                lf for lf in labels.labeled_frames if not lf.has_user_instances
+            ],
+            videos=labels.videos,
+            skeletons=labels.skeletons,
+            suggestions=labels.suggestions,
         )
 
     if only_suggested_frames:
