@@ -339,15 +339,31 @@ def config_cmd(config_path, overrides):
 
 
 @cli.command()
-@click.argument("model_dir", type=click.Path(exists=True))
+@click.argument("model_dir", type=click.Path(exists=True), nargs=-1, required=True)
 @click.option("--output-dir", "-o", default=None)
 @click.option("--format", "fmt", default="stablehlo", show_default=True,
               type=click.Choice(["stablehlo", "savedmodel"]))
-def export(model_dir, output_dir, fmt):
-    """Export a trained model with baked postprocessing."""
+@click.option("--batch-size", default=4, show_default=True)
+@click.option("--peak-threshold", default=0.2, show_default=True)
+@click.option("--max-instances", default=20, show_default=True,
+              help="Crop slots baked into topdown composite exports.")
+def export(model_dir, output_dir, fmt, batch_size, peak_threshold, max_instances):
+    """Export trained model(s) with baked postprocessing.
+
+    Pass one model dir, or a centroid + instance-model pair for the fused
+    topdown / multi_class_topdown composite graph.
+    """
     from sleap_nn_tpu.export import export_model
 
-    out = export_model(model_dir, output_dir=output_dir, fmt=fmt)
+    dirs = list(model_dir)
+    out = export_model(
+        dirs if len(dirs) > 1 else dirs[0],
+        output_dir=output_dir,
+        fmt=fmt,
+        batch_size=batch_size,
+        peak_threshold=peak_threshold,
+        max_instances=max_instances,
+    )
     click.echo(f"Exported to: {out}")
 
 

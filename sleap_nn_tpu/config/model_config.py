@@ -24,6 +24,9 @@ class UNetConfig:
     stacks: int = 1
     convs_per_block: int = 2
     output_stride: int = 1
+    # Transposed-conv phase convention: "torch" (reference-aligned, default)
+    # or "tf" (legacy SLEAP v1 Keras imports). See encoder_decoder.py.
+    trans_conv_phase: Optional[str] = None
 
 
 @dataclass

@@ -649,7 +649,14 @@ def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineCont
 
 
 class Loader:
-    """Shuffling batch loader over a host dataset with device prefetch."""
+    """Shuffling batch loader with background-thread batch prefetch.
+
+    ``__iter__`` returns a :class:`PrefetchIterator` wrapping the batch
+    generator, so host-side slicing/collation for batch N+1 overlaps the
+    device's step N (the jitted train step dispatches asynchronously).
+    Same role as the reference's DataLoader workers
+    (reference: data/custom_datasets.py get_train_val dataloaders).
+    """
 
     def __init__(
         self,
@@ -659,6 +666,7 @@ class Loader:
         seed: int = 0,
         drop_last: bool = False,
         pad_last: bool = True,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -666,6 +674,7 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -680,6 +689,13 @@ class Loader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        from sleap_nn_tpu.data.prefetch import PrefetchIterator
+
+        if self.prefetch > 0:
+            return PrefetchIterator(self._gen(), prefetch=self.prefetch)
+        return self._gen()
+
+    def _gen(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:

@@ -139,10 +139,137 @@ def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
 
         outputs = ("grouped_peaks", "grouped_vals", "grouped_mask", "paf_scores")
 
+    elif model_type == "multi_class_bottomup":
+        from sleap_nn_tpu.inference.layers import BottomUpMultiClassLayer, PostprocessConfig
+
+        post = PostprocessConfig(peak_threshold=peak_threshold, max_peaks=max_peaks)
+        from sleap_nn_tpu.inference.backends import JaxBackend
+
+        layer = BottomUpMultiClassLayer(
+            JaxBackend(model, params),
+            pre,
+            post,
+            n_nodes=len(head.confmaps.part_names),
+            n_classes=len(head.class_maps.classes),
+            cm_output_stride=head.confmaps.output_stride,
+            class_maps_output_stride=head.class_maps.output_stride,
+        )
+        cm_grid_stride = head.class_maps.output_stride
+
+        def fn(images):
+            dev = layer._fn(images)
+            # Bake the class-prob gather (reference wrappers/bottomup_multiclass.py
+            # samples class maps at peak locations on device) so the export
+            # ships per-peak probs, not full class maps.
+            cm = dev["class_maps"]  # (B, h, w, n_classes)
+            pts_grid = jnp.nan_to_num(dev["points"] / cm_grid_stride, nan=0.0)
+            xy = jnp.round(pts_grid).astype(jnp.int32)
+            xs = jnp.clip(xy[..., 0], 0, cm.shape[2] - 1)
+            ys = jnp.clip(xy[..., 1], 0, cm.shape[1] - 1)
+            b = cm.shape[0]
+            probs = cm[jnp.arange(b)[:, None], ys, xs, :]  # (B, K, n_classes)
+            return {
+                "points_grid": dev["points"] / cm_grid_stride,
+                "rough": dev["rough"],
+                "vals": dev["vals"],
+                "channels": dev["channels"],
+                "valid": dev["valid"],
+                "class_probs": probs,
+                "lift": jnp.broadcast_to(
+                    cm_grid_stride / (pre.scale * dev["eff_scale"]), (b,)
+                ),
+            }
+
+        outputs = (
+            "points_grid", "rough", "vals", "channels", "valid", "class_probs", "lift",
+        )
+
+    elif model_type in ("centered_instance_segmentation", "semantic_segmentation"):
+        stride = head.segmentation.output_stride
+
+        if model_type == "centered_instance_segmentation":
+            crop = pre_cfg.crop_size or 128
+            crop = int(round(crop * pre.scale))
+            crop += (-crop) % pre.max_stride
+            input_shape = (batch_size, crop, crop, c)
+
+            def fn(crops):
+                x = crops.astype(jnp.float32) / 255.0
+                seg = model.apply(params, x)["SegmentationHead"]
+                return {"seg_probs": seg}
+
+            outputs = ("seg_probs",)
+        else:
+
+            def fn(images):
+                x, eff = preprocess_images(pre, images)
+                seg = model.apply(params, x)["SegmentationHead"]
+                return {"fg": seg, "eff_scale": jnp.broadcast_to(eff, (images.shape[0],))}
+
+            outputs = ("fg", "eff_scale")
+
+    elif model_type == "bottomup_segmentation":
+        from sleap_nn_tpu.inference.backends import JaxBackend
+        from sleap_nn_tpu.inference.layers import PostprocessConfig
+        from sleap_nn_tpu.inference.segmentation import BottomUpSegmentationLayer
+
+        post = PostprocessConfig(peak_threshold=peak_threshold)
+        layer = BottomUpSegmentationLayer(
+            JaxBackend(model, params),
+            pre,
+            post,
+            seg_output_stride=head.segmentation.output_stride,
+            center_output_stride=head.center.output_stride,
+            offsets_output_stride=head.offsets.output_stride,
+            max_instances=max_peaks,
+        )
+        fn = layer._fn
+        outputs = (
+            "instance_masks", "fg", "centers", "center_vals", "center_valid", "eff_scale",
+        )
+
     else:
         raise NotImplementedError(f"Export not implemented for model type: {model_type}")
 
     return fn, input_shape, outputs
+
+
+def _build_composite_wrapper(
+    model_dirs, peak_threshold: float, batch_size: int, max_peaks: int,
+    max_instances: int,
+):
+    """Two-model (centroid + instance) fused export: crop extraction in-graph.
+
+    Mirrors the reference's composite topdown export wrappers
+    (reference: export/wrappers/topdown.py:69-147, topdown_multiclass.py) by
+    serializing the SAME fused XLA program the live TopDown layers run.
+    """
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [str(d) for d in model_dirs],
+        peak_threshold=peak_threshold,
+        max_peaks=max_peaks,
+        max_instances=max_instances,
+    )
+    if p.model_type not in ("topdown", "multi_class_topdown"):
+        raise NotImplementedError(
+            f"Composite export supports topdown / multi_class_topdown; the "
+            f"given model dirs resolve to {p.model_type}."
+        )
+    layer = p.layer
+    pre = layer.centroid_layer.pre
+    h = pre.max_height or 256
+    w = pre.max_width or 256
+    c = 3 if pre.ensure_rgb else 1
+    input_shape = (batch_size, h, w, c)
+    outputs = (
+        "pred_keypoints", "pred_peak_values", "pred_centroids", "centroid_vals",
+        "instance_valid",
+    )
+    if p.model_type == "multi_class_topdown":
+        outputs = outputs + ("class_probs",)
+    return p, layer._full, input_shape, outputs
 
 
 def export_model(
@@ -152,16 +279,39 @@ def export_model(
     batch_size: int = 4,
     peak_threshold: float = 0.2,
     max_peaks: int = 200,
+    max_instances: int = 20,
     verify: bool = True,
 ) -> Path:
-    """Export a trained model dir to a serialized artifact + metadata.json."""
+    """Export trained model dir(s) to a serialized artifact + metadata.json.
+
+    ``model_dir`` may be a single dir or a [centroid, instance-model] pair
+    for the fused topdown / multi_class_topdown composite export.
+    """
     import jax
     import jax.numpy as jnp
 
-    loaded = load_model(model_dir)
-    fn, input_shape, output_names = _build_wrapper(
-        loaded, peak_threshold, batch_size, max_peaks
-    )
+    if isinstance(model_dir, (list, tuple)) and len(model_dir) > 1:
+        predictor, fn, input_shape, output_names = _build_composite_wrapper(
+            model_dir, peak_threshold, batch_size, max_peaks, max_instances
+        )
+        model_type = predictor.model_type
+        skeleton_nodes = tuple(predictor.skeleton.node_names)
+        skeleton_edges = tuple(tuple(e) for e in predictor.skeleton.edge_names)
+        # Instance model's config carries the head/skeleton/crop info needed
+        # to reconstruct host-side stages.
+        cfg_dir = Path(model_dir[-1])
+        model_dir = Path(model_dir[0])
+    else:
+        if isinstance(model_dir, (list, tuple)):
+            model_dir = model_dir[0]
+        loaded = load_model(model_dir)
+        fn, input_shape, output_names = _build_wrapper(
+            loaded, peak_threshold, batch_size, max_peaks
+        )
+        model_type = loaded.model_type
+        skeleton_nodes = tuple(loaded.skeleton_nodes)
+        skeleton_edges = tuple(tuple(e) for e in loaded.skeleton_edges)
+        cfg_dir = Path(model_dir)
 
     output_dir = Path(output_dir or (Path(model_dir) / "exported"))
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -173,19 +323,19 @@ def export_model(
     artifact.write_bytes(blob)
 
     meta = ExportMetadata(
-        model_type=loaded.model_type,
+        model_type=model_type,
         input_shape=tuple(input_shape),
         input_dtype="uint8",
         output_names=tuple(output_names),
         peak_threshold=peak_threshold,
-        skeleton_nodes=tuple(loaded.skeleton_nodes),
-        skeleton_edges=tuple(tuple(e) for e in loaded.skeleton_edges),
+        skeleton_nodes=skeleton_nodes,
+        skeleton_edges=skeleton_edges,
         artifact="model.stablehlo",
         artifact_sha256=hashlib.sha256(blob).hexdigest(),
     )
     (output_dir / "metadata.json").write_text(meta.to_json())
     # Copy the training config for provenance (reference: export/cli.py:854).
-    src_cfg = Path(model_dir) / "training_config.yaml"
+    src_cfg = Path(cfg_dir) / "training_config.yaml"
     if src_cfg.exists():
         (output_dir / "training_config.yaml").write_text(src_cfg.read_text())
 

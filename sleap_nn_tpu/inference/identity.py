@@ -53,6 +53,7 @@ def classify_peaks_from_maps(
     peak_sample_inds: np.ndarray,
     peak_channel_inds: np.ndarray,
     n_channels: int,
+    sort_keys: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Group peaks into per-class instances via class maps (reference: :71).
 
@@ -60,16 +61,69 @@ def classify_peaks_from_maps(
         class_maps: ``(n_samples, H, W, n_classes)`` channel-last.
         peak_points: ``(n_peaks, 2)`` (x, y) in CLASS-MAP grid coords.
         peak_vals / peak_sample_inds / peak_channel_inds: ``(n_peaks,)``.
+        sort_keys: optional ``(n_peaks, 2)`` (x, y) UNREFINED peak positions
+            used for ordering (see below); defaults to ``peak_points``.
 
     Returns:
         ``(points (S, n_classes, n_channels, 2), point_vals, class_probs)``;
         NaN where unassigned.
     """
     n_samples, h, w, n_classes = class_maps.shape
+    # Reorder peaks into the reference's (sample, channel, row, col) scan
+    # order: scipy's Hungarian tie-breaking depends on row order, and the
+    # reference's peak finder emits peaks in nonzero-scan order over
+    # (B, C, H, W) of the ROUGH (pre-refinement) peak grid (reference:
+    # ops/identity.py:41 nonzero(mask)), while our device peak finder emits
+    # fixed-size top-K by value. Same order -> identical assignments on tied
+    # class probabilities.
     xy = np.round(peak_points).astype(int)
     cols = np.clip(xy[:, 0], 0, w - 1)
     rows = np.clip(xy[:, 1], 0, h - 1)
     peak_class_probs = class_maps[peak_sample_inds, rows, cols, :]  # (n, n_classes)
+    return group_and_assemble(
+        peak_points,
+        peak_vals,
+        peak_sample_inds,
+        peak_channel_inds,
+        peak_class_probs,
+        n_samples,
+        n_classes,
+        n_channels,
+        sort_keys=sort_keys,
+    )
+
+
+def group_and_assemble(
+    peak_points: np.ndarray,
+    peak_vals: np.ndarray,
+    peak_sample_inds: np.ndarray,
+    peak_channel_inds: np.ndarray,
+    peak_class_probs: np.ndarray,
+    n_samples: int,
+    n_classes: int,
+    n_channels: int,
+    sort_keys: np.ndarray = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hungarian-group pre-gathered per-peak class probs into instances.
+
+    Shared by the live class-maps layer and exported graphs (which bake the
+    class-prob gather on device). See :func:`classify_peaks_from_maps` for
+    the ordering contract.
+    """
+    keys = peak_points if sort_keys is None else sort_keys
+    order = np.lexsort(
+        (
+            np.round(keys[:, 0]),
+            np.round(keys[:, 1]),
+            peak_channel_inds,
+            peak_sample_inds,
+        )
+    )
+    peak_points = peak_points[order]
+    peak_vals = peak_vals[order]
+    peak_sample_inds = peak_sample_inds[order]
+    peak_channel_inds = peak_channel_inds[order]
+    peak_class_probs = peak_class_probs[order]
 
     peak_inds, class_inds = group_class_peaks(
         peak_class_probs, peak_sample_inds, peak_channel_inds, n_samples, n_channels

@@ -382,15 +382,17 @@ class BottomUpMultiClassLayer(InferenceLayer):
             preds = self.backend(x)
             cms = preds[cm_head]
             class_maps = preds[class_head]
-            points, vals, channels, valid = find_local_peaks(
+            points, vals, channels, valid, rough = find_local_peaks(
                 cms,
                 threshold=post_cfg.peak_threshold,
                 refinement=post_cfg.refinement,
                 integral_patch_size=post_cfg.integral_patch_size,
                 max_peaks=post_cfg.max_peaks,
+                return_rough=True,
             )
             out = {
                 "points": points * cm_output_stride,  # scaled-image coords
+                "rough": rough,  # grid coords, for scan-order tie-breaking
                 "vals": vals,
                 "channels": channels,
                 "valid": valid,
@@ -411,6 +413,7 @@ class BottomUpMultiClassLayer(InferenceLayer):
         b, k = dev["vals"].shape
         valid = dev["valid"].reshape(-1)
         points = dev["points"].reshape(-1, 2)[valid]
+        rough = dev["rough"].reshape(-1, 2)[valid]
         vals = dev["vals"].reshape(-1)[valid]
         sample_inds = np.repeat(np.arange(b), k)[valid]
         channel_inds = dev["channels"].reshape(-1)[valid]
@@ -423,6 +426,7 @@ class BottomUpMultiClassLayer(InferenceLayer):
             sample_inds,
             channel_inds,
             self.n_nodes,
+            sort_keys=rough,
         )
         lift = self.class_maps_output_stride / (self.pre.scale * float(dev["eff_scale"]))
         return {

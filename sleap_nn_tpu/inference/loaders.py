@@ -57,13 +57,27 @@ def load_model(path, params_override=None) -> LoadedModel:
     if params_override is not None:
         params = params_override
     else:
-        from sleap_nn_tpu.training.model_trainer import ModelTrainer
-
         ckpt = model_dir / "best.ckpt"
         if not ckpt.exists():
             ckpt = model_dir / "last.ckpt"
-        state = ModelTrainer.load_checkpoint_params(ckpt)
-        params = state["params"]
+
+        from sleap_nn_tpu.torch_models import is_torch_checkpoint
+
+        if is_torch_checkpoint(ckpt):
+            # Reference (torch Lightning) checkpoint: import weights directly
+            # so `predict -m <reference_model_dir>` is drop-in compatible.
+            from sleap_nn_tpu.torch_models import load_torch_checkpoint_params
+
+            bb = get_backbone_config(config)
+            in_channels = getattr(bb, "in_channels", 1) or 1
+            params = load_torch_checkpoint_params(
+                ckpt, model, (bb.max_stride, bb.max_stride, in_channels)
+            )
+        else:
+            from sleap_nn_tpu.training.model_trainer import ModelTrainer
+
+            state = ModelTrainer.load_checkpoint_params(ckpt)
+            params = state["params"]
 
     nodes, edges = [], []
     skel_list = config.data_config.skeletons or []

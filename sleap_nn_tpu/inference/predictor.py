@@ -634,12 +634,14 @@ class ExportedLayer:
     Parity target: reference inference/layers/exported.py:71-562.
     """
 
-    def __init__(self, call, meta, paf_scorer=None, max_instances: Optional[int] = None):
+    def __init__(self, call, meta, paf_scorer=None, max_instances: Optional[int] = None,
+                 finalize_fn=None):
         self.call = call
         self.meta = meta
         self.batch_size = int(meta.input_shape[0])
         self.paf_scorer = paf_scorer
         self.max_instances = max_instances
+        self.finalize_fn = finalize_fn
 
     def predict_async(self, images):
         import jax.numpy as jnp
@@ -676,6 +678,8 @@ class ExportedLayer:
         out = jax.device_get(dev)
         if pad:
             out = {k: v[: len(v) - pad] for k, v in out.items()}
+        if self.finalize_fn is not None:
+            return self.finalize_fn(out)
         # Match the live layers' contracts (instance axis on single_instance;
         # centroid validity when the graph didn't emit one).
         if self.meta.model_type == "single_instance":
@@ -743,10 +747,108 @@ def from_export_dir(
         p.filters = None
         return p
 
+    def _load_cfg():
+        from sleap_nn_tpu.config import TrainingJobConfig
+
+        cfg_path = Path(export_dir) / "training_config.yaml"
+        if not cfg_path.exists():
+            raise FileNotFoundError(
+                f"{meta.model_type} export needs its training_config.yaml "
+                f"for host-side postprocessing; not found under {export_dir}."
+            )
+        return TrainingJobConfig.load_yaml(str(cfg_path))
+
+    if meta.model_type == "multi_class_bottomup":
+        head = get_head_config(_load_cfg())
+        n_nodes = len(head.confmaps.part_names)
+        n_classes = len(head.class_maps.classes)
+
+        def finalize_mcbu(out):
+            from sleap_nn_tpu.inference.identity import group_and_assemble
+
+            b, k = out["vals"].shape
+            valid = out["valid"].reshape(-1)
+            pts = out["points_grid"].reshape(-1, 2)[valid]
+            rough = out["rough"].reshape(-1, 2)[valid]
+            vals = out["vals"].reshape(-1)[valid]
+            sample_inds = np.repeat(np.arange(b), k)[valid]
+            channel_inds = out["channels"].reshape(-1)[valid]
+            probs = out["class_probs"].reshape(-1, n_classes)[valid]
+            pts_g, vals_g, probs_g = group_and_assemble(
+                pts, vals, sample_inds, channel_inds, probs,
+                b, n_classes, n_nodes, sort_keys=rough,
+            )
+            lift = out["lift"].reshape(b, 1, 1, 1)
+            return {
+                "pred_keypoints": pts_g * lift,
+                "pred_peak_values": vals_g,
+                "pred_class_probs": probs_g,
+            }
+
+        layer = ExportedLayer(call, meta, finalize_fn=finalize_mcbu)
+        p = Predictor(layer, "multi_class_bottomup", skel, [],
+                      batch_size or layer.batch_size)
+        p.class_names = list(head.class_maps.classes)
+        p.filters = None
+        return p
+
+    if meta.model_type in ("topdown", "multi_class_topdown"):
+        finalize_fn = None
+        if meta.model_type == "multi_class_topdown":
+            from sleap_nn_tpu.inference.layers import TopDownMultiClassLayer
+
+            def finalize_fn(out):
+                # The live layer's finalize only reads the output dict.
+                return TopDownMultiClassLayer.finalize(None, out)
+
+        layer = ExportedLayer(call, meta, finalize_fn=finalize_fn)
+        p = Predictor(layer, meta.model_type, skel, [],
+                      batch_size or layer.batch_size)
+        if meta.model_type == "multi_class_topdown":
+            head = get_head_config(_load_cfg())
+            p.class_names = list(head.class_vectors.classes)
+        p.filters = None
+        return p
+
+    if meta.model_type == "semantic_segmentation":
+        from sleap_nn_tpu.inference.segmentation import SemanticSegmentationLayer
+
+        def finalize_semseg(out):
+            return SemanticSegmentationLayer.finalize(None, out)
+
+        layer = ExportedLayer(call, meta, finalize_fn=finalize_semseg)
+        p = Predictor(layer, "semantic_segmentation", skel, [],
+                      batch_size or layer.batch_size)
+        p.filters = None
+        return p
+
+    if meta.model_type == "bottomup_segmentation":
+        import types as _types
+
+        from sleap_nn_tpu.inference.segmentation import BottomUpSegmentationLayer
+
+        head = get_head_config(_load_cfg())
+        shim = _types.SimpleNamespace(
+            min_mask_area=16,
+            merge_fragments=False,
+            merge_method="greedy",
+            seg_output_stride=head.segmentation.output_stride,
+        )
+
+        def finalize_buseg(out):
+            return BottomUpSegmentationLayer.finalize(shim, out)
+
+        layer = ExportedLayer(call, meta, finalize_fn=finalize_buseg)
+        p = Predictor(layer, "bottomup_segmentation", skel, [],
+                      batch_size or layer.batch_size)
+        p.filters = None
+        return p
+
     if meta.model_type not in ("single_instance", "centroid"):
         raise NotImplementedError(
-            f"from_export_dir supports single_instance/centroid/bottomup "
-            f"exports; got {meta.model_type}."
+            f"from_export_dir does not support {meta.model_type!r} "
+            f"(centered-instance-style exports run on pre-extracted crops; "
+            f"export the topdown composite instead)."
         )
     layer = ExportedLayer(call, meta)
     p = Predictor(layer, meta.model_type, skel, [], batch_size or layer.batch_size)

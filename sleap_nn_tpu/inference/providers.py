@@ -8,8 +8,6 @@ bounded queue of ready batches so host decode overlaps device compute.
 from __future__ import annotations
 
 import dataclasses
-import queue
-import threading
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -33,36 +31,7 @@ class Batch:
         return len(self.frame_inds)
 
 
-class _PrefetchIterator:
-    """Wrap a generator with a bounded background-thread prefetch queue."""
-
-    def __init__(self, gen, prefetch: int = 2):
-        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._done = object()
-        self._err: Optional[BaseException] = None
-
-        def worker():
-            try:
-                for item in gen:
-                    self.q.put(item)
-            except BaseException as e:  # propagate into the consumer
-                self._err = e
-            finally:
-                self.q.put(self._done)
-
-        self.thread = threading.Thread(target=worker, daemon=True)
-        self.thread.start()
-
-    def __iter__(self):
-        return self
-
-    def __next__(self):
-        item = self.q.get()
-        if item is self._done:
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        return item
+from sleap_nn_tpu.data.prefetch import PrefetchIterator as _PrefetchIterator  # noqa: E402
 
 
 class VideoProvider:

@@ -76,6 +76,10 @@ def legacy_config_mapper(legacy: dict) -> TrainingJobConfig:
             "model_config.backbone_config.unet.up_interpolate": bool(unet.get("up_interpolate", True)),
             "model_config.backbone_config.unet.stacks": int(unet.get("stacks", 1)),
             "model_config.backbone_config.unet.in_channels": 3,
+            # Keras Conv2DTranspose(padding="same") has the TF phase, which
+            # flax ConvTranspose(padding="SAME") reproduces exactly — keep it
+            # for imported legacy weights (fresh models default to "torch").
+            "model_config.backbone_config.unet.trans_conv_phase": "tf",
         })
 
     heads = model.get("heads", {})

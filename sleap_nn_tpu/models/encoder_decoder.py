@@ -142,6 +142,7 @@ class SimpleUpsamplingBlock(nn.Module):
     up_interpolate: bool = True
     transpose_convs_filters: Optional[int] = None
     feat_concat: bool = True
+    trans_conv_phase: str = "torch"
 
     @nn.compact
     def __call__(
@@ -150,11 +151,18 @@ class SimpleUpsamplingBlock(nn.Module):
         if self.up_interpolate:
             x = bilinear_upsample(x)
         else:
+            # "torch" phase: explicit ((1,2),(1,2)) padding makes this layer
+            # numerically identical (given a spatially-flipped kernel) to the
+            # reference's ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
+            # (reference: encoder_decoder.py:439-445), which is what the torch
+            # checkpoint importer relies on. "tf" phase keeps flax's SAME
+            # convention for legacy Keras (SLEAP v1) imports.
+            padding = ((1, 2), (1, 2)) if self.trans_conv_phase == "torch" else "SAME"
             x = nn.ConvTranspose(
                 self.transpose_convs_filters or self.refine_convs_filters,
                 (self.kernel_size, self.kernel_size),
                 strides=(2, 2),
-                padding="SAME",
+                padding=padding,
                 name="trans_conv",
             )(x)
             x = nn.relu(x)
@@ -208,6 +216,7 @@ class Decoder(nn.Module):
     kernel_size: int = 3
     up_interpolate: bool = True
     block_contraction: bool = False
+    trans_conv_phase: str = "torch"
 
     def block_filters(self, block: int) -> int:
         return decoder_block_filters(
@@ -243,6 +252,7 @@ class Decoder(nn.Module):
                 up_interpolate=self.up_interpolate,
                 transpose_convs_filters=self.block_filters(block),
                 feat_concat=not no_skip,
+                trans_conv_phase=self.trans_conv_phase,
                 name=f"dec{block}_s{stride}_to_s{stride // 2}",
             )(x, feature)
             stride //= 2

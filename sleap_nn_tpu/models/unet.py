@@ -43,6 +43,7 @@ class UNet(nn.Module):
     up_interpolate: bool = True
     block_contraction: bool = False
     stacks: int = 1
+    trans_conv_phase: str = "torch"
 
     @property
     def max_stride(self) -> int:
@@ -102,6 +103,7 @@ class UNet(nn.Module):
             kernel_size=self.kernel_size,
             up_interpolate=self.up_interpolate,
             block_contraction=self.block_contraction,
+            trans_conv_phase=self.trans_conv_phase,
             name=name,
         )
 
@@ -125,6 +127,7 @@ class UNet(nn.Module):
             middle_block=config.middle_block,
             up_interpolate=config.up_interpolate,
             stacks=getattr(config, "stacks", 1),
+            trans_conv_phase=getattr(config, "trans_conv_phase", None) or "torch",
         )
 
     @nn.compact

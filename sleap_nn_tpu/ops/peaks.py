@@ -194,22 +194,28 @@ def find_local_peaks(
     refinement: Optional[str] = None,
     integral_patch_size: int = 5,
     max_peaks: int = 100,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_rough: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Local peaks with optional integral refinement (fixed-size contract).
 
-    Same returns as :func:`find_local_peaks_rough`.
+    Same returns as :func:`find_local_peaks_rough`; with
+    ``return_rough=True`` a fifth array holds the unrefined integer peak
+    positions (used by identity grouping to reproduce the reference's
+    scan-order tie-breaking, reference: ops/identity.py:41).
     """
     points, vals, channel_inds, valid = find_local_peaks_rough(
         cms, threshold=threshold, max_peaks=max_peaks
     )
-    if refinement != "integral":
-        return points, vals, channel_inds, valid
-    b, k = points.shape[:2]
-    flat_pts = points.reshape(b * k, 2)
-    sample_inds = jnp.repeat(jnp.arange(b), k)
-    flat_ch = jnp.maximum(channel_inds.reshape(b * k), 0)
-    refined = refine_peaks_integral(
-        cms, flat_pts, sample_inds, flat_ch, integral_patch_size
-    ).reshape(b, k, 2)
-    points = jnp.where(valid[..., None], refined, jnp.nan)
+    rough = points
+    if refinement == "integral":
+        b, k = points.shape[:2]
+        flat_pts = points.reshape(b * k, 2)
+        sample_inds = jnp.repeat(jnp.arange(b), k)
+        flat_ch = jnp.maximum(channel_inds.reshape(b * k), 0)
+        refined = refine_peaks_integral(
+            cms, flat_pts, sample_inds, flat_ch, integral_patch_size
+        ).reshape(b, k, 2)
+        points = jnp.where(valid[..., None], refined, jnp.nan)
+    if return_rough:
+        return points, vals, channel_inds, valid, rough
     return points, vals, channel_inds, valid

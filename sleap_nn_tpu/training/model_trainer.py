@@ -257,6 +257,7 @@ class ModelTrainer:
             # (reference trainer_config.py:349 resume_ckpt_path). The
             # optimizer state restarts fresh (warm restart); the deterministic
             # seeded splits keep train/val membership identical across runs.
+            self._warn_on_resume_seed_mismatch(cfg)
             state = self.load_checkpoint_params(cfg.trainer_config.resume_ckpt_path)
             restored = state["params"]
             want = jax.tree_util.tree_structure(params)
@@ -369,6 +370,10 @@ class ModelTrainer:
             from sleap_nn_tpu.training.viz import VizCallback
 
             self.callbacks.append(VizCallback(self, self.ckpt_dir / "viz"))
+        if cfg.trainer_config.use_wandb:
+            from sleap_nn_tpu.training.wandb_logging import WandbLoggerCallback
+
+            self.callbacks.append(WandbLoggerCallback(self))
         zmq_cfg = cfg.trainer_config.zmq
         if zmq_cfg is not None and zmq_cfg.controller_port:
             self.callbacks.append(
@@ -382,6 +387,46 @@ class ModelTrainer:
                 ProgressReporterZMQ(address=f"tcp://127.0.0.1:{zmq_cfg.publish_port}")
             )
         self._setup_done = True
+
+    @staticmethod
+    def _warn_on_resume_seed_mismatch(cfg):
+        """Warn when resuming with a different train/val-split seed.
+
+        A different ``trainer_config.seed`` re-splits train/val, so frames
+        the original run validated on may leak into training (reference:
+        training/model_trainer.py:379-408).
+        """
+        import warnings
+
+        orig_path = Path(cfg.trainer_config.resume_ckpt_path).parent / (
+            "training_config.yaml"
+        )
+        if not orig_path.exists():
+            warnings.warn(
+                f"Resuming from checkpoint but {orig_path} was not found to "
+                f"verify the train/val split seed. Ensure trainer_config.seed "
+                f"matches the original run to avoid train/val leakage.",
+                stacklevel=3,
+            )
+            return
+        try:
+            import yaml
+
+            with open(orig_path) as fp:
+                orig = yaml.safe_load(fp) or {}
+            orig_seed = (orig.get("trainer_config") or {}).get("seed")
+        except Exception:
+            return
+        seed = cfg.trainer_config.seed
+        if orig_seed != seed:
+            warnings.warn(
+                f"Current seed ({seed}) differs from the original training "
+                f"seed ({orig_seed}) in {orig_path}. This produces a "
+                f"different train/val split and can leak former validation "
+                f"frames into training. Set trainer_config.seed: {orig_seed} "
+                f"to preserve the original split.",
+                stacklevel=3,
+            )
 
     def _setup_ckpt_dir(self):
         cfg = self.config

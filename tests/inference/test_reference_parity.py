@@ -1,0 +1,297 @@
+"""Golden parity vs the reference framework's shipped prediction snapshots.
+
+The reference repo ships trained fixture checkpoints
+(``tests/assets/model_ckpts/*/best.ckpt``) and golden outputs captured from
+its own predictor (``tests/inference/parity_golden/*.pkl``, produced by
+reference ``tests/utils/parity_goldens.py``). These tests import the torch
+weights with :mod:`sleap_nn_tpu.torch_models` and replay the goldens' own
+stored model inputs through this framework's inference layers, asserting the
+predictions match the reference's within sub-pixel tolerance.
+
+Feeding the goldens' stored (preprocessed, uint8) images rather than
+re-decoding the videos isolates the contract under test — identical inputs
+must give identical outputs — from video-decoder colorspace differences
+(no ffmpeg CLI in this environment to reproduce the reference's decode).
+The reference pipeline resizes uint8 images (reference:
+inference/layers/base.py:224 "uint8 inputs stay uint8"), so the stored
+image IS the exact tensor its model consumed.
+
+Observed worst-case coordinate deltas on these assets: bottomup ~1e-5 px,
+multiclass bottomup ~4e-3 px, topdown crops ~1e-5 px. Tolerances below are
+10-100x those, still far below any behavioral difference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+CKPTS = REFERENCE / "tests/assets/model_ckpts"
+GOLDENS = REFERENCE / "tests/inference/parity_golden"
+
+pytestmark = pytest.mark.skipif(
+    not GOLDENS.exists(), reason="reference golden assets unavailable"
+)
+
+COORD_TOL = 0.05  # px, in each golden's model-input space
+VAL_TOL = 1e-3
+# Stage-2 goldens store the crop as uint8, but the reference's old predictor
+# stack cropped from the normalized float image (kornia-style), so replaying
+# the stored crop carries ±0.5/255 input quantization -> small confmap value
+# wobble at the peak. Coordinates still match to < 0.05 px.
+CROP_VAL_TOL = 0.02
+
+
+def load_golden(name: str):
+    with open(GOLDENS / f"{name}.pkl", "rb") as fp:
+        return pickle.load(fp)
+
+
+def nhwc(img: np.ndarray) -> np.ndarray:
+    """Golden image (B, 1, C, H, W) or (B, C, H, W) uint8 -> (B, H, W, C)."""
+    if img.ndim == 5:
+        img = img[:, 0]
+    return np.ascontiguousarray(img.transpose(0, 2, 3, 1))
+
+
+def neutral(pre):
+    """Copy of a layer's preprocess config with resizing disabled.
+
+    Golden images are stored post-preprocess, so layers must not resize
+    again. Stride padding is kept — the reference applies it after resize.
+    """
+    return dataclasses.replace(pre, scale=1.0, max_height=None, max_width=None)
+
+
+
+def nan_max_diff(a: np.ndarray, b: np.ndarray) -> float:
+    """Max |a-b| over non-NaN entries; 0.0 when everything is NaN."""
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    return 0.0 if np.all(np.isnan(d)) else float(np.nanmax(d))
+
+def sort_instances(arr: np.ndarray) -> np.ndarray:
+    """Sort an (n_inst, n_nodes, 2) array by first-node x for set comparison."""
+    order = np.argsort(arr[:, 0, 0])
+    return arr[order]
+
+
+# -- checkpoint import ---------------------------------------------------------
+
+ALL_CKPTS = sorted(d.name for d in CKPTS.iterdir() if (d / "best.ckpt").exists())
+
+
+@pytest.mark.parametrize("name", ALL_CKPTS)
+def test_torch_checkpoint_imports(name):
+    """Every reference fixture checkpoint loads into a flax param tree."""
+    import jax
+
+    from sleap_nn_tpu.inference.loaders import load_model
+
+    lm = load_model(CKPTS / name)
+    n = sum(int(x.size) for x in jax.tree_util.tree_leaves(lm.params))
+    assert n > 0
+    # The reference records its torch param count in the training config.
+    import yaml
+
+    with open(CKPTS / name / "training_config.yaml") as fp:
+        cfg = yaml.safe_load(fp)
+    assert n == cfg["model_config"]["total_params"]
+
+
+def test_torch_import_rejects_mismatched_model():
+    """Wrong-architecture state dicts fail loudly with the mismatch listed."""
+    from sleap_nn_tpu.inference.loaders import load_model
+    from sleap_nn_tpu.torch_models import (
+        load_torch_checkpoint_params,
+        load_torch_state_dict,
+    )
+
+    lm = load_model(CKPTS / "minimal_instance_single_instance")
+    with pytest.raises(ValueError, match="mismatch|shape"):
+        load_torch_checkpoint_params(
+            CKPTS / "minimal_instance_bottomup" / "best.ckpt",
+            lm.model,
+            (160, 160, 1),
+        )
+    state = load_torch_state_dict(CKPTS / "minimal_instance_bottomup" / "best.ckpt")
+    assert all(isinstance(v, np.ndarray) for v in state.values())
+
+
+# -- golden replay -------------------------------------------------------------
+
+
+def test_single_instance_parity():
+    """Single-instance peaks match the reference on its own inputs."""
+    from sleap_nn_tpu.inference.layers import SingleInstanceLayer
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_single_instance"], peak_threshold=0.3
+    )
+    base = p.layer
+    layer = SingleInstanceLayer(
+        base.backend, neutral(base.pre), base.post, output_stride=base.output_stride
+    )
+    for batch in load_golden("single_instance"):
+        out = layer.finalize(layer.predict_async(nhwc(batch["image"])))
+        mine_pts = np.asarray(out["pred_keypoints"])[:, 0]  # (B, nodes, 2)
+        mine_vals = np.asarray(out["pred_peak_values"])[:, 0]
+        # Golden peaks are in original-image space; the stored image is in
+        # model-input space (sizematcher eff_scale x training scale applied).
+        factor = (batch["eff_scale"] * base.pre.scale)[:, None, None]
+        want_pts = batch["pred_instance_peaks"] * factor
+        assert np.array_equal(np.isnan(mine_pts), np.isnan(want_pts))
+        # The robot fixture has near-duplicate global maxima on some frames
+        # (vals within ~0.02); where the reference's uint8-resize rounding
+        # picked the other maximum, accept matching values instead of
+        # matching coordinates.
+        coord_ok = np.nanmax(np.abs(mine_pts - want_pts), axis=-1) < COORD_TOL
+        val_ok = np.abs(mine_vals - batch["pred_peak_values"]) < 0.03
+        assert np.all(coord_ok | val_ok)
+        assert coord_ok.mean() > 0.7  # most peaks must match exactly
+
+
+def test_bottomup_parity():
+    """Bottom-up PAF-grouped instances match the reference exactly."""
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_bottomup"], peak_threshold=0.05
+    )
+    layer = p.layer  # training scale=1.0: stored image == raw frame
+    assert layer.pre.scale == 1.0
+    for batch in load_golden("bottomup"):
+        out = layer.finalize(layer.predict_async(nhwc(batch["image"])))
+        for f in range(len(batch["frame_idx"])):
+            mine = np.asarray(out["pred_keypoints"][f])
+            want = np.asarray(batch["pred_instance_peaks"][f])
+            assert mine.shape == want.shape
+            if want.size == 0:
+                continue
+            mine, want = sort_instances(mine), sort_instances(want)
+            assert nan_max_diff(mine, want) < COORD_TOL
+
+
+def test_topdown_stage1_centroid_parity():
+    """Centroid-stage peaks match the reference's topdown golden."""
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [
+            CKPTS / "minimal_instance_centroid",
+            CKPTS / "minimal_instance_centered_instance",
+        ],
+        peak_threshold=0.03,
+        max_instances=6,
+    )
+    cl = p.layer.centroid_layer
+    assert cl.pre.scale == 1.0
+    import jax
+    import jax.numpy as jnp
+
+    seen = set()
+    for batch in load_golden("topdown"):
+        # Rows are per-instance; each carries its source frame.
+        frame = nhwc(batch["image"][:1])
+        fidx = int(batch["frame_idx"][0])
+        if fidx in seen:
+            continue
+        seen.add(fidx)
+        cres = jax.device_get(cl._fn(jnp.asarray(frame)))
+        valid = cres["centroid_valid"][0]
+        mine = np.sort(cres["pred_centroids"][0][valid], axis=0)
+        rows = batch["pred_centroids"][batch["frame_idx"] == fidx]
+        want = np.sort(rows, axis=0)
+        assert mine.shape == want.shape
+        assert nan_max_diff(mine, want) < COORD_TOL
+    assert len(seen) >= 4
+
+
+def test_topdown_stage2_crop_parity():
+    """Centered-instance peaks on the reference's own crops match exactly."""
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [
+            CKPTS / "minimal_instance_centroid",
+            CKPTS / "minimal_instance_centered_instance",
+        ],
+        peak_threshold=0.03,
+        max_instances=6,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    inst = p.layer.instance_layer
+    for batch in load_golden("topdown"):
+        crops = nhwc(batch["instance_image"]).astype(np.float32) / 255.0
+        pts, vals = jax.device_get(inst._fn(jnp.asarray(crops)))
+        want = batch["pred_instance_peaks"]  # crop-space
+        assert np.array_equal(np.isnan(pts), np.isnan(want))
+        assert nan_max_diff(pts, want) < COORD_TOL
+        assert nan_max_diff(vals, batch["pred_peak_values"]) < CROP_VAL_TOL
+
+
+def test_multiclass_bottomup_parity():
+    """Class-map grouped instances match the reference, including the
+    Hungarian tie-breaking on saturated class probabilities."""
+    from sleap_nn_tpu.inference.layers import BottomUpMultiClassLayer
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_multiclass_bottomup"], peak_threshold=0.05
+    )
+    base = p.layer
+    layer = BottomUpMultiClassLayer(
+        base.backend, neutral(base.pre), base.post, n_nodes=2, n_classes=2
+    )
+    scale = base.pre.scale  # golden image is stored post-resize
+    for batch in load_golden("multiclass_bottomup"):
+        out = layer.finalize(layer.predict_async(nhwc(batch["image"])))
+        mine_all = np.asarray(out["pred_keypoints"]) / scale
+        for f in range(len(batch["frame_idx"])):
+            mine = mine_all[f]
+            want = np.asarray(batch["pred_instance_peaks"][f])
+            assert np.array_equal(np.isnan(mine), np.isnan(want))
+            assert nan_max_diff(mine, want) < COORD_TOL
+            probs = np.asarray(out["pred_class_probs"][f])
+            want_scores = np.asarray(batch["instance_scores"][f])
+            ok = ~np.isnan(want_scores)
+            assert np.allclose(probs[ok], want_scores[ok], atol=VAL_TOL)
+
+
+def test_multiclass_topdown_stage2_parity():
+    """Multiclass centered-instance crops: peaks and identity assignment."""
+    from sleap_nn_tpu.inference.identity import get_class_inds_from_vectors
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.from_model_paths(
+        [
+            CKPTS / "minimal_instance_centroid",
+            CKPTS / "minimal_instance_multiclass_centered_instance",
+        ],
+        peak_threshold=0.03,
+        max_instances=6,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    for batch in load_golden("multiclass_topdown"):
+        crops = nhwc(batch["instance_image"]).astype(np.float32) / 255.0
+        pts, vals, class_probs = jax.device_get(
+            p.layer._crop_fn(jnp.asarray(crops))
+        )
+        want = batch["pred_instance_peaks"]
+        assert np.array_equal(np.isnan(pts), np.isnan(want))
+        assert nan_max_diff(pts, want) < COORD_TOL
+        assert nan_max_diff(vals, batch["pred_peak_values"]) < CROP_VAL_TOL
+        # Identity: rows in a batch belong to one frame -> one Hungarian.
+        for fidx in np.unique(batch["frame_idx"]):
+            rows = batch["frame_idx"] == fidx
+            ci, _ = get_class_inds_from_vectors(np.asarray(class_probs)[rows])
+            assert np.array_equal(ci, batch["pred_class_inds"][rows])

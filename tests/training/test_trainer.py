@@ -240,3 +240,60 @@ def test_train_nonunet_backbones(backbone, tmp_path):
     history = trainer.train()
     assert np.isfinite(history[-1]["train/loss"])
     assert np.isfinite(history[-1]["val/loss"])
+
+
+def test_wandb_offline_fallback(tmp_path):
+    """use_wandb without the wandb package logs to a local offline run dir."""
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.use_wandb = True
+    cfg.trainer_config.wandb.project = "proj"
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    with pytest.warns(UserWarning, match="wandb"):
+        trainer.train()
+    runs = list((trainer.ckpt_dir / "wandb").glob("offline-run-*"))
+    assert len(runs) == 1
+    lines = (runs[0] / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2  # one per epoch
+    import json
+
+    row = json.loads(lines[0])
+    assert row["epoch"] == 0 and "val/loss" in row and "train/loss" in row
+    assert (runs[0] / "summary.json").exists()
+    assert cfg.trainer_config.wandb.current_run_id
+
+
+def test_resume_seed_mismatch_warns(tmp_path):
+    cfg = make_cfg("single_instance", tmp_path)
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    trainer.train()
+    ckpt = trainer.ckpt_dir / "best.ckpt"
+
+    cfg2 = make_cfg("single_instance", tmp_path, **{"trainer_config.run_name": "resumed"})
+    cfg2.trainer_config.resume_ckpt_path = str(ckpt)
+    cfg2.trainer_config.seed = 1234  # differs from the original run
+    cfg2.trainer_config.max_epochs = 3
+    with pytest.warns(UserWarning, match="train/val split|seed"):
+        ModelTrainer.get_model_trainer_from_config(cfg2).setup()
+
+
+def test_loader_prefetch_matches_sync():
+    """Background-prefetch iteration yields the same batches as inline."""
+    from sleap_nn_tpu.config import TrainingJobConfig
+    from sleap_nn_tpu.data.pipeline import Loader, build_pipeline_context, make_dataset
+    from sleap_nn_tpu.io import load_slp
+
+    labels = load_slp(FIXTURE)
+    cfg = make_cfg("single_instance", Path("/tmp"))
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    ds = make_dataset("single_instance", [labels], ctx)
+    a = Loader(ds, batch_size=2, shuffle=True, seed=3, prefetch=2)
+    b = Loader(ds, batch_size=2, shuffle=True, seed=3, prefetch=0)
+    a.set_epoch(1)
+    b.set_epoch(1)
+    batches_a = list(a)
+    batches_b = list(b)
+    assert len(batches_a) == len(batches_b) > 0
+    for x, y in zip(batches_a, batches_b):
+        assert sorted(x) == sorted(y)
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
