@@ -94,6 +94,11 @@ def _inference_options(f):
                      show_default=True),
         click.option("--use-bf16/--no-use-bf16", default=False, show_default=True,
                      help="bfloat16 forward pass (TPU fast path)."),
+        click.option("--host-resize/--no-host-resize", "host_resize",
+                     default=False, show_default=True,
+                     help="Downscale frames on the host before transfer "
+                          "(cuts H2D payload; cv2 bilinear instead of the "
+                          "on-device resize)."),
         click.option("--paf-workers", default=0, show_default=True,
                      help="Worker processes for bottom-up PAF grouping (0 = inline)."),
         click.option("--output-format", "output_format", multiple=True,

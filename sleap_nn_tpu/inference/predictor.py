@@ -8,6 +8,7 @@ model families.
 
 from __future__ import annotations
 
+import os
 import math
 import time
 from pathlib import Path
@@ -38,12 +39,37 @@ from sleap_nn_tpu.io.model import (
 from sleap_nn_tpu.io.video import Video
 
 
+def rgb_to_gray_uint8(frames: np.ndarray) -> np.ndarray:
+    """ITU-601 luma on a uint8 batch, (B, H, W, 3) -> (B, H, W, 1).
+
+    cv2's SIMD cvtColor is ~100x faster than numpy float broadcasting on a
+    single-core host (the luma weights match the in-model conversion).
+    """
+    try:
+        import cv2
+
+        out = np.empty(frames.shape[:-1] + (1,), dtype=np.uint8)
+        for i in range(frames.shape[0]):
+            out[i, ..., 0] = cv2.cvtColor(frames[i], cv2.COLOR_RGB2GRAY)
+        return out
+    except ImportError:
+        luma = np.array([0.2989, 0.587, 0.114], dtype=np.float32)
+        return (frames.astype(np.float32) @ luma).astype(np.uint8)[..., None]
+
+
 def _pre_config(loaded: LoadedModel) -> PreprocessConfig:
     pre = loaded.config.data_config.preprocessing
     backbone = loaded.backbone_config
+    # A 1-channel model converts RGB inputs to grayscale in its forward
+    # anyway (identical ITU-601 luma weights); declaring it here lets the
+    # predictor convert on HOST before transfer — 3x less H2D traffic, the
+    # dominant cost on narrow links.
+    ensure_grayscale = pre.ensure_grayscale
+    if getattr(backbone, "in_channels", None) == 1 and not pre.ensure_rgb:
+        ensure_grayscale = True
     return PreprocessConfig(
         ensure_rgb=pre.ensure_rgb,
-        ensure_grayscale=pre.ensure_grayscale,
+        ensure_grayscale=ensure_grayscale,
         max_height=pre.max_height,
         max_width=pre.max_width,
         scale=pre.scale,
@@ -73,6 +99,9 @@ class Predictor:
         pre = getattr(layer, "centroid_layer", layer)
         pre = getattr(pre, "pre", None)
         self._host_grayscale = bool(pre and pre.ensure_grayscale)
+        # Set by from_model_paths(host_resize=True): (scale, max_h, max_w)
+        # resize moved off-device; coords are re-lifted in _undo_host_resize.
+        self._host_transform = None
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -95,10 +124,48 @@ class Predictor:
         merge_fragments: bool = False,
         centroid_peak_threshold: Optional[float] = None,
         anchor_part: Optional[str] = None,
+        host_resize: bool = False,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         by_type = {m.model_type: m for m in loaded}
         types = set(by_type)
+
+        host_transform = None
+        if host_resize:
+            # Move sizematch+scale resizing to the HOST so the device link
+            # carries the downscaled frames (4x less payload at scale=0.5).
+            # Only keypoint families on full frames qualify; the stage pres
+            # must agree for two-model composites. cv2's bilinear differs
+            # from jax.image.resize antialiasing at the last bit — opt-in
+            # fast path, not the parity path.
+            qualifying = types in (
+                {"single_instance"},
+                {"centroid"},
+                {"centroid", "centered_instance"},
+                {"bottomup"},
+                {"multi_class_bottomup"},
+                {"centroid", "multi_class_topdown"},
+            )
+            pres = [m.config.data_config.preprocessing for m in loaded]
+            if qualifying and pres and all(
+                (p.scale, p.max_height, p.max_width)
+                == (pres[0].scale, pres[0].max_height, pres[0].max_width)
+                for p in pres
+            ) and (pres[0].scale != 1.0 or pres[0].max_height or pres[0].max_width):
+                host_transform = (
+                    float(pres[0].scale or 1.0),
+                    pres[0].max_height,
+                    pres[0].max_width,
+                )
+                for m in loaded:
+                    # Crop sizes are defined in the preprocessed space; keep
+                    # the original scale available for that computation.
+                    m.host_scale = float(
+                        m.config.data_config.preprocessing.scale or 1.0
+                    )
+                    m.config.data_config.preprocessing.scale = 1.0
+                    m.config.data_config.preprocessing.max_height = None
+                    m.config.data_config.preprocessing.max_width = None
 
         def post_for(m: LoadedModel) -> PostprocessConfig:
             return PostprocessConfig(
@@ -124,6 +191,7 @@ class Predictor:
             p = _cls(*args, **kwargs_)
             p.filters = filters
             p.paf_workers = paf_workers
+            p._host_transform = host_transform
             return p
 
         if types == {"single_instance"}:
@@ -158,7 +226,7 @@ class Predictor:
             cs = crop_size or mi.config.data_config.preprocessing.crop_size
             if cs is None:
                 raise ValueError("crop_size not set in centered-instance config.")
-            cs = int(round(cs * inst_pre.scale))
+            cs = int(round(cs * getattr(mi, "host_scale", inst_pre.scale)))
             cs += (-cs) % inst_pre.max_stride
             instance_layer = CenteredInstanceLayer(
                 backend_for(mi), inst_pre, post_for(mi), output_stride=i_head.output_stride
@@ -180,7 +248,7 @@ class Predictor:
             cs = crop_size or mi.config.data_config.preprocessing.crop_size
             if cs is None:
                 raise ValueError("crop_size not set in centered-instance config.")
-            cs = int(round(cs * inst_pre.scale))
+            cs = int(round(cs * getattr(mi, "host_scale", inst_pre.scale)))
             cs += (-cs) % inst_pre.max_stride
             instance_layer = CenteredInstanceLayer(
                 backend_for(mi), inst_pre, post_for(mi), output_stride=i_head.output_stride
@@ -234,7 +302,7 @@ class Predictor:
             cs = crop_size or mi.config.data_config.preprocessing.crop_size
             if cs is None:
                 raise ValueError("crop_size not set in multi_class_topdown config.")
-            cs = int(round(cs * inst_pre.scale))
+            cs = int(round(cs * getattr(mi, "host_scale", inst_pre.scale)))
             cs += (-cs) % inst_pre.max_stride
             instance_layer = CenteredInstanceLayer(
                 backend_for(mi), inst_pre, post_for(mi),
@@ -290,7 +358,7 @@ class Predictor:
                 raise ValueError(
                     "crop_size not set in centered_instance_segmentation config."
                 )
-            cs = int(round(cs * seg_pre.scale))
+            cs = int(round(cs * getattr(ms, "host_scale", seg_pre.scale)))
             cs += (-cs) % seg_pre.max_stride
             layer = TopDownSegmentationLayer(
                 centroid_layer,
@@ -334,6 +402,43 @@ class Predictor:
         raise ValueError(f"Unsupported model type combination: {sorted(types)}")
 
     # -- prediction -----------------------------------------------------------
+    def _apply_host_resize(self, frames: np.ndarray):
+        """Sizematch+scale on host (cv2); returns (frames, coord factor).
+
+        Mirrors the device-side apply_sizematcher + resize_image rounding
+        (data/resizing.py) so coordinates lift back with one divide.
+        """
+        import cv2
+
+        scale, mh, mw = self._host_transform
+        b, h, w, c = frames.shape
+        eff = 1.0
+        if mh and mw and (h, w) != (mh, mw):
+            eff = min(mh / h, mw / w)
+        th, tw = int(round(h * eff)), int(round(w * eff))
+        th2, tw2 = int(round(th * scale)), int(round(tw * scale))
+        if (th2, tw2) == (h, w):
+            return frames, 1.0
+        out = np.empty((b, th2, tw2, c), dtype=frames.dtype)
+        for i in range(b):
+            r = cv2.resize(frames[i], (tw2, th2), interpolation=cv2.INTER_AREA)
+            out[i] = r[..., None] if r.ndim == 2 else r
+        return out, eff * scale
+
+    @staticmethod
+    def _lift_host_coords(out: Dict, factor: float) -> Dict:
+        if factor == 1.0:
+            return out
+        for key in ("pred_keypoints", "pred_centroids"):
+            val = out.get(key)
+            if val is None:
+                continue
+            if isinstance(val, list):
+                out[key] = [np.asarray(v) / factor for v in val]
+            else:
+                out[key] = np.asarray(val) / factor
+        return out
+
     def _make_provider(self, data, frames=None):
         needs_gt = getattr(self.layer, "needs_gt_centroids", False)
         provider_kwargs = {"batch_size": self.batch_size}
@@ -385,7 +490,7 @@ class Predictor:
         # Pipeline: keep up to `depth` batches in flight on the device while
         # the host decodes / finalizes (JAX dispatch is async; fetching
         # per-batch would serialize every transfer round-trip).
-        depth = 2
+        depth = int(os.environ.get("SLEAP_NN_TPU_PIPELINE_DEPTH", 2))
         in_flight = []
 
         # PAF grouping pool: with paf_workers > 0 on a bottom-up layer, the
@@ -408,15 +513,16 @@ class Predictor:
 
         def drain_one():
             nonlocal n_frames
-            dev_out, batch = in_flight.pop(0)
+            dev_out, batch, host_f = in_flight.pop(0)
             if pool is not None:
                 pool.submit(len(pool_meta), self.layer.device_to_payload(dev_out))
-                pool_meta.append(batch)
+                pool_meta.append((batch, host_f))
                 # Bound in-worker backlog to keep memory O(window).
                 if len(pool) > 2 * self.paf_workers:
                     merge_grouped(*pool.drain_one())
             else:
                 out = self.layer.finalize(dev_out)
+                out = self._lift_host_coords(out, host_f)
                 out["frame_inds"] = batch.frame_inds
                 out["video_inds"] = batch.video_inds
                 out["valid"] = batch.valid
@@ -425,7 +531,8 @@ class Predictor:
 
         def merge_grouped(ordinal, grouped):
             nonlocal n_frames
-            batch = pool_meta[ordinal]
+            batch, host_f = pool_meta[ordinal]
+            grouped = self._lift_host_coords(grouped, host_f)
             grouped["frame_inds"] = batch.frame_inds
             grouped["video_inds"] = batch.video_inds
             grouped["valid"] = batch.valid
@@ -438,18 +545,17 @@ class Predictor:
             for batch in provider:
                 frames = batch.frames
                 if self._host_grayscale and frames.shape[-1] == 3:
-                    frames = (
-                        frames[..., 0] * 0.2989
-                        + frames[..., 1] * 0.587
-                        + frames[..., 2] * 0.114
-                    ).astype(np.uint8)[..., None]
+                    frames = rgb_to_gray_uint8(frames)
+                host_f = 1.0
+                if self._host_transform is not None:
+                    frames, host_f = self._apply_host_resize(frames)
                 if getattr(self.layer, "needs_gt_centroids", False):
                     dev = self.layer.predict_async(
                         frames, batch.gt_centroids, batch.gt_centroid_valid
                     )
                 else:
                     dev = self.layer.predict_async(frames)
-                in_flight.append((dev, batch))
+                in_flight.append((dev, batch, host_f))
                 if len(in_flight) > depth:
                     drain_one()
             while in_flight:
@@ -661,9 +767,7 @@ class ExportedLayer:
         # Channel adaptation to the baked input spec.
         want_c = self.meta.input_shape[-1]
         if images.shape[-1] == 3 and want_c == 1:
-            images = (
-                images[..., 0] * 0.2989 + images[..., 1] * 0.587 + images[..., 2] * 0.114
-            ).astype(np.uint8)[..., None]
+            images = rgb_to_gray_uint8(images.astype(np.uint8))
         elif images.shape[-1] == 1 and want_c == 3:
             images = np.repeat(images, 3, axis=-1)
         out = self.call(images.astype(np.uint8))

@@ -24,6 +24,7 @@ def predict(
     min_line_scores: float = 0.25,
     paf_workers: int = 0,
     merge_fragments: bool = False,
+    host_resize: bool = False,
     crop_size: Optional[int] = None,
     output_format: Union[str, Sequence[str]] = "slp",
     filters=None,
@@ -161,6 +162,7 @@ def predict(
         filters=filters,
         centroid_peak_threshold=centroid_peak_threshold,
         anchor_part=anchor_part,
+        host_resize=host_resize,
     )
     if profile_dir is not None:
         # XLA/TPU profiler trace around the whole predict loop; open with

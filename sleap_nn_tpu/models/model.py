@@ -66,8 +66,13 @@ def get_backbone(backbone_type: str, backbone_config) -> nn.Module:
         from sleap_nn_tpu.models.swint import SwinTWrapper
 
         return SwinTWrapper.from_config(backbone_config)
+    if backbone_type == "pretrained":
+        from sleap_nn_tpu.models.pretrained import PretrainedBackbone
+
+        return PretrainedBackbone.from_config(backbone_config)
     raise KeyError(
-        f"Unsupported backbone: {backbone_type}. Supported: unet, convnext, swint"
+        f"Unsupported backbone: {backbone_type}. "
+        f"Supported: unet, convnext, swint, pretrained"
     )
 
 

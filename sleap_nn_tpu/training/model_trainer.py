@@ -252,6 +252,26 @@ class ModelTrainer:
         params = self.model.init(init_key, jnp.zeros_like(probe["image"]))
         if cfg.model_config.init_weights in ("default", "xavier"):
             params = xavier_init_params(params, xavier_key)
+        self._frozen_mask = None
+        if self.backbone_type == "pretrained":
+            bb = get_backbone_config(cfg)
+            if getattr(bb, "weights", True):
+                from sleap_nn_tpu.models.pretrained import load_hf_encoder_params
+
+                params, _ = load_hf_encoder_params(bb.model_name, params)
+            freeze = bool(getattr(bb, "freeze", False))
+
+            # BatchNorm running stats are inference-mode constants
+            # (frozen-BN fine-tuning); they must never receive optimizer
+            # updates. With freeze=True the whole encoder is masked too
+            # (reference freezes via requires_grad, pretrained.py:428).
+            def mark(path, _):
+                names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+                if "batch_stats" in names:
+                    return False
+                return not (freeze and any(n in ("enc", "encoder") for n in names))
+
+            self._frozen_mask = jax.tree_util.tree_map_with_path(mark, params)
         if cfg.trainer_config.resume_ckpt_path:
             # Resume: restore params + epoch + best-val from a saved ckpt
             # (reference trainer_config.py:349 resume_ckpt_path). The
@@ -328,6 +348,12 @@ class ModelTrainer:
 
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            if self._frozen_mask is not None:
+                # Frozen pretrained encoder: zero its updates (optimizer
+                # moments still step; the params never move).
+                updates = jax.tree_util.tree_map(
+                    lambda u, keep: u * keep, updates, self._frozen_mask
+                )
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, parts
 
