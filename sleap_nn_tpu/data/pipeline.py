@@ -77,6 +77,11 @@ class PipelineContext:
     intensity: Optional[dict] = None
     geometric: Optional[dict] = None
     symmetric_inds: Tuple[Tuple[int, int], ...] = ()
+    # Tiled training with geometric augmentation: train tiles arrive as a
+    # larger halo (side ceil(tile*sqrt(2))); after the aug the device render
+    # center-crops back to this tile size so rotations never pull in
+    # zero-padding wedges (reference: data/tiling.py:262 halo path).
+    halo_crop_to: Optional[int] = None
 
 
 def _aug_kwargs(cfg) -> dict:
@@ -113,6 +118,13 @@ def preprocess_batch(
                 **ctx.geometric,
             )
             image, instances = out[0], out[1]
+    if train and ctx.halo_crop_to is not None:
+        target = int(round(ctx.halo_crop_to * ctx.scale))
+        h, w = image.shape[-3], image.shape[-2]
+        if h > target or w > target:
+            off_h, off_w = (h - target) // 2, (w - target) // 2
+            image = image[..., off_h : off_h + target, off_w : off_w + target, :]
+            instances = instances - jnp.asarray([off_w, off_h], instances.dtype)
     return image, instances, eff_scale
 
 
@@ -451,7 +463,10 @@ class TiledDataset:
     every model type instead of three subclasses.
     """
 
-    def __init__(self, inner: BaseDataset, tiling, base_seed: int = 0):
+    def __init__(self, inner: BaseDataset, tiling, base_seed: int = 0,
+                 use_halo: bool = False):
+        import math as _math
+
         from sleap_nn_tpu.data.tiling import generate_tile_grid
 
         if not tiling.tile_size:
@@ -460,6 +475,11 @@ class TiledDataset:
         self.cfg = tiling
         self.base_seed = base_seed
         self.epoch = 0
+        # Halo path (geometric aug enabled): emit tiles with a sqrt(2) halo
+        # so the device-side rotation has real context; the render fn crops
+        # back (ctx.halo_crop_to). Reference: data/tiling.py:262,322.
+        self.use_halo = bool(use_halo)
+        self.halo_size = int(_math.ceil(tiling.tile_size * _math.sqrt(2.0)))
         if tiling.samples_per_frame:
             self.samples_per_frame = int(tiling.samples_per_frame)
         else:
@@ -512,10 +532,23 @@ class TiledDataset:
             center_jitter=self.cfg.center_jitter,
             rng=rng,
         )
-        tile, pts = extract_tile(
-            s["image"], s["instances"], origin, self.cfg.tile_size,
-            min_visible_keypoints=self.cfg.min_visible_keypoints,
-        )
+        if self.use_halo:
+            # Shift the origin so the halo is centered on the tile center,
+            # then extract at halo size. min_visible gating still uses the
+            # pre-aug tile region (handled by extract_tile for the halo
+            # rectangle — a superset; post-aug out-of-tile points simply
+            # render nothing).
+            margin = (self.halo_size - self.cfg.tile_size) // 2
+            origin = (origin[0] - margin, origin[1] - margin)
+            tile, pts = extract_tile(
+                s["image"], s["instances"], origin, self.halo_size,
+                min_visible_keypoints=self.cfg.min_visible_keypoints,
+            )
+        else:
+            tile, pts = extract_tile(
+                s["image"], s["instances"], origin, self.cfg.tile_size,
+                min_visible_keypoints=self.cfg.min_visible_keypoints,
+            )
         # Compact visible instances to the front: model types that supervise
         # instance slot 0 (single_instance) must see the tile's surviving
         # instance there, and track_ids stay aligned.

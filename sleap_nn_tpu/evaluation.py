@@ -229,6 +229,52 @@ def match_centroids(gt_pts: np.ndarray, pr_pts: np.ndarray, threshold: float = 5
 # ---------------------------------------------------------------------------
 
 
+# COCO object-size area cutoffs (px^2): small < 32^2 <= medium < 96^2 <= large
+# (reference: evaluation.py:297-304).
+COCO_SIZE_EDGES = np.array([32.0**2, 96.0**2])
+_SIZE_KEYS = ("small", "medium", "large")
+
+
+def _percentile_size_edges(gt_areas, percentiles=(100 / 3.0, 200 / 3.0)) -> np.ndarray:
+    """Dataset-relative size-bucket edges: percentiles of the GT area dist."""
+    g = np.asarray(gt_areas, dtype=float)
+    g = g[~np.isnan(g)]
+    if g.size == 0:
+        return np.array([np.nan, np.nan])
+    return np.percentile(g, percentiles)
+
+
+def _size_mask(areas, bucket_idx: int, edges) -> np.ndarray:
+    """Select areas in size bucket ``bucket_idx`` (NaN excluded everywhere)."""
+    areas = np.asarray(areas, dtype=float)
+    lo = -np.inf if bucket_idx == 0 else edges[bucket_idx - 1]
+    hi = np.inf if bucket_idx >= len(edges) else edges[bucket_idx]
+    with np.errstate(invalid="ignore"):
+        return (areas >= lo) & (areas < hi)
+
+
+def _ap_from_pr(scores, matched, n_gt, recall_thresholds) -> Tuple[float, float]:
+    """101-point-interpolated AP + final recall from score-ranked TP flags."""
+    if n_gt == 0:
+        return np.nan, np.nan
+    if scores.size == 0:
+        return 0.0, 0.0
+    order = np.argsort(-scores, kind="mergesort")
+    tp = np.cumsum(matched[order])
+    fp = np.cumsum(~matched[order])
+    rc = tp / n_gt
+    pr = tp / (tp + fp + np.spacing(1))
+    recall = float(rc[-1])
+    for i in range(pr.size - 1, 0, -1):
+        if pr[i] > pr[i - 1]:
+            pr[i - 1] = pr[i]
+    inds = np.searchsorted(rc, recall_thresholds, side="left")
+    precision = np.zeros(inds.shape)
+    valid = inds < pr.size
+    precision[valid] = pr[inds[valid]]
+    return float(precision.mean()), recall
+
+
 def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     """Pixel IoU of two binary masks (reference: :120)."""
     a = np.asarray(a, bool)
@@ -399,6 +445,7 @@ class Evaluator:
         self.positive_pairs, self.false_negatives = [], []
         self.mask_pairs = []  # (gt_mask, pr_mask, iou)
         self.semantic_frames = []  # (gt_union, pr_union)
+        self._mask_frames = []  # per-frame IoU/score/area payloads
         for frame_gt, frame_pr in self.frame_pairs:
             gt_masks = [m.mask for m in getattr(frame_gt, "masks", [])]
             pr_masks = [m.mask for m in getattr(frame_pr, "masks", [])]
@@ -417,6 +464,33 @@ class Evaluator:
                     self.semantic_frames.append((g, p))
                 continue
             pairs, fn, fp = match_masks(gt_masks, pr_masks, iou_thr)
+            # Per-frame payload for PQ / per-size / fragmentation / COCO mAP:
+            # the 1-to-1 Hungarian pairs above can't express those
+            # (reference: evaluation.py:1640-1830).
+            n_p, n_g = len(pr_masks), len(gt_masks)
+            iou_mat = np.zeros((n_p, n_g), dtype=float)
+            inter_mat = np.zeros((n_p, n_g), dtype=float)
+            for pj in range(n_p):
+                for gi in range(n_g):
+                    iou_mat[pj, gi] = mask_iou(pr_masks[pj], gt_masks[gi])
+                    a, b = pr_masks[pj], gt_masks[gi]
+                    hh = min(a.shape[0], b.shape[0])
+                    ww = min(a.shape[1], b.shape[1])
+                    inter_mat[pj, gi] = float(
+                        np.logical_and(a[:hh, :ww], b[:hh, :ww]).sum()
+                    )
+            self._mask_frames.append(
+                {
+                    "iou": iou_mat,
+                    "inter": inter_mat,
+                    "pred_scores": np.array(
+                        [float(getattr(m, "score", 0.0) or 0.0) for m in frame_pr.masks],
+                        dtype=float,
+                    ),
+                    "gt_areas": np.array([int(m.sum()) for m in gt_masks], dtype=float),
+                    "pred_areas": np.array([int(m.sum()) for m in pr_masks], dtype=float),
+                }
+            )
             gt_mi = get_instances(frame_gt)
             for (gi, pj, iou) in pairs:
                 self.mask_pairs.append((gt_masks[gi], pr_masks[pj], iou))
@@ -436,7 +510,13 @@ class Evaluator:
         self.dists_dict = {"dists": np.zeros((0, 1)), "frame_idxs": [], "video_paths": []}
 
     def mask_metrics(self) -> dict:
-        """Matched-mask quality (reference: :1456)."""
+        """Matched-mask quality + PQ + fragmentation + per-size (reference: :1456).
+
+        ``pq = sq * rq`` with ``sq`` = TP-only mean IoU and
+        ``rq = TP / (TP + 0.5*FP + 0.5*FN)`` (Kirillov et al. 2019);
+        ``per_size`` buckets GT masks by area under the dataset-relative
+        percentile scheme (primary) and the fixed COCO cutoffs (additional).
+        """
         ious = np.array([iou for _, _, iou in self.mask_pairs])
         bious = np.array(
             [boundary_iou(g, p) for g, p, _ in self.mask_pairs]
@@ -444,12 +524,209 @@ class Evaluator:
         cld = np.array(
             [mask_cldice(p, g) for g, p, _ in self.mask_pairs]
         ) if self.mask_pairs else np.array([])
-        return {
+        n_tp = len(self.mask_pairs)
+        n_fp = len(self.false_positives)
+        n_fn = len(self.false_negatives)
+        over, under = self._fragmentation_counts()
+        results = {
             "mean_iou": float(ious.mean()) if ious.size else np.nan,
+            "min": float(ious.min()) if ious.size else np.nan,
+            "max": float(ious.max()) if ious.size else np.nan,
             "mean_boundary_iou": float(bious.mean()) if bious.size else np.nan,
             "mean_cldice": float(cld.mean()) if cld.size else np.nan,
-            "n_matched": len(self.mask_pairs),
+            "mean_iou_all_gt": np.nan,
+            "pq": np.nan,
+            "sq": np.nan,
+            "rq": np.nan,
+            "oversegmentation": over,
+            "undersegmentation": under,
+            "per_size": self._mask_per_size_stats(),
+            "n_matched": n_tp,
+            "n_fp": n_fp,
+            "n_fn": n_fn,
+            "ious": ious,
         }
+        for ptile in (25, 50, 75):
+            results[f"p{ptile}"] = (
+                float(np.percentile(ious, ptile)) if ious.size else np.nan
+            )
+        iou_sum = float(ious.sum()) if ious.size else 0.0
+        if n_tp + n_fn > 0:
+            results["mean_iou_all_gt"] = iou_sum / (n_tp + n_fn)
+        pq_denom = n_tp + 0.5 * n_fp + 0.5 * n_fn
+        if pq_denom > 0:
+            results["sq"] = results["mean_iou"]
+            results["rq"] = n_tp / pq_denom
+            results["pq"] = iou_sum / pq_denom
+        return results
+
+    def _fragmentation_counts(self, overlap_frac: float = 0.1) -> Tuple[int, int]:
+        """Over-/under-segmentation counts (reference: :1597).
+
+        Over: GT masks covered (>= ``overlap_frac`` of GT area) by >= 2
+        predictions. Under: predictions covering >= 2 GT masks.
+        """
+        over = under = 0
+        for f in getattr(self, "_mask_frames", []):
+            inter, gt_areas = f["inter"], f["gt_areas"]
+            if inter.size == 0:
+                continue
+            covers = inter >= (overlap_frac * np.maximum(gt_areas, 1.0))[None, :]
+            over += int(np.count_nonzero(covers.sum(axis=0) >= 2))
+            under += int(np.count_nonzero(covers.sum(axis=1) >= 2))
+        return over, under
+
+    def _mask_per_size_stats(self) -> dict:
+        """Per-object-size GT/TP/IoU breakdown (reference: :1640)."""
+        gt_areas_all = np.array(
+            [a for f in getattr(self, "_mask_frames", []) for a in f["gt_areas"]],
+            dtype=float,
+        )
+        tp_iou = np.array([iou for _, _, iou in self.mask_pairs], dtype=float)
+        tp_gt_area = np.array(
+            [int(g.sum()) for g, _, _ in self.mask_pairs], dtype=float
+        )
+
+        def breakdown(edges):
+            out = {}
+            for i, bucket in enumerate(_SIZE_KEYS):
+                in_gt = _size_mask(gt_areas_all, i, edges)
+                in_tp = _size_mask(tp_gt_area, i, edges)
+                out[bucket] = {
+                    "n_gt": int(np.count_nonzero(in_gt)),
+                    "n_tp": int(np.count_nonzero(in_tp)),
+                    "mean_iou": (
+                        float(tp_iou[in_tp].mean()) if np.any(in_tp) else np.nan
+                    ),
+                }
+            return out
+
+        out = breakdown(_percentile_size_edges(gt_areas_all))
+        out["scheme"] = "percentile"
+        out["coco"] = breakdown(COCO_SIZE_EDGES)
+        return out
+
+    def _match_masks_coco(self, iou_threshold: float):
+        """Greedy score-ranked pred->GT matching per frame (pycocotools style).
+
+        Returns flat aligned arrays ``(scores, matched, matched_gt_area,
+        pred_area)`` over every prediction (reference: :1665).
+        """
+        scores, matched, matched_gt_area, pred_area = [], [], [], []
+        for f in getattr(self, "_mask_frames", []):
+            iou = f["iou"]
+            n_pred, n_gt = iou.shape
+            order = (
+                np.argsort(-f["pred_scores"], kind="mergesort")
+                if n_pred
+                else np.array([], dtype=int)
+            )
+            gt_taken = np.zeros(n_gt, dtype=bool)
+            for p in order:
+                scores.append(float(f["pred_scores"][p]))
+                pred_area.append(float(f["pred_areas"][p]))
+                if n_gt == 0:
+                    matched.append(False)
+                    matched_gt_area.append(np.nan)
+                    continue
+                row = iou[p].copy()
+                row[gt_taken] = -1.0
+                g = int(np.argmax(row))
+                if row[g] >= iou_threshold:
+                    gt_taken[g] = True
+                    matched.append(True)
+                    matched_gt_area.append(float(f["gt_areas"][g]))
+                else:
+                    matched.append(False)
+                    matched_gt_area.append(np.nan)
+        return (
+            np.array(scores, dtype=float),
+            np.array(matched, dtype=bool),
+            np.array(matched_gt_area, dtype=float),
+            np.array(pred_area, dtype=float),
+        )
+
+    def mask_voc_metrics(
+        self,
+        iou_thresholds: np.ndarray = None,
+        recall_thresholds: np.ndarray = None,
+        size_percentiles: Tuple[float, float] = (100 / 3.0, 200 / 3.0),
+    ) -> dict:
+        """COCO-style mask AP/AR with dual per-size breakdowns (reference: :1717).
+
+        Predictions are re-matched at each IoU threshold with greedy
+        score-ranked matching, the PR curve is 101-point interpolated, and
+        per-size APs follow pycocotools ``areaRng`` semantics (out-of-bucket
+        GT is ignored: TPs filter on matched-GT area, FPs on their own area).
+        """
+        if iou_thresholds is None:
+            iou_thresholds = np.linspace(0.5, 0.95, 10)
+        if recall_thresholds is None:
+            recall_thresholds = np.linspace(0, 1, 101)
+        iou_thresholds = np.asarray(iou_thresholds, dtype=float)
+        gt_areas_all = np.array(
+            [a for f in getattr(self, "_mask_frames", []) for a in f["gt_areas"]],
+            dtype=float,
+        )
+        npig = int(gt_areas_all.size)
+        schemes = {
+            "percentile": _percentile_size_edges(gt_areas_all, size_percentiles),
+            "coco": COCO_SIZE_EDGES,
+        }
+        n_gt_size = {
+            name: [
+                int(np.count_nonzero(_size_mask(gt_areas_all, i, edges)))
+                for i in range(len(_SIZE_KEYS))
+            ]
+            for name, edges in schemes.items()
+        }
+        ap_overall = np.full(iou_thresholds.size, np.nan)
+        recall_overall = np.full(iou_thresholds.size, np.nan)
+        ap_size = {
+            name: [np.full(iou_thresholds.size, np.nan) for _ in _SIZE_KEYS]
+            for name in schemes
+        }
+        for ti, thr in enumerate(iou_thresholds):
+            scores, matched, matched_gt_area, pred_area = self._match_masks_coco(
+                float(thr)
+            )
+            ap_overall[ti], recall_overall[ti] = _ap_from_pr(
+                scores, matched, npig, recall_thresholds
+            )
+            for name, edges in schemes.items():
+                for i in range(len(_SIZE_KEYS)):
+                    keep_tp = matched & _size_mask(matched_gt_area, i, edges)
+                    keep_fp = (~matched) & _size_mask(pred_area, i, edges)
+                    keep = keep_tp | keep_fp
+                    ap_size[name][i][ti], _ = _ap_from_pr(
+                        scores[keep], keep_tp[keep], n_gt_size[name][i],
+                        recall_thresholds,
+                    )
+
+        def _nanmean(arr):
+            return float(np.nanmean(arr)) if np.any(~np.isnan(arr)) else np.nan
+
+        def _at(target):
+            return float(ap_overall[int(np.argmin(np.abs(iou_thresholds - target)))])
+
+        results = {
+            "mask_voc.iou_thresholds": iou_thresholds,
+            "mask_voc.AP": ap_overall,
+            "mask_voc.recalls": recall_overall,
+            "mask_voc.mAP": _nanmean(ap_overall),
+            "mask_voc.AR": _nanmean(recall_overall),
+            "mask_voc.AP50": _at(0.5),
+            "mask_voc.AP75": _at(0.75),
+            "mask_voc.n_gt": npig,
+            "mask_voc.size_scheme": "percentile",
+            "mask_voc.size_edges": [float(e) for e in schemes["percentile"]],
+            "mask_voc.coco.size_edges": [float(e) for e in schemes["coco"]],
+        }
+        for name, prefix in (("percentile", "mask_voc."), ("coco", "mask_voc.coco.")):
+            for i, bucket in enumerate(_SIZE_KEYS):
+                results[f"{prefix}AP_{bucket}"] = _nanmean(ap_size[name][i])
+                results[f"{prefix}n_gt_{bucket}"] = n_gt_size[name][i]
+        return results
 
     def semantic_metrics(self) -> dict:
         """Matching-free whole-frame foreground metrics (reference: :1554)."""
@@ -650,6 +927,7 @@ class Evaluator:
             return {
                 "detection_metrics": self.detection_metrics(),
                 "mask_metrics": self.mask_metrics(),
+                "mask_voc_metrics": self.mask_voc_metrics(),
             }
         if self.match_method == "semantic":
             return {"semantic_metrics": self.semantic_metrics()}

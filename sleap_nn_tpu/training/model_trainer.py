@@ -222,12 +222,24 @@ class ModelTrainer:
                 )
             from sleap_nn_tpu.data.pipeline import TiledDataset
 
-            self.train_ds = TiledDataset(self.train_ds, tiling, base_seed=seed)
+            use_halo = bool(
+                cfg.data_config.use_augmentations_train
+                and cfg.data_config.augmentation_config is not None
+                and cfg.data_config.augmentation_config.geometric is not None
+            )
+            self.train_ds = TiledDataset(
+                self.train_ds, tiling, base_seed=seed, use_halo=use_halo
+            )
             # Val tiles stay fixed (epoch 0) so val/loss is comparable.
             self.val_ds = TiledDataset(self.val_ds, tiling, base_seed=seed + 1)
             # Tiles are already fixed-size: the labels-derived sizematcher dims
             # would rescale every tile back up to the full-frame size.
-            self.ctx = dataclasses.replace(self.ctx, max_height=None, max_width=None)
+            self.ctx = dataclasses.replace(
+                self.ctx,
+                max_height=None,
+                max_width=None,
+                halo_crop_to=tiling.tile_size if use_halo else None,
+            )
         if len(self.train_ds) == 0:
             raise ValueError("Train dataset is empty (no usable labeled frames).")
         if len(self.val_ds) == 0:
@@ -244,7 +256,10 @@ class ModelTrainer:
         self.model = Model.from_config(
             self.backbone_type, backbone_cfg, head_cfg, self.model_type
         )
-        sample = self.train_ds.make_batch([0])
+        # Probe with a VAL sample: train tiles may carry a halo that the
+        # train render crops away, so val shapes are the network's true
+        # input shapes.
+        sample = self.val_ds.make_batch([0])
         render = make_render_fn(self.ctx, train=False)
         probe = render({k: jnp.asarray(v) for k, v in sample.items()})
         self._input_shape = probe["image"].shape

@@ -118,3 +118,88 @@ def test_merge_tiles_constant_recovers_signal():
     w = build_importance_window((th, tw), "gaussian")
     merged = np.asarray(merge_tiles(jnp.asarray(tiles), jnp.asarray(ok_origins), canvas_hw, w))
     np.testing.assert_allclose(merged, field, atol=1e-5)
+
+
+def test_halo_tile_augmentation_no_zero_wedges():
+    """Rotating a halo tile then center-cropping leaves no padding wedges.
+
+    Reference semantics: data/tiling.py:262 halo path (extract a
+    ceil(tile*sqrt(2)) halo, augment, crop back to tile_size).
+    """
+    import dataclasses
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from sleap_nn_tpu.data.pipeline import PipelineContext, preprocess_batch
+
+    tile = 64
+    halo = int(math.ceil(tile * math.sqrt(2)))
+    geo = dict(rotation_min=45.0, rotation_max=45.0, affine_p=1.0,
+               scale_min=1.0, scale_max=1.0)
+    base = dict(
+        model_type="single_instance", n_nodes=1, max_instances=1,
+        max_stride=8, sigma=2.5, output_stride=2,
+        use_augmentations=True, geometric=geo,
+    )
+    key = jax.random.PRNGKey(3)
+
+    # Halo path: all-white halo tile -> rotated -> cropped: stays all-white.
+    ctx = PipelineContext(halo_crop_to=tile, **base)
+    img = jnp.full((1, halo, halo, 1), 255, jnp.uint8)
+    center = (halo - 1) / 2.0
+    inst = jnp.array([[[[center, center]]]], jnp.float32)
+    out_img, out_inst, _ = preprocess_batch(ctx, img, inst, key, train=True)
+    out_img = np.asarray(out_img)
+    assert out_img.shape[1:3] == (tile, tile)
+    # Interior fully preserved; the outermost ring may bilinear-blend with
+    # the halo boundary (the halo is the minimal sqrt(2) cover).
+    assert out_img[:, 1:-1, 1:-1].min() > 0.9
+    assert out_img.min() > 0.5
+    # The tile-center instance stays at the (cropped) tile center.
+    got = np.asarray(out_inst)[0, 0, 0]
+    np.testing.assert_allclose(got, [(tile - 1) / 2.0] * 2, atol=1.5)
+
+    # Control: the same rotation WITHOUT a halo leaves zero corners.
+    ctx2 = PipelineContext(**base)
+    img2 = jnp.full((1, tile, tile, 1), 255, jnp.uint8)
+    inst2 = jnp.array([[[[(tile - 1) / 2.0, (tile - 1) / 2.0]]]], jnp.float32)
+    out2, _, _ = preprocess_batch(ctx2, img2, inst2, key, train=True)
+    assert np.asarray(out2).min() < 0.1  # wedges present
+
+
+def test_tiled_dataset_halo_shapes(minimal_instance_slp):
+    """use_halo emits halo-sized tiles; the plain path emits tile-sized."""
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import (
+        TiledDataset,
+        build_pipeline_context,
+        make_dataset,
+    )
+    from sleap_nn_tpu.io import load_slp
+
+    labels = load_slp(str(minimal_instance_slp))
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [str(minimal_instance_slp)]
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        "data_config.preprocessing.tiling.enabled": True,
+        "data_config.preprocessing.tiling.tile_size": 96,
+        "data_config.preprocessing.tiling.samples_per_frame": 2,
+    })
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    inner = make_dataset("single_instance", [labels], ctx)
+    tiling = cfg.data_config.preprocessing.tiling
+
+    plain = TiledDataset(inner, tiling, base_seed=0)
+    s = plain.get_sample(0)
+    assert s["image"].shape[:2] == (96, 96)
+
+    halo = TiledDataset(inner, tiling, base_seed=0, use_halo=True)
+    sh = halo.get_sample(0)
+    assert sh["image"].shape[:2] == (halo.halo_size, halo.halo_size)
+    assert halo.halo_size == 136  # ceil(96*sqrt(2))

@@ -148,3 +148,83 @@ def test_run_evaluation_empty_predictions():
     gt, _ = make_pair_labels(gt_pts, gt_pts)
     empty = Labels([])
     assert run_evaluation(gt, empty) is None
+
+
+def _mk_mask(h, w, y0, y1, x0, x1):
+    m = np.zeros((h, w), dtype=bool)
+    m[y0:y1, x0:x1] = True
+    return m
+
+
+def test_mask_pq_and_per_size_and_map():
+    """PQ, fragmentation, per-size buckets, and COCO mask mAP on synthetic masks.
+
+    One perfectly-matched GT, one missed GT (FN), one spurious pred (FP):
+    sq = 1.0 (the one TP is exact), rq = 1/(1+0.5+0.5) = 0.5, pq = 0.5.
+    """
+    from sleap_nn_tpu.evaluation import Evaluator
+    from sleap_nn_tpu.io.model import LabeledFrame, Labels, SegmentationMask, Skeleton
+    from sleap_nn_tpu.io.video import Video
+
+    skel = Skeleton(nodes=["a"])
+    video = Video(filename="fake.mp4")
+
+    gt_masks = [
+        SegmentationMask(_mk_mask(64, 64, 4, 20, 4, 20)),     # matched
+        SegmentationMask(_mk_mask(64, 64, 40, 60, 40, 60)),   # missed
+    ]
+    pr_masks = [
+        SegmentationMask(_mk_mask(64, 64, 4, 20, 4, 20), score=0.9),   # TP
+        SegmentationMask(_mk_mask(64, 64, 28, 34, 2, 8), score=0.3),   # FP
+    ]
+    lf_gt = LabeledFrame(video=video, frame_idx=0, instances=[], masks=gt_masks)
+    lf_pr = LabeledFrame(video=video, frame_idx=0, instances=[], masks=pr_masks)
+    gt = Labels(labeled_frames=[lf_gt], videos=[video], skeletons=[skel])
+    pr = Labels(labeled_frames=[lf_pr], videos=[video], skeletons=[skel])
+
+    ev = Evaluator(gt, pr, match_method="mask", user_labels_only=False)
+    m = ev.mask_metrics()
+    assert m["n_matched"] == 1 and m["n_fp"] == 1 and m["n_fn"] == 1
+    np.testing.assert_allclose(m["sq"], 1.0)
+    np.testing.assert_allclose(m["rq"], 0.5)
+    np.testing.assert_allclose(m["pq"], 0.5)
+    np.testing.assert_allclose(m["mean_iou_all_gt"], 0.5)
+    assert m["oversegmentation"] == 0 and m["undersegmentation"] == 0
+    ps = m["per_size"]
+    assert ps["scheme"] == "percentile"
+    total = sum(ps[k]["n_gt"] for k in ("small", "medium", "large"))
+    assert total == 2
+    coco_total = sum(ps["coco"][k]["n_gt"] for k in ("small", "medium", "large"))
+    assert coco_total == 2
+
+    v = ev.mask_voc_metrics()
+    assert v["mask_voc.n_gt"] == 2
+    # The TP is exact (IoU 1.0): at every threshold precision at rank 1 is 1,
+    # recall tops out at 0.5 -> AP 51/101 x ... compute the oracle directly:
+    # interpolated precision is 1.0 up to recall 0.5 (51 of 101 points).
+    np.testing.assert_allclose(v["mask_voc.AP50"], 51 / 101, atol=1e-6)
+    np.testing.assert_allclose(v["mask_voc.mAP"], 51 / 101, atol=1e-6)
+    np.testing.assert_allclose(v["mask_voc.AR"], 0.5, atol=1e-6)
+
+
+def test_mask_fragmentation_counts():
+    """A GT split across two predictions counts as oversegmentation."""
+    from sleap_nn_tpu.evaluation import Evaluator
+    from sleap_nn_tpu.io.model import LabeledFrame, Labels, SegmentationMask, Skeleton
+    from sleap_nn_tpu.io.video import Video
+
+    skel = Skeleton(nodes=["a"])
+    video = Video(filename="fake.mp4")
+    gt_masks = [SegmentationMask(_mk_mask(64, 64, 10, 30, 10, 50))]
+    pr_masks = [
+        SegmentationMask(_mk_mask(64, 64, 10, 30, 10, 30), score=0.8),
+        SegmentationMask(_mk_mask(64, 64, 10, 30, 30, 50), score=0.7),
+    ]
+    lf_gt = LabeledFrame(video=video, frame_idx=0, instances=[], masks=gt_masks)
+    lf_pr = LabeledFrame(video=video, frame_idx=0, instances=[], masks=pr_masks)
+    gt = Labels(labeled_frames=[lf_gt], videos=[video], skeletons=[skel])
+    pr = Labels(labeled_frames=[lf_pr], videos=[video], skeletons=[skel])
+    ev = Evaluator(gt, pr, match_method="mask", user_labels_only=False)
+    m = ev.mask_metrics()
+    assert m["oversegmentation"] == 1
+    assert m["undersegmentation"] == 0
