@@ -108,6 +108,25 @@ def _inference_options(f):
         click.option("--merge-fragments/--no-merge-fragments", default=False,
                      show_default=True,
                      help="Fuse over-segmented mask fragments (bottom-up segmentation)."),
+        click.option("--merge-method", default="greedy", show_default=True,
+                     type=click.Choice(["greedy", "multicut"]),
+                     help="Fragment-merge strategy (with --merge-fragments)."),
+        click.option("--fg-threshold", default=0.5, show_default=True,
+                     help="Foreground probability cutoff (segmentation models)."),
+        click.option("--min-mask-area", default=16, show_default=True,
+                     help="Drop predicted masks smaller than this (px)."),
+        click.option("--centroid-only/--full-pipeline", "centroid_only",
+                     default=False, show_default=True,
+                     help="Run only the centroid stage of a topdown pair."),
+        click.option("--embed/--no-embed", "embed", default=False,
+                     show_default=True,
+                     help="Embed source frames into the output .slp."),
+        click.option("--video-path-map", default=None,
+                     help="Remap .slp video paths: 'old=new' (repeatable via "
+                          "comma: 'a=b,c=d')."),
+        click.option("--device", default=None,
+                     type=click.Choice(["auto", "tpu", "cpu"]),
+                     help="Compute platform; 'cpu' forces the CPU backend."),
         click.option("--tracking/--no-tracking", default=False, show_default=True),
         click.option("--tracking-window-size", default=5, show_default=True),
         click.option("--tracking-scoring-method", default="oks", show_default=True),

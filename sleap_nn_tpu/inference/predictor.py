@@ -122,11 +122,22 @@ class Predictor:
         filters=None,
         paf_workers: int = 0,
         merge_fragments: bool = False,
+        merge_method: str = "greedy",
+        min_mask_area: int = 16,
+        fg_threshold: float = 0.5,
         centroid_peak_threshold: Optional[float] = None,
         anchor_part: Optional[str] = None,
         host_resize: bool = False,
+        centroid_only: bool = False,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
+        if centroid_only:
+            # Stage-1-only inference from a topdown pair (reference
+            # cli.py --centroid-only): keep just the centroid model.
+            centroids = [m for m in loaded if m.model_type == "centroid"]
+            if not centroids:
+                raise ValueError("--centroid-only requires a centroid model.")
+            loaded = centroids
         by_type = {m.model_type: m for m in loaded}
         types = set(by_type)
 
@@ -365,6 +376,7 @@ class Predictor:
                 backend_for(ms),
                 seg_pre,
                 seg_output_stride=s_head.output_stride,
+                fg_threshold=fg_threshold,
                 max_instances=max_instances or 20,
                 crop_size=cs,
             )
@@ -384,7 +396,10 @@ class Predictor:
                 center_output_stride=head.center.output_stride,
                 offsets_output_stride=head.offsets.output_stride,
                 max_instances=max_instances or 50,
+                min_mask_area=min_mask_area,
                 merge_fragments=merge_fragments,
+                merge_method=merge_method,
+                fg_threshold=fg_threshold,
             )
             return cls(layer, "bottomup_segmentation", Skeleton(nodes=["centroid"]), loaded, batch_size)
 
@@ -396,6 +411,7 @@ class Predictor:
             layer = SemanticSegmentationLayer(
                 backend_for(m), _pre_config(m), post_for(m),
                 seg_output_stride=head.segmentation.output_stride,
+                fg_threshold=fg_threshold,
             )
             return cls(layer, "semantic_segmentation", Skeleton(nodes=["fg"]), loaded, batch_size)
 

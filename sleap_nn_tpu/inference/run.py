@@ -24,6 +24,13 @@ def predict(
     min_line_scores: float = 0.25,
     paf_workers: int = 0,
     merge_fragments: bool = False,
+    merge_method: str = "greedy",
+    fg_threshold: float = 0.5,
+    min_mask_area: int = 16,
+    centroid_only: bool = False,
+    embed: bool = False,
+    video_path_map: Optional[str] = None,
+    device: Optional[str] = None,
     host_resize: bool = False,
     crop_size: Optional[int] = None,
     output_format: Union[str, Sequence[str]] = "slp",
@@ -57,6 +64,28 @@ def predict(
     and the call short-circuits to SAM prompted segmentation — no trained
     model is involved (reference run.py:481 SAM short-circuit).
     """
+    if device == "cpu":
+        # Force the CPU backend (reference --device; here: jax platform).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if video_path_map:
+        # Remap .slp video paths (reference --video-path-map 'old=new,...'),
+        # for labels files moved between machines.
+        from sleap_nn_tpu.io import load_slp
+
+        labels = data_path if isinstance(data_path, Labels) else load_slp(str(data_path))
+        mapping = dict(pair.split("=", 1) for pair in str(video_path_map).split(","))
+        for vid in labels.videos:
+            fn = str(vid.filename)
+            for old, new in mapping.items():
+                if fn == old or fn.startswith(old):
+                    vid.filename = fn.replace(old, new, 1)
+                    vid.backend = None  # reopen lazily at the new path
+                    break
+        data_path = labels
+
     if video_index is not None:
         # Scope a multi-video .slp source to one video (reference cli.py
         # _scope_labels_to_video, :1344): frames re-indexed to slot 0,
@@ -163,6 +192,10 @@ def predict(
         centroid_peak_threshold=centroid_peak_threshold,
         anchor_part=anchor_part,
         host_resize=host_resize,
+        centroid_only=centroid_only,
+        merge_method=merge_method,
+        fg_threshold=fg_threshold,
+        min_mask_area=min_mask_area,
     )
     if profile_dir is not None:
         # XLA/TPU profiler trace around the whole predict loop; open with
@@ -187,7 +220,7 @@ def predict(
             lf for lf in result.labeled_frames if lf.instances or lf.masks
         ]
     if make_labels and output_path is not None:
-        save_predictions(result, output_path, output_format=output_format)
+        save_predictions(result, output_path, output_format=output_format, embed=embed)
     return result
 
 

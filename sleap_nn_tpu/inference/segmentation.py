@@ -46,6 +46,7 @@ def group_instances_from_offsets(
     centers_valid: jnp.ndarray,
     output_stride: int = 2,
     max_center_dist: float = 64.0,
+    fg_threshold: float = 0.5,
 ) -> jnp.ndarray:
     """Assign each fg pixel to its voted center (reference: :63).
 
@@ -74,7 +75,7 @@ def group_instances_from_offsets(
     nearest = jnp.argmin(d2, axis=1)  # (B, H, W)
     near_d2 = jnp.min(d2, axis=1)
 
-    fg = fg_mask[..., 0] > 0.5
+    fg = fg_mask[..., 0] > fg_threshold
     ok = fg & (near_d2 <= max_center_dist**2)
     k = centers.shape[1]
     inst = (nearest[:, None] == jnp.arange(k)[None, :, None, None]) & ok[:, None]
@@ -109,7 +110,7 @@ class BottomUpSegmentationLayer:
     def __init__(self, backend, pre, post, seg_output_stride=2, center_output_stride=2,
                  offsets_output_stride=2, max_center_dist=64.0, min_mask_area=16,
                  max_instances: int = 50, merge_fragments: bool = False,
-                 merge_method: str = "greedy"):
+                 merge_method: str = "greedy", fg_threshold: float = 0.5):
         from sleap_nn_tpu.inference.layers import preprocess_images
 
         self.backend = backend
@@ -136,6 +137,7 @@ class BottomUpSegmentationLayer:
                 fg, offsets, centers_px, valid,
                 output_stride=seg_output_stride,
                 max_center_dist=max_center_dist,
+                fg_threshold=fg_threshold,
             )
             out = {
                 "instance_masks": inst,
@@ -212,13 +214,15 @@ class BottomUpSegmentationLayer:
 class SemanticSegmentationLayer:
     """Whole-frame foreground mask (reference: semantic path)."""
 
-    def __init__(self, backend, pre, post, seg_output_stride=2):
+    def __init__(self, backend, pre, post, seg_output_stride=2,
+                 fg_threshold: float = 0.5):
         from sleap_nn_tpu.inference.layers import preprocess_images
 
         self.backend = backend
         self.pre = pre
         self.post = post
         self.seg_output_stride = seg_output_stride
+        self.fg_threshold = fg_threshold
 
         def fn(images):
             x, eff_scale = preprocess_images(pre, images)
@@ -232,7 +236,7 @@ class SemanticSegmentationLayer:
 
     def finalize(self, dev) -> Dict:
         dev = jax.device_get(dev)
-        fg = dev["fg"][..., 0] > 0.5
+        fg = dev["fg"][..., 0] > getattr(self, "fg_threshold", 0.5)
         return {
             "pred_masks": [
                 [SegmentationMask(fg[i], score=float(dev["fg"][i].mean()))]

@@ -197,3 +197,51 @@ def test_predict_filters_and_no_empty_frames(trained_model):
     assert result.exit_code == 0, result.output
     assert "Predicted 0 frames, 0 instances" in result.output
     assert len(load_slp(out)) == 0
+
+
+def test_predict_new_flags(trained_model, tmp_path):
+    """--centroid-only rejection, --embed, --device cpu, --video-path-map."""
+    out = tmp_path / "flags.slp"
+    res = CliRunner().invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model,
+        "-o", str(out), "--embed", "--device", "cpu",
+        "--fg-threshold", "0.4", "--min-mask-area", "8",
+    ])
+    assert res.exit_code == 0, res.output
+    assert out.exists()
+    from sleap_nn_tpu.io import load_slp
+
+    lab = load_slp(str(out))
+    assert len(lab) >= 1
+    # Embedded output re-opens its frames without the source file present.
+    img = lab[0].image
+    assert img is not None and img.size > 0
+
+    # --centroid-only needs a centroid model; a single_instance dir errors.
+    res2 = CliRunner().invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model,
+        "-o", str(tmp_path / "x.slp"), "--centroid-only",
+    ])
+    assert res2.exit_code != 0
+    assert "centroid" in str(res2.exception or res2.output)
+
+
+def test_video_path_map_remaps(trained_model, tmp_path):
+    """A .slp whose video moved resolves through --video-path-map."""
+    import shutil
+
+    from sleap_nn_tpu.io import load_slp
+
+    moved = tmp_path / "moved_video.pkg.slp"
+    shutil.copy(FIXTURE, moved)
+    lab = load_slp(str(moved))
+    old = str(lab.videos[0].filename)
+
+    from sleap_nn_tpu.inference import predict
+
+    # Remap to the same path through an alias: exercises the mapping branch.
+    result = predict(
+        str(moved), [trained_model], make_labels=True,
+        video_path_map=f"{old}={old}",
+    )
+    assert len(result) >= 1
