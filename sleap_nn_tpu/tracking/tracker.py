@@ -24,12 +24,14 @@ from sleap_nn_tpu.tracking.utils import (
     compute_cosine_sim,
     compute_euclidean_distance,
     compute_iou,
+    compute_mask_iou,
     compute_oks_score,
     count_valid_points,
     cull_frame_instances,
     get_bbox,
     get_centroid,
     get_keypoints,
+    get_mask,
     greedy_matching,
     hungarian_matching,
 )
@@ -70,6 +72,7 @@ class Tracker:
         "keypoints": get_keypoints,
         "centroids": get_centroid,
         "bboxes": get_bbox,
+        "masks": get_mask,
     }
     _matching_methods = {"hungarian": hungarian_matching, "greedy": greedy_matching}
 
@@ -88,16 +91,33 @@ class Tracker:
         max_tracks: Optional[int] = None,
         use_flow: bool = False,
         use_kalman: bool = False,
-        oks_stddev: float = 0.025,
+        oks_stddev: Optional[float] = None,
         tracking_target_instance_count: Optional[int] = None,
         tracking_pre_cull_to_target: int = 0,
         tracking_pre_cull_iou_threshold: float = 0,
+        of_img_scale: float = 1.0,
+        of_window_size: int = 21,
+        of_max_levels: int = 3,
+        kf_track_features: str = "centroid",
+        kf_init_frame_count: int = 10,
+        kf_node_indices: Optional[List[int]] = None,
+        kf_reset_gap_size: int = 5,
         **flow_kwargs,
     ) -> "Tracker":
         """Build a tracker from config knobs (reference: :128).
 
-        ``max_tracks`` auto-switches to local-queue candidates.
+        ``max_tracks`` auto-switches to local-queue candidates. ``oks_stddev``
+        left unset auto-resolves to 0.1 for ``use_kalman`` +
+        ``kf_track_features="keypoints"`` (per-node Kalman predictions are
+        noisier than detections; reference tracker.py:305) and 0.025 otherwise.
         """
+        if use_kalman and kf_track_features not in ("centroid", "keypoints"):
+            raise ValueError(
+                f"Invalid kf_track_features={kf_track_features!r}; "
+                "choose 'centroid' or 'keypoints'."
+            )
+        if oks_stddev is None:
+            oks_stddev = 0.1 if (use_kalman and kf_track_features == "keypoints") else 0.025
         if max_tracks is not None or candidates_method == "local_queues":
             candidate = LocalQueueCandidates(
                 window_size=window_size,
@@ -122,9 +142,22 @@ class Tracker:
             tracking_pre_cull_iou_threshold=tracking_pre_cull_iou_threshold,
         )
         if use_kalman:
-            return KalmanShiftTracker(**kwargs)
+            return KalmanShiftTracker(
+                **kwargs,
+                kf_track_features=kf_track_features,
+                kf_init_frame_count=kf_init_frame_count,
+                kf_node_indices=kf_node_indices,
+                kf_reset_gap_size=kf_reset_gap_size,
+                **flow_kwargs,
+            )
         if use_flow:
-            return FlowShiftTracker(**kwargs, **flow_kwargs)
+            return FlowShiftTracker(
+                **kwargs,
+                of_img_scale=of_img_scale,
+                of_window_size=of_window_size,
+                of_max_levels=of_max_levels,
+                **flow_kwargs,
+            )
         return cls(**kwargs)
 
     # -- core --------------------------------------------------------------------
@@ -134,6 +167,7 @@ class Tracker:
             "iou": compute_iou,
             "cosine_sim": compute_cosine_sim,
             "euclidean_dist": compute_euclidean_distance,
+            "mask_iou": compute_mask_iou,
         }
         if self.scoring_method not in fns:
             raise ValueError(
@@ -209,6 +243,7 @@ class Tracker:
         if (
             self.tracking_target_instance_count
             and self.tracking_pre_cull_to_target
+            and self.features != "masks"  # culling is keypoint-bbox based
         ):
             untracked_instances = cull_frame_instances(
                 untracked_instances,
@@ -245,9 +280,14 @@ class Tracker:
         needs_img = get_image or isinstance(self, FlowShiftTracker)
         for lf in lfs:
             img = lf.image if (needs_img and lf.video is not None) else None
-            preds = lf.predicted_instances
-            if preds:
-                self.track(preds, lf.frame_idx, img)
+            if self.features == "masks":
+                # Segmentation output: identity lives on LabeledFrame.masks
+                # (SegmentationMask objects; they carry .track like instances).
+                items = [m for m in getattr(lf, "masks", []) or [] if m.area > 0]
+            else:
+                items = lf.predicted_instances
+            if items:
+                self.track(items, lf.frame_idx, img)
         labels.tracks = list(self._track_objects.values())
         return labels
 
@@ -255,8 +295,10 @@ class Tracker:
 class FlowShiftTracker(Tracker):
     """Shift candidates forward via Lucas-Kanade optical flow (reference: :632)."""
 
-    def __init__(self, *args, of_window_size: int = 21, of_max_levels: int = 3, **kwargs):
+    def __init__(self, *args, of_img_scale: float = 1.0, of_window_size: int = 21,
+                 of_max_levels: int = 3, **kwargs):
         super().__init__(*args, **kwargs)
+        self.of_img_scale = float(of_img_scale)
         self.of_window_size = of_window_size
         self.of_max_levels = of_max_levels
 
@@ -269,18 +311,27 @@ class FlowShiftTracker(Tracker):
                 return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
             return img[..., 0] if img.ndim == 3 else img
 
+        # of_img_scale < 1 downscales both frames before LK (cheaper flow on
+        # large frames; reference tracker.py:194). Points map into the scaled
+        # grid and the shifted results map back.
+        s = self.of_img_scale if self.of_img_scale > 0 else 1.0
+        ga, gb = gray(ref_img), gray(new_img)
+        if s != 1.0:
+            ga = cv2.resize(ga, None, fx=s, fy=s, interpolation=cv2.INTER_AREA)
+            gb = cv2.resize(gb, None, fx=s, fy=s, interpolation=cv2.INTER_AREA)
+
         pts = ref_pts.reshape(-1, 1, 2).astype(np.float32)
         valid = ~np.isnan(pts[:, 0, :]).any(axis=-1)
-        pts_in = np.nan_to_num(pts)
+        pts_in = np.nan_to_num(pts) * s
         shifted, status, _ = cv2.calcOpticalFlowPyrLK(
-            gray(ref_img),
-            gray(new_img),
+            ga,
+            gb,
             pts_in,
             None,
             winSize=(self.of_window_size, self.of_window_size),
             maxLevel=self.of_max_levels,
         )
-        shifted = shifted.reshape(ref_pts.shape)
+        shifted = (shifted / s).reshape(ref_pts.shape)
         ok = (status.reshape(-1) == 1) & valid
         shifted[~ok.reshape(ref_pts.shape[:-1])] = np.nan if ref_pts.ndim == 2 else np.nan
         return shifted
@@ -357,26 +408,89 @@ class KalmanShiftTracker(Tracker):
     before scoring; observations update the filters after assignment.
     """
 
-    def __init__(self, *args, max_velocity: Optional[float] = None, **kwargs):
+    def __init__(self, *args, max_velocity: Optional[float] = None,
+                 kf_track_features: str = "centroid",
+                 kf_init_frame_count: int = 10,
+                 kf_node_indices: Optional[List[int]] = None,
+                 kf_reset_gap_size: int = 5, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_velocity = max_velocity
+        self.kf_track_features = kf_track_features
+        self.kf_init_frame_count = int(kf_init_frame_count)
+        self.kf_node_indices = (
+            list(kf_node_indices) if kf_node_indices is not None else None
+        )
+        self.kf_reset_gap_size = int(kf_reset_gap_size)
         self._filters: Dict[int, _ConstantVelocityKalman] = {}
         self._last_seen: Dict[int, int] = {}
+        self._last_obs: Dict[int, np.ndarray] = {}
+        self._frames_seen: int = 0
+        self._cur_frame_idx: Optional[int] = None
+
+    def _kf_observation(self, inst) -> np.ndarray:
+        """Motion-model observation vector for one instance.
+
+        ``centroid`` mode tracks a 2-vector; ``keypoints`` mode tracks the
+        (optionally ``kf_node_indices``-selected) node coordinates
+        (reference tracker.py:211-218).
+        """
+        if self.kf_track_features == "centroid":
+            return np.asarray(get_centroid(inst), dtype=float).reshape(-1)
+        pts = np.asarray(get_keypoints(inst), dtype=float)
+        if self.kf_node_indices is not None:
+            pts = pts[self.kf_node_indices]
+        return pts.reshape(-1)
 
     def update_candidates(self, image=None):
         feats = super().update_candidates(image)
+        # Warm-up: behave like the base tracker until enough frames were seen
+        # for the constant-velocity model to be meaningful (reference :878).
+        if self._frames_seen < self.kf_init_frame_count:
+            return feats
         for tid, cand_list in feats.items():
+            # Reset stale filters: a track unseen for > kf_reset_gap_size
+            # frames gets a fresh start at its next observation.
+            if (
+                self._cur_frame_idx is not None
+                and tid in self._last_seen
+                and self._cur_frame_idx - self._last_seen[tid] > self.kf_reset_gap_size
+            ):
+                self._filters.pop(tid, None)
+                self._last_obs.pop(tid, None)
             kf = self._filters.get(tid)
             if kf is None:
                 continue
             pred = kf.predict().copy()
+            last = self._last_obs.get(tid)
+            if self.max_velocity is not None and last is not None:
+                step = pred - last
+                speed = float(np.linalg.norm(step))
+                if speed > self.max_velocity:
+                    pred = last + step * (self.max_velocity / speed)
             for c in cand_list:
-                shape = np.asarray(c.feature).shape
-                c.shifted_keypoints = pred.reshape(shape)
+                feat = np.asarray(c.feature, dtype=float)
+                if self.kf_track_features == "centroid":
+                    if self.features == "centroids":
+                        c.shifted_keypoints = pred.reshape(feat.shape)
+                    elif last is not None:
+                        # Translate the candidate's feature by the predicted
+                        # centroid motion (keeps pose shape, moves it).
+                        c.shifted_keypoints = feat + (pred - last).reshape(
+                            (1, -1) if feat.ndim == 2 else (-1,)
+                        )
+                elif self.features == "keypoints":
+                    shifted = feat.copy()
+                    if self.kf_node_indices is not None:
+                        shifted[self.kf_node_indices] = pred.reshape(-1, 2)
+                    else:
+                        shifted = pred.reshape(feat.shape)
+                    c.shifted_keypoints = shifted
         return feats
 
     def track(self, untracked_instances, frame_idx, image=None):
+        self._cur_frame_idx = frame_idx
         out = super().track(untracked_instances, frame_idx, image)
+        self._frames_seen += 1
         # Update / init filters with this frame's assigned observations.
         for inst in out:
             if inst.track is None:
@@ -386,12 +500,12 @@ class KalmanShiftTracker(Tracker):
             )
             if tid is None:
                 continue
-            fm = self._feature_methods[self.features]
-            z = np.asarray(fm(inst), dtype=float).reshape(-1)
+            z = self._kf_observation(inst)
             if tid not in self._filters:
                 self._filters[tid] = _ConstantVelocityKalman(np.nan_to_num(z))
             else:
                 self._filters[tid].update(z)
+            self._last_obs[tid] = np.nan_to_num(z)
             self._last_seen[tid] = frame_idx
         return out
 
@@ -444,20 +558,26 @@ def run_tracker(
     target_instance_count: Optional[int] = None,
     pre_cull_to_target: bool = False,
     pre_cull_iou_threshold: float = 0,
+    clean_instance_count: int = 0,
+    clean_iou_threshold: float = 0,
     **config,
 ) -> Labels:
     """Track a Labels end-to-end from config knobs (reference: :1586).
 
     ``pre_cull_to_target`` culls every frame to ``target_instance_count``
-    before tracking (bbox-NMS + score); ``post_connect_single_breaks`` merges
-    single-frame identity breaks afterwards.
+    before tracking (bbox-NMS + score); ``clean_instance_count`` culls every
+    frame to that count *after* tracking (the reference's
+    ``tracking_clean_instance_count``); ``post_connect_single_breaks`` merges
+    single-frame identity breaks last.
     """
-    if pre_cull_to_target and target_instance_count:
-        from sleap_nn_tpu.tracking.utils import cull_instances
+    from sleap_nn_tpu.tracking.utils import cull_instances
 
+    if pre_cull_to_target and target_instance_count:
         cull_instances(labels, target_instance_count, pre_cull_iou_threshold)
     tracker = Tracker.from_config(**config)
     labels = tracker.track_labels(labels)
+    if clean_instance_count:
+        cull_instances(labels, clean_instance_count, clean_iou_threshold)
     if post_connect_single_breaks:
         if not target_instance_count:
             raise ValueError(

@@ -56,7 +56,67 @@ def get_bbox(inst) -> np.ndarray:
     )
 
 
+class MaskFeature:
+    """Compact mask feature: foreground-bbox crop + absolute origin + area.
+
+    The ``"masks"`` tracking feature (reference tracking/utils.py:127).
+    Storing only the foreground crop keeps per-candidate memory ~bbox-sized
+    and lets :func:`compute_mask_iou` intersect two masks by overlapping
+    their bboxes instead of touching full-frame background.
+    """
+
+    __slots__ = ("crop", "y0", "x0", "area")
+
+    def __init__(self, crop: np.ndarray, y0: int, x0: int, area: int):
+        self.crop = crop
+        self.y0 = int(y0)
+        self.x0 = int(x0)
+        self.area = int(area)
+
+
+def _mask_feature_from_dense(data: np.ndarray) -> MaskFeature:
+    data = np.ascontiguousarray(data, dtype=bool)
+    rows = np.any(data, axis=1)
+    if not rows.any():
+        return MaskFeature(np.zeros((0, 0), dtype=bool), 0, 0, 0)
+    cols = np.any(data, axis=0)
+    y0 = int(np.argmax(rows))
+    y1 = len(rows) - int(np.argmax(rows[::-1]))
+    x0 = int(np.argmax(cols))
+    x1 = len(cols) - int(np.argmax(cols[::-1]))
+    crop = data[y0:y1, x0:x1]
+    return MaskFeature(crop, y0, x0, int(np.count_nonzero(crop)))
+
+
+def get_mask(obj) -> MaskFeature:
+    """``"masks"`` feature extractor: SegmentationMask / ndarray -> MaskFeature."""
+    if isinstance(obj, MaskFeature):
+        return obj
+    if isinstance(obj, np.ndarray):
+        return _mask_feature_from_dense(obj)
+    data = getattr(obj, "mask", None)
+    if data is None:
+        raise TypeError(f"Cannot extract a mask feature from {type(obj).__name__}")
+    return _mask_feature_from_dense(np.asarray(data, dtype=bool))
+
+
+def is_segmentation_mask(obj) -> bool:
+    """True for mask-like objects (SegmentationMask / MaskFeature)."""
+    return isinstance(obj, MaskFeature) or (
+        hasattr(obj, "mask") and not hasattr(obj, "numpy")
+    )
+
+
 def count_valid_points(inst) -> int:
+    """Non-NaN node count, or mask area (px) for segmentation masks.
+
+    For ``features="masks"`` there are no keypoints; foreground pixel area is
+    the analogous support measure, so ``min_new_track_points`` /
+    ``min_match_points`` read as pixel-area thresholds (reference
+    tracking/utils.py:172).
+    """
+    if is_segmentation_mask(inst):
+        return get_mask(inst).area
     pts = get_keypoints(inst)
     return int(np.sum(~np.isnan(pts).any(axis=-1)))
 
@@ -86,6 +146,32 @@ def compute_iou(a: np.ndarray, b: np.ndarray) -> float:
     inter = iw * ih
     union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
     return float(inter / union) if union > 0 else 0.0
+
+
+def compute_mask_iou(a, b) -> float:
+    """Pixel IoU of two mask features (the ``mask_iou`` scoring method).
+
+    Intersects only the overlap of the two foreground bboxes — numerically
+    identical to a full-canvas IoU (top-left aligned) without touching
+    background. Both-empty -> 1.0 (identical), one-empty -> 0.0. This is a
+    similarity; cost negation happens in ``scores_to_cost_matrix`` (reference
+    tracking/utils.py:209).
+    """
+    fa = a if isinstance(a, MaskFeature) else get_mask(a)
+    fb = b if isinstance(b, MaskFeature) else get_mask(b)
+    if fa.area == 0 or fb.area == 0:
+        return 1.0 if fa.area == fb.area else 0.0
+    ay1, ax1 = fa.y0 + fa.crop.shape[0], fa.x0 + fa.crop.shape[1]
+    by1, bx1 = fb.y0 + fb.crop.shape[0], fb.x0 + fb.crop.shape[1]
+    oy0, oy1 = max(fa.y0, fb.y0), min(ay1, by1)
+    ox0, ox1 = max(fa.x0, fb.x0), min(ax1, bx1)
+    inter = 0
+    if oy1 > oy0 and ox1 > ox0:
+        ca = fa.crop[oy0 - fa.y0:oy1 - fa.y0, ox0 - fa.x0:ox1 - fa.x0]
+        cb = fb.crop[oy0 - fb.y0:oy1 - fb.y0, ox0 - fb.x0:ox1 - fb.x0]
+        inter = int(np.count_nonzero(ca & cb))
+    union = fa.area + fb.area - inter
+    return float(inter / union) if union else 1.0
 
 
 def compute_cosine_sim(a: np.ndarray, b: np.ndarray) -> float:

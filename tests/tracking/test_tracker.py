@@ -241,3 +241,173 @@ def test_tracker_empty_and_single_frames():
         if i.track
     }
     assert len(names) == 1
+
+
+# -- mask-feature tracking (features="masks" / scoring "mask_iou") --------------
+
+
+def _disk_mask(h, w, cx, cy, r):
+    yy, xx = np.mgrid[:h, :w]
+    return (xx - cx) ** 2 + (yy - cy) ** 2 <= r**2
+
+
+def synth_mask_labels(n_frames=8):
+    from sleap_nn_tpu.io.model import SegmentationMask
+
+    lfs = []
+    for t in range(n_frames):
+        masks = [
+            SegmentationMask(_disk_mask(120, 160, 30 + 2 * t, 40, 10), score=0.9),
+            SegmentationMask(_disk_mask(120, 160, 120, 80 - 2 * t, 12), score=0.8),
+        ]
+        lf = LabeledFrame(video=None, frame_idx=t, instances=[])
+        lf.masks = masks
+        lfs.append(lf)
+    return Labels(lfs)
+
+
+def test_mask_feature_and_iou():
+    from sleap_nn_tpu.tracking.utils import MaskFeature, compute_mask_iou, get_mask
+
+    m = _disk_mask(60, 80, 30, 20, 8)
+    f = get_mask(m)
+    assert isinstance(f, MaskFeature)
+    assert f.area == int(m.sum())
+    assert compute_mask_iou(f, f) == pytest.approx(1.0)
+    shifted = get_mask(_disk_mask(60, 80, 33, 20, 8))
+    assert 0.3 < compute_mask_iou(f, shifted) < 1.0
+    far = get_mask(_disk_mask(60, 80, 70, 50, 8))
+    assert compute_mask_iou(f, far) == 0.0
+    # Degenerate contracts: empty/empty -> 1.0, empty/non-empty -> 0.0.
+    empty = get_mask(np.zeros((60, 80), bool))
+    assert compute_mask_iou(empty, empty) == 1.0
+    assert compute_mask_iou(empty, f) == 0.0
+
+
+def test_mask_tracking_identity():
+    labels = synth_mask_labels()
+    tracker = Tracker.from_config(features="masks", scoring_method="mask_iou")
+    out = tracker.track_labels(labels)
+    assert len(out.tracks) == 2
+    rows = []
+    for lf in sorted(out.labeled_frames, key=lambda l: l.frame_idx):
+        rows.append([m.track.name for m in lf.masks])
+    for row in rows[1:]:
+        assert row == rows[0]
+
+
+def test_mask_area_gates_track_spawn():
+    from sleap_nn_tpu.io.model import SegmentationMask
+    from sleap_nn_tpu.tracking.utils import count_valid_points
+
+    tiny = SegmentationMask(_disk_mask(50, 50, 25, 25, 1), score=0.5)
+    assert count_valid_points(tiny) == tiny.area
+    lf = LabeledFrame(video=None, frame_idx=0, instances=[])
+    lf.masks = [tiny]
+    tracker = Tracker.from_config(
+        features="masks", scoring_method="mask_iou", min_new_track_points=50
+    )
+    tracker.track_labels(Labels([lf]))
+    assert tiny.track is None  # area below the spawn gate
+
+
+# -- Kalman knobs ----------------------------------------------------------------
+
+
+def test_kalman_warmup_and_modes():
+    labels = synth_labels(n_frames=20)
+    tracker = Tracker.from_config(
+        use_kalman=True, features="centroids", scoring_method="euclidean_dist",
+        kf_init_frame_count=5, kf_reset_gap_size=3,
+    )
+    assert tracker.kf_init_frame_count == 5
+    assert tracker.kf_reset_gap_size == 3
+    tracker.track_labels(labels)
+    ids = track_ids_over_time(labels)
+    for t in range(1, len(ids)):
+        assert ids[t] == ids[0]
+    # Filters exist after warm-up.
+    assert len(tracker._filters) == 2
+
+
+def test_kalman_keypoints_mode_with_node_indices():
+    labels = synth_labels(n_frames=20)
+    tracker = Tracker.from_config(
+        use_kalman=True, features="keypoints", scoring_method="oks",
+        kf_track_features="keypoints", kf_node_indices=[0, 1],
+        kf_init_frame_count=4,
+    )
+    # keypoints mode auto-resolves oks_stddev to the noisier 0.1.
+    assert tracker.oks_stddev == pytest.approx(0.1)
+    tracker.track_labels(labels)
+    ids = track_ids_over_time(labels)
+    for t in range(1, len(ids)):
+        assert ids[t] == ids[0]
+    # Filter state dimension: 2 tracked nodes x 2 coords.
+    assert next(iter(tracker._filters.values())).n == 4
+
+
+def test_kalman_invalid_track_features_rejected():
+    with pytest.raises(ValueError, match="kf_track_features"):
+        Tracker.from_config(use_kalman=True, kf_track_features="bogus")
+
+
+def test_kalman_stale_filter_reset():
+    # An instance that disappears for > kf_reset_gap_size frames gets its
+    # filter dropped, then re-initialized on reappearance.
+    lfs = []
+    for t in range(30):
+        insts = [make_instance(np.array([20.0 + 2 * t, 40.0]))]
+        if not 10 <= t < 20:
+            insts.append(make_instance(np.array([150.0, 100.0])))
+        lfs.append(LabeledFrame(video=None, frame_idx=t, instances=insts))
+    tracker = Tracker.from_config(
+        use_kalman=True, features="centroids", scoring_method="euclidean_dist",
+        kf_init_frame_count=3, kf_reset_gap_size=4, window_size=15,
+    )
+    out = tracker.track_labels(Labels(lfs))
+    assert len(out.tracks) >= 2  # both animals tracked; no crash across the gap
+
+
+# -- optical flow img scale -------------------------------------------------------
+
+
+def test_flow_of_img_scale_shift():
+    pytest.importorskip("cv2")
+    rng = np.random.default_rng(3)
+    base = (rng.random((96, 128)) * 255).astype(np.uint8)
+    shifted_img = np.roll(base, shift=4, axis=1)  # move right by 4 px
+    tracker = Tracker.from_config(
+        use_flow=True, of_img_scale=0.5, of_window_size=15, of_max_levels=2
+    )
+    assert isinstance(tracker, FlowShiftTracker)
+    assert tracker.of_img_scale == 0.5
+    pts = np.array([[40.0, 40.0], [60.0, 50.0]], np.float32)
+    out = tracker._compute_optical_flow(pts, base, shifted_img)
+    # Flow recovers the +4 px x-shift in ORIGINAL pixel units despite the
+    # half-resolution LK computation.
+    assert np.allclose(out[:, 0] - pts[:, 0], 4.0, atol=1.5)
+    assert np.allclose(out[:, 1] - pts[:, 1], 0.0, atol=1.5)
+
+
+# -- post-tracking clean cull -----------------------------------------------------
+
+
+def test_run_tracker_clean_instance_count():
+    lfs = []
+    for fi in range(6):
+        insts = [
+            make_instance([20 + 2 * fi, 20], score=0.9),
+            make_instance([80, 80 + 2 * fi], score=0.8),
+            make_instance([140, 30 + fi], score=0.2),  # spurious third
+        ]
+        lfs.append(LabeledFrame(video=None, frame_idx=fi, instances=insts))
+    out = run_tracker(
+        Labels(lfs), window_size=3, scoring_method="oks",
+        clean_instance_count=2,
+    )
+    assert all(len(lf.predicted_instances) == 2 for lf in out.labeled_frames)
+    assert all(
+        min(i.score for i in lf.predicted_instances) >= 0.8
+        for lf in out.labeled_frames
+    )
