@@ -28,6 +28,8 @@ class FilterConfig:
     overlap_method: Optional[str] = None  # "iou" | "oks"
     overlap_threshold: float = 0.8
     max_centroid_distance: Optional[float] = None
+    min_visible_node_fraction: Optional[float] = None
+    min_mean_node_score: Optional[float] = None
 
     def enabled(self) -> bool:
         return any(
@@ -38,6 +40,8 @@ class FilterConfig:
                 self.min_instance_score,
                 self.overlap_method,
                 self.max_centroid_distance,
+                self.min_visible_node_fraction,
+                self.min_mean_node_score,
             )
         )
 
@@ -89,6 +93,17 @@ class FilterPipeline:
             out = [apply_node_confidence_filter(i, cfg.min_node_confidence) for i in out]
         if cfg.min_node_count is not None:
             out = [i for i in out if i.n_visible >= cfg.min_node_count]
+        if cfg.min_visible_node_fraction is not None:
+            out = [
+                i for i in out
+                if i.n_visible >= cfg.min_visible_node_fraction * len(i.points)
+            ]
+        if cfg.min_mean_node_score is not None:
+            out = [
+                i for i in out
+                if float(np.nanmean(np.where(i.visible, i.point_scores, np.nan)))
+                >= cfg.min_mean_node_score
+            ]
         if cfg.min_instance_score is not None:
             out = [i for i in out if i.score >= cfg.min_instance_score]
         if cfg.overlap_method is not None and len(out) > 1:

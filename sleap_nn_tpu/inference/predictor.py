@@ -77,6 +77,44 @@ def _pre_config(loaded: LoadedModel) -> PreprocessConfig:
     )
 
 
+def _swap_param_subtrees(loaded, backbone_ckpt_path, head_ckpt_path):
+    """Replace backbone / head param subtrees from other checkpoints in place.
+
+    The flax param tree is ``{"params": {"backbone": ..., <head convs>...}}``;
+    "head" means every non-backbone subtree. Shapes must match — a mismatch
+    raises instead of silently mixing incompatible weights.
+    """
+    import jax
+
+    def subtree_shapes(t):
+        return jax.tree_util.tree_map(lambda a: tuple(a.shape), t)
+
+    for src_path, which in ((backbone_ckpt_path, "backbone"), (head_ckpt_path, "head")):
+        if src_path is None:
+            continue
+        src = load_model(src_path)
+        for m in loaded:
+            dst_p = dict(m.params["params"])
+            src_p = src.params["params"]
+            keys = (
+                ["backbone"] if which == "backbone"
+                else [k for k in dst_p if k != "backbone"]
+            )
+            for k in keys:
+                if k not in src_p:
+                    raise ValueError(
+                        f"{which}_ckpt_path: source checkpoint has no '{k}' "
+                        f"subtree (has: {sorted(src_p)})."
+                    )
+                if subtree_shapes(dst_p[k]) != subtree_shapes(src_p[k]):
+                    raise ValueError(
+                        f"{which}_ckpt_path: '{k}' parameter shapes do not "
+                        "match the target model."
+                    )
+                dst_p[k] = src_p[k]
+            m.params = {**m.params, "params": dst_p}
+
+
 class Predictor:
     """Built from one or two model dirs; runs batched inference to Labels."""
 
@@ -129,8 +167,52 @@ class Predictor:
         anchor_part: Optional[str] = None,
         host_resize: bool = False,
         centroid_only: bool = False,
+        # Preprocess overrides (reference cli.py:2408-2420): trump the
+        # values stored in each model's training config.
+        input_scale: Optional[float] = None,
+        max_height: Optional[int] = None,
+        max_width: Optional[int] = None,
+        ensure_rgb: Optional[bool] = None,
+        ensure_grayscale: Optional[bool] = None,
+        # PAF grouping knobs (reference cli.py:2441-2445).
+        max_edge_length_ratio: float = 0.25,
+        dist_penalty_weight: float = 1.0,
+        n_points: int = 10,
+        min_instance_peaks: float = 0,
+        # Segmentation knobs (reference cli.py:2467-2611).
+        center_nms_kernel: int = 3,
+        distance_gate_alpha: Optional[float] = None,
+        mask_cleanup: bool = True,
+        mask_cleanup_radius: int = 0,
+        merge_dilate: int = 1,
+        merge_w_valley: float = 1.0,
+        merge_w_offset: float = 0.25,
+        merge_thresholds: Sequence[float] = (0.85, 0.6, 0.4),
+        full_res_masks: bool = False,
+        mask_output: str = "mask",
+        polygon_epsilon: float = 0.01,
+        backbone_ckpt_path: Optional[Union[str, Path]] = None,
+        head_ckpt_path: Optional[Union[str, Path]] = None,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
+        if backbone_ckpt_path or head_ckpt_path:
+            # Weight surgery (reference cli.py:2397-2407): swap the backbone
+            # and/or head param subtrees with those of another checkpoint.
+            _swap_param_subtrees(loaded, backbone_ckpt_path, head_ckpt_path)
+        if any(v is not None for v in
+               (input_scale, max_height, max_width, ensure_rgb, ensure_grayscale)):
+            for m in loaded:
+                p = m.config.data_config.preprocessing
+                if input_scale is not None:
+                    p.scale = float(input_scale)
+                if max_height is not None:
+                    p.max_height = int(max_height)
+                if max_width is not None:
+                    p.max_width = int(max_width)
+                if ensure_rgb is not None:
+                    p.ensure_rgb = bool(ensure_rgb)
+                if ensure_grayscale is not None:
+                    p.ensure_grayscale = bool(ensure_grayscale)
         if centroid_only:
             # Stage-1-only inference from a topdown pair (reference
             # cli.py --centroid-only): keep just the centroid model.
@@ -203,6 +285,8 @@ class Predictor:
             p.filters = filters
             p.paf_workers = paf_workers
             p._host_transform = host_transform
+            p.mask_output = mask_output
+            p.polygon_epsilon = polygon_epsilon
             return p
 
         if types == {"single_instance"}:
@@ -337,6 +421,10 @@ class Predictor:
                 part_names=head.confmaps.part_names,
                 edges=[tuple(e) for e in head.pafs.edges],
                 pafs_stride=head.pafs.output_stride,
+                max_edge_length_ratio=max_edge_length_ratio,
+                dist_penalty_weight=dist_penalty_weight,
+                n_points=n_points,
+                min_instance_peaks=min_instance_peaks,
                 min_line_scores=min_line_scores,
                 k_per_node=k_per_node,
             )
@@ -400,6 +488,15 @@ class Predictor:
                 merge_fragments=merge_fragments,
                 merge_method=merge_method,
                 fg_threshold=fg_threshold,
+                center_nms_kernel=center_nms_kernel,
+                distance_gate_alpha=distance_gate_alpha,
+                mask_cleanup=mask_cleanup,
+                mask_cleanup_radius=mask_cleanup_radius,
+                merge_dilate=merge_dilate,
+                merge_w_valley=merge_w_valley,
+                merge_w_offset=merge_w_offset,
+                merge_thresholds=merge_thresholds,
+                full_res_masks=full_res_masks,
             )
             return cls(layer, "bottomup_segmentation", Skeleton(nodes=["centroid"]), loaded, batch_size)
 
@@ -412,6 +509,7 @@ class Predictor:
                 backend_for(m), _pre_config(m), post_for(m),
                 seg_output_stride=head.segmentation.output_stride,
                 fg_threshold=fg_threshold,
+                full_res_masks=full_res_masks,
             )
             return cls(layer, "semantic_segmentation", Skeleton(nodes=["fg"]), loaded, batch_size)
 
@@ -595,6 +693,29 @@ class Predictor:
         return self.to_labels(results, video=video, labels_src=labels_src)
 
     # -- conversion -------------------------------------------------------------
+    def _apply_mask_output(self, lf, mask_scale: float = 1.0):
+        """Honor ``mask_output`` (mask | polygon | both) on one LabeledFrame.
+
+        polygon/both simplify each mask's largest contour into a
+        :class:`PredictedROI` in IMAGE pixel coords (reference cli.py:2588);
+        'polygon' additionally drops the dense masks.
+        """
+        mode = getattr(self, "mask_output", "mask")
+        if mode == "mask" or not lf.masks:
+            return
+        from sleap_nn_tpu.inference.segmentation import mask_to_polygon
+        from sleap_nn_tpu.io.model import PredictedROI
+
+        eps = float(getattr(self, "polygon_epsilon", 0.01))
+        rois = []
+        for sm in lf.masks:
+            poly = mask_to_polygon(sm.mask, epsilon_frac=eps, scale=mask_scale)
+            if poly is not None:
+                rois.append(PredictedROI(poly, score=sm.score, track=sm.track))
+        lf.rois = rois
+        if mode == "polygon":
+            lf.masks = []
+
     def to_labels(self, results: List[Dict], video=None, labels_src=None) -> Labels:
         """Batch outputs -> Labels with PredictedInstances (reference: outputs.py:284)."""
         skel = self.skeleton
@@ -617,6 +738,7 @@ class Predictor:
                     if frame_masks:
                         lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=[])
                         lf.masks = frame_masks
+                        self._apply_mask_output(lf, out.get("mask_scale", 1.0))
                         lfs.append(lf)
                     continue
 
@@ -635,6 +757,7 @@ class Predictor:
                     if frame_masks or instances:
                         lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances)
                         lf.masks = frame_masks
+                        self._apply_mask_output(lf, out.get("mask_scale", 1.0))
                         lfs.append(lf)
                     continue
 
@@ -650,12 +773,32 @@ class Predictor:
                     cents = out["pred_centroids"][i]  # (K, 2)
                     vals = out["centroid_vals"][i]
                     valid = out["centroid_valid"][i]
+                    # --centroid-output (reference cli.py:2376): 'instance'
+                    # emits single-node PredictedInstances (frontend-loadable,
+                    # default), 'centroid' emits PredictedCentroid records on
+                    # LabeledFrame.centroids, 'both' emits both.
+                    c_out = getattr(self, "centroid_output", "instance")
+                    frame_centroids = []
                     for k in range(cents.shape[0]):
                         if not valid[k] or np.all(np.isnan(cents[k])):
                             continue
-                        instances.append(
-                            self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                        if c_out in ("instance", "both"):
+                            instances.append(
+                                self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                            )
+                        if c_out in ("centroid", "both"):
+                            from sleap_nn_tpu.io.model import PredictedCentroid
+
+                            frame_centroids.append(
+                                PredictedCentroid(cents[k], score=float(vals[k]))
+                            )
+                    if frame_centroids:
+                        lf = LabeledFrame(
+                            video=vid, frame_idx=frame_idx, instances=instances
                         )
+                        lf.centroids = frame_centroids
+                        lfs.append(lf)
+                        continue
 
                 elif self.model_type == "topdown":
                     pts = out["pred_keypoints"][i]  # (K, n_nodes, 2)

@@ -38,6 +38,8 @@ def predict(
     no_empty_frames: bool = False,
     only_suggested_frames: bool = False,
     exclude_user_labeled: bool = False,
+    only_labeled_frames: bool = False,
+    only_predicted_frames: bool = False,
     centroid_peak_threshold: Optional[float] = None,
     anchor_part: Optional[str] = None,
     video_index: Optional[int] = None,
@@ -45,6 +47,35 @@ def predict(
     make_labels: bool = True,
     tracking: bool = False,
     tracker=None,
+    # Preprocess overrides (reference cli.py:2408-2420).
+    input_scale: Optional[float] = None,
+    max_height: Optional[int] = None,
+    max_width: Optional[int] = None,
+    ensure_rgb: Optional[bool] = None,
+    ensure_grayscale: Optional[bool] = None,
+    # PAF grouping knobs (reference cli.py:2441-2445).
+    max_edge_length_ratio: float = 0.25,
+    dist_penalty_weight: float = 1.0,
+    n_points: int = 10,
+    min_instance_peaks: float = 0,
+    # Segmentation knobs (reference cli.py:2467-2611).
+    center_nms_kernel: int = 3,
+    distance_gate_alpha: Optional[float] = None,
+    mask_cleanup: bool = True,
+    mask_cleanup_radius: int = 0,
+    merge_dilate: int = 1,
+    merge_w_valley: float = 1.0,
+    merge_w_offset: float = 0.25,
+    merge_thresholds: Sequence[float] = (0.85, 0.6, 0.4),
+    full_res_masks: bool = False,
+    mask_output: str = "mask",
+    polygon_epsilon: float = 0.01,
+    # Weight / output plumbing.
+    backbone_ckpt_path: Optional[Union[str, Path]] = None,
+    head_ckpt_path: Optional[Union[str, Path]] = None,
+    centroid_output: str = "instance",
+    stream_to_file: Optional[Union[str, Path]] = None,
+    write_interval: Optional[int] = None,
     mask_backend: Optional[str] = None,
     sam_model_id: str = "facebook/sam-vit-huge",
     sam_prompt_mode: str = "pose",
@@ -124,6 +155,26 @@ def predict(
             suggestions=labels.suggestions,
         )
 
+    if only_labeled_frames or only_predicted_frames:
+        # Scope a .slp source to frames that already carry user labels
+        # (--only_labeled_frames) or predictions (--only_predicted_frames)
+        # (reference cli.py:2422-2425).
+        from sleap_nn_tpu.io import load_slp
+        from sleap_nn_tpu.io.model import Labels as _Labels
+
+        labels = data_path if isinstance(data_path, Labels) else load_slp(str(data_path))
+        keep = [
+            lf for lf in labels.labeled_frames
+            if (not only_labeled_frames or lf.has_user_instances)
+            and (not only_predicted_frames or lf.has_predicted_instances)
+        ]
+        data_path = _Labels(
+            labeled_frames=keep,
+            videos=labels.videos,
+            skeletons=labels.skeletons,
+            suggestions=labels.suggestions,
+        )
+
     if only_suggested_frames:
         # GUI workflow: predict on the .slp's suggested frames (which may be
         # unlabeled) instead of its labeled frames (reference cli.py:680).
@@ -196,7 +247,30 @@ def predict(
         merge_method=merge_method,
         fg_threshold=fg_threshold,
         min_mask_area=min_mask_area,
+        input_scale=input_scale,
+        max_height=max_height,
+        max_width=max_width,
+        ensure_rgb=ensure_rgb,
+        ensure_grayscale=ensure_grayscale,
+        max_edge_length_ratio=max_edge_length_ratio,
+        dist_penalty_weight=dist_penalty_weight,
+        n_points=n_points,
+        min_instance_peaks=min_instance_peaks,
+        center_nms_kernel=center_nms_kernel,
+        distance_gate_alpha=distance_gate_alpha,
+        mask_cleanup=mask_cleanup,
+        mask_cleanup_radius=mask_cleanup_radius,
+        merge_dilate=merge_dilate,
+        merge_w_valley=merge_w_valley,
+        merge_w_offset=merge_w_offset,
+        merge_thresholds=merge_thresholds,
+        full_res_masks=full_res_masks,
+        mask_output=mask_output,
+        polygon_epsilon=polygon_epsilon,
+        backbone_ckpt_path=backbone_ckpt_path,
+        head_ckpt_path=head_ckpt_path,
     )
+    predictor.centroid_output = centroid_output
     if profile_dir is not None:
         # XLA/TPU profiler trace around the whole predict loop; open with
         # TensorBoard or Perfetto to see device steps vs H2D vs host gaps.
@@ -209,16 +283,35 @@ def predict(
     else:
         result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
     if make_labels and (tracking or tracker is not None):
-        from sleap_nn_tpu.tracking.tracker import Tracker
+        if tracker is not None:
+            result = tracker.track_labels(result)
+        else:
+            # run_tracker accepts the full knob set: pre-cull, clean cull,
+            # post_connect_single_breaks + every Tracker.from_config knob.
+            from sleap_nn_tpu.tracking.tracker import run_tracker
 
-        trk = tracker or Tracker.from_config(**tracker_kwargs)
-        result = trk.track_labels(result)
+            result = run_tracker(result, **tracker_kwargs)
     if make_labels and no_empty_frames:
         # Mirror the reference --no_empty_frames: drop frames with nothing on
         # them (neither instances nor masks) before saving.
         result.labeled_frames = [
             lf for lf in result.labeled_frames if lf.instances or lf.masks
         ]
+    if make_labels and stream_to_file is not None:
+        # --stream-to-file (reference cli.py:2814): route through the
+        # incremental writer — periodic crash-safe temp flushes every
+        # write_interval frames, atomic finalize.
+        from sleap_nn_tpu.inference.writer import IncrementalLabelsWriter
+
+        interval = int(write_interval or 500)
+        with IncrementalLabelsWriter(
+            stream_to_file, flush_every=interval,
+            provenance=dict(getattr(result, "provenance", {}) or {}),
+        ) as w:
+            frames_list = list(result.labeled_frames)
+            for i in range(0, len(frames_list), interval):
+                w.add_frames(frames_list[i:i + interval])
+            result = w.finalize()
     if make_labels and output_path is not None:
         save_predictions(result, output_path, output_format=output_format, embed=embed)
     return result

@@ -23,18 +23,22 @@ def find_center_peaks(
     center_heatmap: jnp.ndarray,
     threshold: float = 0.2,
     max_peaks: int = 50,
+    nms_kernel: int = 3,
 ):
     """Instance-center detections on the center heatmap (reference: :12).
 
     Args:
         center_heatmap: ``(B, H, W, 1)``.
+        nms_kernel: odd NMS window; >3 merges nearby duplicate centers (the
+            ``--center_nms_kernel`` knob, reference cli.py:2467).
 
     Returns:
         ``(centers (B, K, 2), vals (B, K), valid (B, K))`` in heatmap grid
         coords.
     """
     points, vals, channels, valid = find_local_peaks(
-        center_heatmap, threshold=threshold, refinement="integral", max_peaks=max_peaks
+        center_heatmap, threshold=threshold, refinement="integral",
+        max_peaks=max_peaks, nms_kernel=nms_kernel,
     )
     return points, vals, valid
 
@@ -47,6 +51,7 @@ def group_instances_from_offsets(
     output_stride: int = 2,
     max_center_dist: float = 64.0,
     fg_threshold: float = 0.5,
+    distance_gate_alpha: Optional[float] = None,
 ) -> jnp.ndarray:
     """Assign each fg pixel to its voted center (reference: :63).
 
@@ -57,6 +62,12 @@ def group_instances_from_offsets(
         fg_mask: ``(B, H, W, 1)`` probabilities or binary.
         offsets: ``(B, H, W, 2)`` (dx, dy) in ORIGINAL pixels.
         centers: ``(B, K, 2)`` in ORIGINAL pixel coords.
+        distance_gate_alpha: adaptive stray-pixel filter (the
+            ``--distance_gate_alpha`` knob, reference cli.py:2497): after
+            the argmin grouping, drop pixels whose voted center lies more
+            than ``alpha * sqrt(area / pi)`` (the mask's equivalent-circle
+            radius) from the assigned center. Scale-free; ``None`` keeps
+            the plain argmin grouping.
 
     Returns:
         ``(B, K, H, W)`` bool instance masks (grid resolution).
@@ -79,23 +90,78 @@ def group_instances_from_offsets(
     ok = fg & (near_d2 <= max_center_dist**2)
     k = centers.shape[1]
     inst = (nearest[:, None] == jnp.arange(k)[None, :, None, None]) & ok[:, None]
+    if distance_gate_alpha is not None:
+        # Second pass: per-instance area (converted to center-coord pixel
+        # units) sets an equivalent-circle radius gate on pixel->center
+        # distance. Static shapes; two cheap reductions.
+        area_px = inst.sum(axis=(2, 3)).astype(jnp.float32) * float(output_stride) ** 2
+        r2 = (float(distance_gate_alpha) ** 2) * area_px / jnp.pi  # (B, K)
+        inst = inst & (d2 <= r2[:, :, None, None])
     return inst
 
 
-def mask_cleanup(mask: np.ndarray, min_area: int = 16) -> np.ndarray:
+def _disk_structure(radius: int) -> np.ndarray:
+    """Elliptical (disk) structuring element of the given pixel radius."""
+    yy, xx = np.ogrid[-radius:radius + 1, -radius:radius + 1]
+    return (xx * xx + yy * yy) <= radius * radius
+
+
+def mask_cleanup(mask: np.ndarray, min_area: int = 16, radius: int = 0,
+                 fill_holes: bool = False) -> np.ndarray:
     """Keep only the largest connected component and drop tiny masks
-    (reference: :240)."""
+    (reference: :240).
+
+    ``radius`` > 0 first applies a morphological open -> close with a disk
+    kernel of that radius (despeckles / closes pinholes; the
+    ``--mask_cleanup_radius`` knob, reference cli.py:2485). ``fill_holes``
+    additionally fills interior holes of the surviving component (the
+    reference ``--mask_cleanup`` behavior).
+    """
     from scipy import ndimage
 
+    if radius > 0 and mask.any():
+        st = _disk_structure(int(radius))
+        mask = ndimage.binary_opening(mask, structure=st)
+        mask = ndimage.binary_closing(mask, structure=st)
     labeled, n = ndimage.label(mask)
     if n == 0:
         return np.zeros_like(mask, dtype=bool)
     sizes = ndimage.sum(mask, labeled, index=np.arange(1, n + 1))
     best = int(np.argmax(sizes)) + 1
     out = labeled == best
+    if fill_holes:
+        out = ndimage.binary_fill_holes(out)
     if out.sum() < min_area:
         return np.zeros_like(mask, dtype=bool)
     return out
+
+
+def mask_to_polygon(mask: np.ndarray, epsilon_frac: float = 0.01,
+                    scale: float = 1.0) -> Optional[np.ndarray]:
+    """Largest-contour polygon outline of a bool mask, (N, 2) (x, y).
+
+    Douglas-Peucker simplification with tolerance ``epsilon_frac`` x the
+    contour perimeter (0 disables); coordinates are multiplied by ``scale``
+    (grid -> image px). The ``--mask_output polygon`` representation
+    (reference cli.py:2588-2611). Returns ``None`` for empty/degenerate
+    masks.
+    """
+    import cv2
+
+    contours, _ = cv2.findContours(
+        np.ascontiguousarray(mask, dtype=np.uint8),
+        cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_SIMPLE,
+    )
+    if not contours:
+        return None
+    cnt = max(contours, key=cv2.contourArea)
+    if epsilon_frac > 0:
+        eps = float(epsilon_frac) * cv2.arcLength(cnt, True)
+        cnt = cv2.approxPolyDP(cnt, eps, True)
+    if len(cnt) < 3:
+        return None
+    return cnt.reshape(-1, 2).astype(np.float64) * float(scale)
 
 
 def upsample_mask(mask: np.ndarray, output_stride: int, out_hw: Tuple[int, int]) -> np.ndarray:
@@ -110,7 +176,14 @@ class BottomUpSegmentationLayer:
     def __init__(self, backend, pre, post, seg_output_stride=2, center_output_stride=2,
                  offsets_output_stride=2, max_center_dist=64.0, min_mask_area=16,
                  max_instances: int = 50, merge_fragments: bool = False,
-                 merge_method: str = "greedy", fg_threshold: float = 0.5):
+                 merge_method: str = "greedy", fg_threshold: float = 0.5,
+                 center_nms_kernel: int = 3,
+                 distance_gate_alpha: Optional[float] = None,
+                 mask_cleanup: bool = True, mask_cleanup_radius: int = 0,
+                 merge_dilate: int = 1, merge_w_valley: float = 1.0,
+                 merge_w_offset: float = 0.25,
+                 merge_thresholds: Sequence[float] = (0.85, 0.6, 0.4),
+                 full_res_masks: bool = False):
         from sleap_nn_tpu.inference.layers import preprocess_images
 
         self.backend = backend
@@ -120,6 +193,13 @@ class BottomUpSegmentationLayer:
         self.min_mask_area = min_mask_area
         self.merge_fragments = bool(merge_fragments)
         self.merge_method = merge_method
+        self.do_mask_cleanup = bool(mask_cleanup)
+        self.mask_cleanup_radius = int(mask_cleanup_radius)
+        self.merge_dilate = int(merge_dilate)
+        self.merge_w_valley = float(merge_w_valley)
+        self.merge_w_offset = float(merge_w_offset)
+        self.merge_thresholds = tuple(merge_thresholds)
+        self.full_res_masks = bool(full_res_masks)
         post_cfg = post
         want_merge = self.merge_fragments
 
@@ -130,7 +210,8 @@ class BottomUpSegmentationLayer:
             centers_hm = preds["InstanceCenterHead"]
             offsets = preds["CenterOffsetHead"]
             pts, vals, valid = find_center_peaks(
-                centers_hm, threshold=post_cfg.peak_threshold, max_peaks=max_instances
+                centers_hm, threshold=post_cfg.peak_threshold,
+                max_peaks=max_instances, nms_kernel=center_nms_kernel,
             )
             centers_px = pts * center_output_stride  # scaled-image pixels
             inst = group_instances_from_offsets(
@@ -138,6 +219,7 @@ class BottomUpSegmentationLayer:
                 output_stride=seg_output_stride,
                 max_center_dist=max_center_dist,
                 fg_threshold=fg_threshold,
+                distance_gate_alpha=distance_gate_alpha,
             )
             out = {
                 "instance_masks": inst,
@@ -146,6 +228,7 @@ class BottomUpSegmentationLayer:
                 "center_vals": vals,
                 "center_valid": valid,
                 "eff_scale": eff_scale,
+                "orig_hw": jnp.array(images.shape[1:3], jnp.int32),
             }
             if want_merge:
                 # Extra host payload only when the fragment-merge will run.
@@ -193,19 +276,53 @@ class BottomUpSegmentationLayer:
                     np.asarray(dev["offsets"][i]),
                     self.seg_output_stride,
                     method=self.merge_method,
+                    dilate_iters=getattr(self, "merge_dilate", 1),
+                    w_valley=getattr(self, "merge_w_valley", 1.0),
+                    w_offset=getattr(self, "merge_w_offset", 0.25),
+                    thresholds=getattr(self, "merge_thresholds", (0.85, 0.6, 0.4)),
                 )
             frame_masks = []
             for c in cands:
-                m = mask_cleanup(c["mask"], self.min_mask_area)
-                if m.any():
-                    frame_masks.append(SegmentationMask(m, score=c["score"]))
+                if getattr(self, "do_mask_cleanup", True):
+                    m = mask_cleanup(
+                        c["mask"], self.min_mask_area,
+                        radius=getattr(self, "mask_cleanup_radius", 0),
+                        fill_holes=True,
+                    )
+                else:
+                    m = c["mask"] if c["mask"].sum() >= self.min_mask_area else None
+                if m is None or not m.any():
+                    continue
+                if getattr(self, "full_res_masks", False):
+                    m = BottomUpSegmentationLayer._to_full_res(self, m, dev, i)
+                frame_masks.append(SegmentationMask(m, score=c["score"]))
             out_masks.append(frame_masks)
+        eff = float(np.asarray(dev["eff_scale"]).reshape(-1)[0])
         return {
             "pred_masks": out_masks,
             "pred_centroids": dev["centers"],
             "centroid_vals": dev["center_vals"],
             "centroid_valid": valid,
+            # grid px -> ORIGINAL image px factor for downstream consumers
+            # (polygon outlines, analysis tools).
+            "mask_scale": 1.0 if getattr(self, "full_res_masks", False)
+            else self.seg_output_stride
+            / (getattr(getattr(self, "pre", None), "scale", 1.0) * eff),
         }
+
+    def _to_full_res(self, mask: np.ndarray, dev, i: int) -> np.ndarray:
+        """Resize one grid-res mask to ORIGINAL image resolution.
+
+        ``--full_res_masks`` (reference cli.py:2576): the grid covers the
+        scaled input (``pre.scale * eff_scale``) at ``seg_output_stride``, so
+        one grid cell spans ``stride / scale`` original pixels.
+        """
+        import cv2
+
+        H, W = (int(v) for v in np.asarray(dev["orig_hw"]).reshape(-1)[:2])
+        return cv2.resize(
+            mask.astype(np.uint8), (W, H), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
 
     def predict(self, images):
         return self.finalize(self.predict_async(images))
@@ -215,7 +332,7 @@ class SemanticSegmentationLayer:
     """Whole-frame foreground mask (reference: semantic path)."""
 
     def __init__(self, backend, pre, post, seg_output_stride=2,
-                 fg_threshold: float = 0.5):
+                 fg_threshold: float = 0.5, full_res_masks: bool = False):
         from sleap_nn_tpu.inference.layers import preprocess_images
 
         self.backend = backend
@@ -223,11 +340,16 @@ class SemanticSegmentationLayer:
         self.post = post
         self.seg_output_stride = seg_output_stride
         self.fg_threshold = fg_threshold
+        self.full_res_masks = bool(full_res_masks)
 
         def fn(images):
             x, eff_scale = preprocess_images(pre, images)
             preds = self.backend(x)
-            return {"fg": preds["SegmentationHead"], "eff_scale": eff_scale}
+            return {
+                "fg": preds["SegmentationHead"],
+                "eff_scale": eff_scale,
+                "orig_hw": jnp.array(images.shape[1:3], jnp.int32),
+            }
 
         self._fn = jax.jit(fn)
 
@@ -237,6 +359,16 @@ class SemanticSegmentationLayer:
     def finalize(self, dev) -> Dict:
         dev = jax.device_get(dev)
         fg = dev["fg"][..., 0] > getattr(self, "fg_threshold", 0.5)
+        if getattr(self, "full_res_masks", False):
+            import cv2
+
+            H, W = (int(v) for v in np.asarray(dev["orig_hw"]).reshape(-1)[:2])
+            fg = np.stack([
+                cv2.resize(f.astype(np.uint8), (W, H),
+                           interpolation=cv2.INTER_NEAREST).astype(bool)
+                for f in fg
+            ])
+        eff = float(np.asarray(dev.get("eff_scale", 1.0)).reshape(-1)[0])
         return {
             "pred_masks": [
                 [SegmentationMask(fg[i], score=float(dev["fg"][i].mean()))]
@@ -245,6 +377,9 @@ class SemanticSegmentationLayer:
                 for i in range(fg.shape[0])
             ],
             "fg_probs": dev["fg"],
+            "mask_scale": 1.0 if getattr(self, "full_res_masks", False)
+            else getattr(self, "seg_output_stride", 1)
+            / (getattr(getattr(self, "pre", None), "scale", 1.0) * eff),
         }
 
     def predict(self, images):

@@ -16,7 +16,9 @@ from sleap_nn_tpu.io.model import (
     LabeledFrame,
     Labels,
     Node,
+    PredictedCentroid,
     PredictedInstance,
+    PredictedROI,
     Skeleton,
     Symmetry,
     Track,
@@ -30,7 +32,9 @@ __all__ = [
     "LabeledFrame",
     "Labels",
     "Node",
+    "PredictedCentroid",
     "PredictedInstance",
+    "PredictedROI",
     "SegmentationMask",
     "Skeleton",
     "Symmetry",

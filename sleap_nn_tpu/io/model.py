@@ -255,6 +255,45 @@ class PredictedInstance(Instance):
         )
 
 
+class PredictedCentroid:
+    """A predicted instance center point (centroid-only output).
+
+    Mirrors the reference's ``sio.PredictedCentroid`` stored on
+    ``LabeledFrame.centroids`` for ``--centroid-output centroid/both``
+    (reference cli.py:2376-2388).
+    """
+
+    def __init__(self, point: np.ndarray, score: float = 0.0,
+                 track: Optional[Track] = None):
+        self.point = np.asarray(point, dtype=np.float64).reshape(2)
+        self.score = float(score)
+        self.track = track
+
+
+class PredictedROI:
+    """A predicted polygonal region of interest (simplified mask outline).
+
+    Mirrors the reference's ``sio.PredictedROI`` emitted by
+    ``--mask_output polygon/both`` (reference cli.py:2588-2611): a
+    Douglas-Peucker-simplified closed polygon in IMAGE pixel coords.
+    """
+
+    def __init__(self, points: np.ndarray, score: float = 0.0,
+                 track: Optional[Track] = None):
+        self.points = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+        self.score = float(score)
+        self.track = track
+
+    @property
+    def area(self) -> float:
+        """Shoelace polygon area (px^2)."""
+        x, y = self.points[:, 0], self.points[:, 1]
+        return float(0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1))))
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+
 class SegmentationMask:
     """A (predicted) instance segmentation mask.
 
@@ -285,11 +324,15 @@ class LabeledFrame:
     """All instances labeled/predicted on one frame of one video."""
 
     def __init__(self, video, frame_idx: int, instances: Optional[List[Instance]] = None,
-                 masks: Optional[List["SegmentationMask"]] = None):
+                 masks: Optional[List["SegmentationMask"]] = None,
+                 rois: Optional[List["PredictedROI"]] = None,
+                 centroids: Optional[List["PredictedCentroid"]] = None):
         self.video = video
         self.frame_idx = int(frame_idx)
         self.instances: List[Instance] = list(instances or [])
         self.masks: List[SegmentationMask] = list(masks or [])
+        self.rois: List[PredictedROI] = list(rois or [])
+        self.centroids: List[PredictedCentroid] = list(centroids or [])
 
     @property
     def user_instances(self) -> List[Instance]:

@@ -250,6 +250,8 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
         frames_ds = f["frames"][:] if "frames" in f else np.zeros(0, dtype=_FRAME_DTYPE)
         mask_meta = f["pred_masks_json"][:] if "pred_masks_json" in f else []
         mask_blobs = f["pred_masks_data"][:] if "pred_masks_data" in f else []
+        roi_rows = f["pred_rois_json"][:] if "pred_rois_json" in f else []
+        cent_rows = f["pred_centroids_json"][:] if "pred_centroids_json" in f else []
         sugg_rows = []
         if "suggestions_json" in f and f["suggestions_json"].shape[0]                 and f["suggestions_json"].dtype != np.float64:
             sugg_rows = [json.loads(r) for r in f["suggestions_json"][:]]
@@ -317,6 +319,32 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
                 track=tracks[ti] if 0 <= ti < len(tracks) else None,
             )
         )
+
+    # Re-attach polygon ROIs and centroid points (save_slp's extensions).
+    from sleap_nn_tpu.io.model import PredictedCentroid, PredictedROI
+
+    for row in roi_rows:
+        meta = json.loads(row)
+        fi = int(meta["frame"])
+        if not 0 <= fi < len(labeled_frames):
+            continue
+        ti = int(meta.get("track", -1))
+        labeled_frames[fi].rois.append(PredictedROI(
+            points=np.asarray(meta["points"], float),
+            score=float(meta.get("score", 0.0)),
+            track=tracks[ti] if 0 <= ti < len(tracks) else None,
+        ))
+    for row in cent_rows:
+        meta = json.loads(row)
+        fi = int(meta["frame"])
+        if not 0 <= fi < len(labeled_frames):
+            continue
+        ti = int(meta.get("track", -1))
+        labeled_frames[fi].centroids.append(PredictedCentroid(
+            point=np.asarray(meta["point"], float),
+            score=float(meta.get("score", 0.0)),
+            track=tracks[ti] if 0 <= ti < len(tracks) else None,
+        ))
 
     suggestions = []
     for row in sugg_rows:
@@ -559,3 +587,29 @@ def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
             f.create_dataset(
                 "pred_masks_data", data=blobs, dtype=h5py.vlen_dtype(np.uint8)
             )
+
+        # Polygon ROIs (--mask_output polygon/both) and centroid points
+        # (--centroid-output centroid/both): small JSON-row extensions in the
+        # same spirit as the mask records above.
+        roi_meta = []
+        for fi, lf in enumerate(labels.labeled_frames):
+            for roi in getattr(lf, "rois", []) or []:
+                roi_meta.append(json.dumps({
+                    "frame": fi,
+                    "score": float(roi.score),
+                    "track": track_idx.get(id(roi.track), -1),
+                    "points": np.asarray(roi.points, float).tolist(),
+                }).encode())
+        if roi_meta:
+            f.create_dataset("pred_rois_json", data=np.array(roi_meta))
+        cent_meta = []
+        for fi, lf in enumerate(labels.labeled_frames):
+            for c in getattr(lf, "centroids", []) or []:
+                cent_meta.append(json.dumps({
+                    "frame": fi,
+                    "score": float(c.score),
+                    "track": track_idx.get(id(c.track), -1),
+                    "point": np.asarray(c.point, float).tolist(),
+                }).encode())
+        if cent_meta:
+            f.create_dataset("pred_centroids_json", data=np.array(cent_meta))

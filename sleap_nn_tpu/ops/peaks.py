@@ -23,8 +23,12 @@ import jax.numpy as jnp
 from sleap_nn_tpu.ops.crops import crop_bboxes, make_centered_bboxes
 
 
-def nms_max_pool(cms: jnp.ndarray) -> jnp.ndarray:
-    """Max over the 8-neighborhood (center excluded), -inf padded borders.
+def nms_max_pool(cms: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
+    """Max over the ``kernel x kernel`` neighborhood (center excluded).
+
+    ``kernel`` must be odd; 3 is the reference's 8-neighbor dilation NMS,
+    larger values merge nearby duplicate maxima (the ``center_nms_kernel``
+    inference knob for bottom-up segmentation center peaks).
 
     Args:
         cms: ``(..., H, W, C)``.
@@ -32,17 +36,24 @@ def nms_max_pool(cms: jnp.ndarray) -> jnp.ndarray:
     Returns:
         Same shape; ``cms > nms_max_pool(cms)`` marks strict local maxima.
     """
+    if kernel % 2 != 1 or kernel < 3:
+        raise ValueError(f"NMS kernel must be an odd int >= 3, got {kernel}")
+    r = kernel // 2
     neg_inf = jnp.array(-jnp.inf, dtype=cms.dtype)
-    pad = [(0, 0)] * (cms.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
+    pad = [(0, 0)] * (cms.ndim - 3) + [(r, r), (r, r), (0, 0)]
     p = jnp.pad(cms, pad, constant_values=neg_inf)
     h, w = cms.shape[-3], cms.shape[-2]
 
     def shift(dy, dx):
-        return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+        return p[..., r + dy : r + dy + h, r + dx : r + dx + w, :]
 
-    out = shift(-1, -1)
-    for dy, dx in [(-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]:
-        out = jnp.maximum(out, shift(dy, dx))
+    out = None
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue  # strict maxima: exclude the center itself
+            s = shift(dy, dx)
+            out = s if out is None else jnp.maximum(out, s)
     return out
 
 
@@ -147,7 +158,8 @@ def find_global_peaks(
 
 
 def find_local_peaks_rough(
-    cms: jnp.ndarray, threshold: float = 0.2, max_peaks: int = 100
+    cms: jnp.ndarray, threshold: float = 0.2, max_peaks: int = 100,
+    nms_kernel: int = 3,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Local-maximum peaks, fixed-size top-K per sample.
 
@@ -165,7 +177,7 @@ def find_local_peaks_rough(
         (-1 invalid); valid ``(B, K)`` bool. Sorted by value descending.
     """
     b, h, w, c = cms.shape
-    is_peak = (cms > nms_max_pool(cms)) & (cms > threshold)
+    is_peak = (cms > nms_max_pool(cms, kernel=nms_kernel)) & (cms > threshold)
     neg = jnp.float32(-jnp.inf)
     scores = jnp.where(is_peak, cms, neg).reshape(b, h * w * c)
     k = min(max_peaks, h * w * c)
@@ -195,6 +207,7 @@ def find_local_peaks(
     integral_patch_size: int = 5,
     max_peaks: int = 100,
     return_rough: bool = False,
+    nms_kernel: int = 3,
 ) -> Tuple[jnp.ndarray, ...]:
     """Local peaks with optional integral refinement (fixed-size contract).
 
@@ -204,7 +217,7 @@ def find_local_peaks(
     scan-order tie-breaking, reference: ops/identity.py:41).
     """
     points, vals, channel_inds, valid = find_local_peaks_rough(
-        cms, threshold=threshold, max_peaks=max_peaks
+        cms, threshold=threshold, max_peaks=max_peaks, nms_kernel=nms_kernel
     )
     rough = points
     if refinement == "integral":
