@@ -33,105 +33,478 @@ def _parse_overrides(pairs: Tuple[str, ...]) -> dict:
 
 
 @cli.command()
-@click.argument("config_path", type=click.Path(exists=True))
+@click.argument("config_path", type=click.Path(exists=True), required=False)
+@click.option("--config", "config_opt", default=None,
+              help="Path to the config YAML (alternative to the positional).")
+@click.option("--config-name", "-c", "config_name", default=None,
+              help="Configuration file name (legacy hydra-style).")
+@click.option("--config-dir", "-d", "config_dir", default=".", show_default=True,
+              help="Configuration directory (legacy hydra-style).")
+@click.option("--video-paths", "-v", "video_paths", multiple=True,
+              help="Replace the labels file's video paths in order; "
+                   "repeatable.")
+@click.option("--video-path-map", "video_path_map", nargs=2, multiple=True,
+              metavar="OLD NEW", help="Map one old video path to a new path; "
+                                      "repeatable.")
+@click.option("--prefix-map", "prefix_map", nargs=2, multiple=True,
+              metavar="OLD NEW",
+              help="Map an old path prefix to a new prefix for ALL videos; "
+                   "repeatable.")
+@click.option("--video-config", "video_config", default=None, hidden=True,
+              help="YAML with video_paths/video_path_map/prefix_map "
+                   "(internal use for multi-process launches).")
 @click.argument("overrides", nargs=-1)
-def train(config_path, overrides):
+def train(config_path, config_opt, config_name, config_dir, video_paths,
+          video_path_map, prefix_map, video_config, overrides):
     """Train a model from a config YAML (dotted OVERRIDES like a.b.c=value)."""
     from sleap_nn_tpu.config import TrainingJobConfig
     from sleap_nn_tpu.train import run_training
 
+    # Resolve the config source: positional, --config, or the legacy
+    # --config-dir/--config-name pair (reference cli.py:331-377).
+    if config_path is None:
+        if config_opt is not None:
+            config_path = config_opt
+        elif config_name is not None:
+            name = config_name if config_name.endswith((".yaml", ".yml", ".json")) \
+                else config_name + ".yaml"
+            config_path = str(Path(config_dir) / name)
+        else:
+            raise click.UsageError(
+                "Provide a config: positional CONFIG_PATH, --config, or "
+                "--config-dir/--config-name."
+            )
+    if not Path(config_path).exists():
+        raise click.UsageError(f"Config not found: {config_path}")
+
     cfg = TrainingJobConfig.load_yaml(config_path, overrides=_parse_overrides(overrides))
+    if video_config:
+        import yaml
+
+        with open(video_config) as f:
+            vc = yaml.safe_load(f) or {}
+        video_paths = video_paths or tuple(vc.get("video_paths", ()))
+        video_path_map = video_path_map or tuple(
+            (k, v) for k, v in (vc.get("video_path_map") or {}).items()
+        )
+        prefix_map = prefix_map or tuple(
+            (k, v) for k, v in (vc.get("prefix_map") or {}).items()
+        )
+    if video_paths or video_path_map or prefix_map:
+        cfg.data_config.video_paths = list(video_paths)
+        cfg.data_config.video_path_map = dict(video_path_map)
+        cfg.data_config.video_prefix_map = dict(prefix_map)
     trainer = run_training(cfg)
     if trainer.ckpt_dir:
         click.echo(f"Model saved to: {trainer.ckpt_dir}")
 
 
+class _CommaFloatTuple(click.ParamType):
+    """Comma-separated float list, e.g. '0.85,0.6,0.4'."""
+
+    name = "floats"
+
+    def convert(self, value, param, ctx):
+        if isinstance(value, tuple):
+            return value
+        try:
+            return tuple(float(v) for v in str(value).split(","))
+        except ValueError:
+            self.fail(f"{value!r} is not a comma-separated float list", param, ctx)
+
+
+def _parse_int_list(ctx, param, value):
+    """'1,3,5' -> [1, 3, 5] (reference cli.py:49)."""
+    if value is None:
+        return None
+    try:
+        return [int(v) for v in str(value).split(",") if v != ""]
+    except ValueError:
+        raise click.BadParameter(f"{value!r} is not a comma-separated int list")
+
+
 def _inference_options(f):
+    """Shared predict/infer/track flag list (reference cli.py:2252
+    ``_common_inference_options``). Every option accepts both dashed and
+    underscored spellings for drop-in compatibility with reference scripts.
+    """
     opts = [
-        click.option("--data-path", "-i", "data_path", required=True, help="Video or .slp path."),
-        click.option("--model-paths", "-m", "model_paths", multiple=True, required=True,
-                     help="Model dir(s); pass twice for topdown (centroid + centered_instance)."),
-        click.option("--output-path", "-o", "output_path", default=None, help="Output .slp path."),
-        click.option("--frames", default=None, help="Frame range like 0-100 or comma list."),
-        click.option("--batch-size", default=4, show_default=True),
-        click.option("--peak-threshold", default=0.2, show_default=True),
-        click.option("--centroid-peak-threshold", default=None, type=float,
-                     help="Separate stage-1 (centroid) threshold for topdown."),
-        click.option("--profile-dir", default=None,
-                     help="Write an XLA profiler trace of the predict loop "
-                          "here (open with TensorBoard/Perfetto)."),
-        click.option("--anchor-part", default=None,
-                     help="Skeleton node used as the GT-centroid anchor "
-                          "(centered-instance-only inference)."),
-        click.option("--video-index", default=None, type=int,
-                     help="Restrict a multi-video .slp source to one video."),
-        click.option("--max-instances", default=None, type=int),
-        click.option("--max-peaks", default=200, show_default=True),
-        click.option("--refinement", default="integral", show_default=True,
-                     type=click.Choice(["integral", "local", "none"])),
-        click.option("--integral-patch-size", default=5, show_default=True),
-        click.option("--exclude-user-labeled/--include-user-labeled",
-                     "exclude_user_labeled", default=False, show_default=True,
-                     help="Skip frames that already carry user labels "
-                          "(.slp sources; don't re-predict labeled frames)."),
-        click.option("--only-suggested-frames/--all-frames", "only_suggested_frames",
-                     default=False, show_default=True,
-                     help="Predict on the .slp's suggested frames instead of "
-                          "its labeled frames."),
-        click.option("--no-empty-frames/--keep-empty-frames", "no_empty_frames",
-                     default=False, show_default=True,
-                     help="Drop frames with no predictions before saving."),
-        click.option("--filter-min-visible-nodes", default=None, type=int,
-                     help="Drop instances with fewer visible nodes."),
-        click.option("--filter-min-node-confidence", default=None, type=float,
-                     help="NaN-out nodes below this confidence."),
-        click.option("--filter-min-instance-score", default=None, type=float,
-                     help="Drop instances below this score."),
-        click.option("--filter-overlapping-method", default=None,
-                     type=click.Choice(["iou", "oks"]),
-                     help="Suppress overlapping instances by IoU/OKS."),
-        click.option("--filter-overlapping-threshold", default=0.8,
-                     show_default=True),
-        click.option("--use-bf16/--no-use-bf16", default=False, show_default=True,
+        # -- input / output ----------------------------------------------------
+        click.option("--data-path", "--data_path", "-i", "data_path", required=True,
+                     help="Video or .slp path."),
+        click.option("--headers", default=None,
+                     help="JSON HTTP headers for a remote --data-path URL "
+                          "(remote loading unavailable in this build; "
+                          "ignored for local inputs)."),
+        click.option("--stream-mode", "--stream_mode", "stream_mode", default=None,
+                     help="Remote read strategy for a --data-path URL "
+                          "(ignored for local inputs)."),
+        click.option("--model-paths", "--model_paths", "-m", "model_paths",
+                     multiple=True,
+                     help="Model dir(s); pass twice for topdown (centroid + "
+                          "centered_instance). Omit only with --mask-backend."),
+        click.option("--output-path", "--output_path", "-o", "output_path",
+                     default=None, help="Output .slp path."),
+        click.option("--output-format", "--output_format", "output_format",
+                     multiple=True, type=click.Choice(["slp", "analysis_h5"]),
+                     help="Repeatable; default slp. analysis_h5 writes one "
+                          "SLEAP Analysis HDF5 per video."),
+        click.option("--embed", type=click.Choice(["auto", "true", "false"],
+                                                  case_sensitive=False),
+                     default="false", show_default=True,
+                     help="Image-embedding policy for the .slp output: "
+                          "false (backreference media), true (self-contained "
+                          ".pkg.slp), auto (embed iff the input was embedded)."),
+        click.option("--restore-source-videos/--no-restore-source-videos",
+                     "--restore_source_videos/--no-restore_source_videos",
+                     "restore_source_videos", default=False,
+                     help="On a non-embedding save, restore references to the "
+                          "pre-embedding source videos when recorded."),
+        click.option("--stream-to-file", "--stream_to_file", "stream_to_file",
+                     default=None,
+                     help="Write predictions to this .slp via the incremental "
+                          "writer (crash-safe temp flushes, atomic finalize)."),
+        click.option("--write-interval", "--write_interval", "write_interval",
+                     default=None, type=int,
+                     help="Flush cadence (frames) for --stream-to-file "
+                          "(default 500)."),
+        click.option("--gui", is_flag=True, default=False,
+                     help="Emit JSON-lines progress for GUI integration."),
+        click.option("--queue-maxsize", "--queue_maxsize", "queue_maxsize",
+                     type=int, default=32, hidden=True,
+                     help="[no-op] Retained for CLI compatibility."),
+        # -- runtime / device ---------------------------------------------------
+        click.option("--device", "-d", default=None,
+                     type=click.Choice(["auto", "tpu", "cpu"]),
+                     help="Compute platform; 'cpu' forces the CPU backend."),
+        click.option("--batch-size", "--batch_size", "-b", "batch_size",
+                     default=4, show_default=True),
+        click.option("--runtime", default="auto", show_default=True,
+                     type=click.Choice(["auto", "stablehlo", "savedmodel"]),
+                     help="Runtime for an exported model dir passed to "
+                          "--model-paths; ignored for trained checkpoints."),
+        click.option("--use-bf16/--no-use-bf16", "--use_bf16/--no-use_bf16",
+                     "use_bf16", default=False, show_default=True,
                      help="bfloat16 forward pass (TPU fast path)."),
         click.option("--host-resize/--no-host-resize", "host_resize",
                      default=False, show_default=True,
                      help="Downscale frames on the host before transfer "
                           "(cuts H2D payload; cv2 bilinear instead of the "
                           "on-device resize)."),
-        click.option("--paf-workers", default=0, show_default=True,
+        click.option("--paf-workers", "--paf_workers", "paf_workers",
+                     default=0, show_default=True,
                      help="Worker processes for bottom-up PAF grouping (0 = inline)."),
-        click.option("--output-format", "output_format", multiple=True,
-                     type=click.Choice(["slp", "analysis_h5"]),
-                     help="Repeatable; default slp. analysis_h5 writes one "
-                          "SLEAP Analysis HDF5 per video."),
-        click.option("--merge-fragments/--no-merge-fragments", default=False,
+        click.option("--cpu-workers", "--cpu_workers", "cpu_workers",
+                     default=None, type=int,
+                     help="[DEPRECATED] Use --paf-workers."),
+        click.option("--profile-dir", default=None,
+                     help="Write an XLA profiler trace of the predict loop "
+                          "here (open with TensorBoard/Perfetto)."),
+        # -- frame / source scoping ---------------------------------------------
+        click.option("--frames", default=None,
+                     help="Frame range like 0-100 or comma list."),
+        click.option("--video-index", "--video_index", "video_index",
+                     default=None, type=int,
+                     help="Restrict a multi-video .slp source to one video."),
+        click.option("--video-dataset", "--video_dataset", "video_dataset",
+                     default=None,
+                     help="HDF5 dataset path for an .h5 video source."),
+        click.option("--video-input-format", "--video_input_format",
+                     "video_input_format", default="channels_last",
                      show_default=True,
-                     help="Fuse over-segmented mask fragments (bottom-up segmentation)."),
-        click.option("--merge-method", default="greedy", show_default=True,
-                     type=click.Choice(["greedy", "multicut"]),
-                     help="Fragment-merge strategy (with --merge-fragments)."),
-        click.option("--fg-threshold", default=0.5, show_default=True,
-                     help="Foreground probability cutoff (segmentation models)."),
-        click.option("--min-mask-area", default=16, show_default=True,
-                     help="Drop predicted masks smaller than this (px)."),
-        click.option("--centroid-only/--full-pipeline", "centroid_only",
-                     default=False, show_default=True,
-                     help="Run only the centroid stage of a topdown pair."),
-        click.option("--embed/--no-embed", "embed", default=False,
-                     show_default=True,
-                     help="Embed source frames into the output .slp."),
+                     help="Axis order of an HDF5 video dataset."),
         click.option("--video-path-map", default=None,
                      help="Remap .slp video paths: 'old=new' (repeatable via "
                           "comma: 'a=b,c=d')."),
-        click.option("--device", default=None,
-                     type=click.Choice(["auto", "tpu", "cpu"]),
-                     help="Compute platform; 'cpu' forces the CPU backend."),
-        click.option("--tracking/--no-tracking", default=False, show_default=True),
-        click.option("--tracking-window-size", default=5, show_default=True),
-        click.option("--tracking-scoring-method", default="oks", show_default=True),
-        click.option("--tracking-max-tracks", default=None, type=int),
-        click.option("--tracking-use-flow/--no-tracking-use-flow", default=False),
+        click.option("--only-labeled-frames", "--only_labeled_frames",
+                     "only_labeled_frames", is_flag=True, default=False,
+                     help="Predict only on frames with user labels."),
+        click.option("--only-suggested-frames/--all-frames",
+                     "--only_suggested_frames/--all_frames",
+                     "only_suggested_frames", default=False, show_default=True,
+                     help="Predict on the .slp's suggested frames instead of "
+                          "its labeled frames."),
+        click.option("--only-predicted-frames", "--only_predicted_frames",
+                     "only_predicted_frames", is_flag=True, default=False,
+                     help="Predict only on frames that already have predictions."),
+        click.option("--exclude-user-labeled/--include-user-labeled",
+                     "--exclude_user_labeled/--include_user_labeled",
+                     "exclude_user_labeled", default=False, show_default=True,
+                     help="Skip frames that already carry user labels."),
+        click.option("--no-empty-frames/--keep-empty-frames",
+                     "--no_empty_frames/--keep_empty_frames",
+                     "no_empty_frames", default=False, show_default=True,
+                     help="Drop frames with no predictions before saving."),
+        # -- model / preprocessing ----------------------------------------------
+        click.option("--backbone-ckpt-path", "--backbone_ckpt_path",
+                     "backbone_ckpt_path", default=None,
+                     help="Swap the backbone weights from another checkpoint."),
+        click.option("--head-ckpt-path", "--head_ckpt_path", "head_ckpt_path",
+                     default=None,
+                     help="Swap the head weights from another checkpoint."),
+        click.option("--max-height", "--max_height", "max_height",
+                     default=None, type=int),
+        click.option("--max-width", "--max_width", "max_width",
+                     default=None, type=int),
+        click.option("--input-scale", "--input_scale", "input_scale",
+                     default=None, type=float),
+        click.option("--ensure-rgb/--no-ensure-rgb",
+                     "--ensure_rgb/--no-ensure_rgb", "ensure_rgb", default=None,
+                     help="Force RGB conversion of input frames."),
+        click.option("--ensure-grayscale/--no-ensure-grayscale",
+                     "--ensure_grayscale/--no-ensure_grayscale",
+                     "ensure_grayscale", default=None,
+                     help="Force grayscale conversion of input frames."),
+        click.option("--crop-size", "--crop_size", "crop_size",
+                     default=None, type=int),
+        click.option("--anchor-part", "--anchor_part", "anchor_part",
+                     default=None,
+                     help="Skeleton node used as the GT-centroid anchor "
+                          "(centered-instance-only inference)."),
+        # -- peaks --------------------------------------------------------------
+        click.option("--peak-threshold", "--peak_threshold",
+                     "--peak-conf-threshold", "peak_threshold",
+                     default=0.2, show_default=True,
+                     help="Min confmap value for a valid peak."),
+        click.option("--centroid-peak-threshold", "--centroid_peak_threshold",
+                     "centroid_peak_threshold", default=None, type=float,
+                     help="Separate stage-1 (centroid) threshold for topdown."),
+        click.option("--max-instances", "--max_instances", "-n",
+                     "max_instances", default=None, type=int),
+        click.option("--max-peaks", default=200, show_default=True),
+        click.option("--integral-refinement", "--integral_refinement",
+                     "--refinement", "refinement", default="integral",
+                     show_default=True,
+                     type=click.Choice(["integral", "local", "none"])),
+        click.option("--integral-patch-size", "--integral_patch_size",
+                     "integral_patch_size", default=5, show_default=True),
+        click.option("--centroid-only/--full-pipeline",
+                     "--centroid_only/--full_pipeline", "centroid_only",
+                     default=False, show_default=True,
+                     help="Run only the centroid stage of a topdown pair."),
+        click.option("--centroid-output", "--centroid_output",
+                     "centroid_output", default="instance", show_default=True,
+                     type=click.Choice(["instance", "centroid", "both"]),
+                     help="Centroid-only output representation."),
+        # -- PAF grouping (bottomup) ---------------------------------------------
+        click.option("--max-edge-length-ratio", "--max_edge_length_ratio",
+                     "max_edge_length_ratio", default=0.25, show_default=True),
+        click.option("--dist-penalty-weight", "--dist_penalty_weight",
+                     "dist_penalty_weight", default=1.0, show_default=True),
+        click.option("--n-points", "--n_points", "n_points",
+                     default=10, show_default=True),
+        click.option("--min-instance-peaks", "--min_instance_peaks",
+                     "min_instance_peaks", default=0.0, show_default=True),
+        click.option("--min-line-scores", "--min_line_scores",
+                     "min_line_scores", default=0.25, show_default=True),
+        # -- segmentation ---------------------------------------------------------
+        click.option("--fg-threshold", "--fg_threshold", "fg_threshold",
+                     default=0.5, show_default=True,
+                     help="Foreground probability cutoff (segmentation models)."),
+        click.option("--min-mask-area", "--min_mask_area", "min_mask_area",
+                     default=16, show_default=True,
+                     help="Drop predicted masks smaller than this (px)."),
+        click.option("--center-nms-kernel", "--center_nms_kernel",
+                     "center_nms_kernel", default=3, show_default=True, type=int,
+                     help="Odd NMS window for instance-center peaks; larger "
+                          "merges nearby duplicate centers."),
+        click.option("--mask-cleanup/--no-mask-cleanup",
+                     "--mask_cleanup/--no-mask_cleanup", "mask_cleanup",
+                     default=True, show_default=True,
+                     help="Keep each mask's largest connected component and "
+                          "fill interior holes."),
+        click.option("--mask-cleanup-radius", "--mask_cleanup_radius",
+                     "mask_cleanup_radius", default=0, show_default=True, type=int,
+                     help="Disk radius for a morphological open->close before "
+                          "cleanup (despeckle / close pinholes)."),
+        click.option("--distance-gate-alpha", "--distance_gate_alpha",
+                     "distance_gate_alpha", default=None, type=float,
+                     help="Scale-free stray-pixel gate: drop fg pixels whose "
+                          "voted center exceeds alpha*sqrt(area/pi) from the "
+                          "assigned center."),
+        click.option("--merge-fragments/--no-merge-fragments",
+                     "--merge_fragments/--no-merge_fragments",
+                     "merge_fragments", default=False, show_default=True,
+                     help="Fuse over-segmented mask fragments (bottom-up segmentation)."),
+        click.option("--merge-method", "--merge_method", "merge_method",
+                     default="greedy", show_default=True,
+                     type=click.Choice(["greedy", "multicut"]),
+                     help="Fragment-merge strategy (with --merge-fragments)."),
+        click.option("--merge-thresholds", "--merge_thresholds",
+                     "merge_thresholds", type=_CommaFloatTuple(),
+                     default=(0.85, 0.6, 0.4), show_default=True,
+                     help="Decreasing affinity thresholds for greedy merging."),
+        click.option("--merge-w-valley", "--merge_w_valley", "merge_w_valley",
+                     default=1.0, show_default=True,
+                     help="Weight of the center-valley ridge affinity term."),
+        click.option("--merge-w-offset", "--merge_w_offset", "merge_w_offset",
+                     default=0.25, show_default=True,
+                     help="Weight of the offset-agreement affinity term."),
+        click.option("--merge-dilate", "--merge_dilate", "merge_dilate",
+                     default=1, show_default=True, type=int,
+                     help="Dilation iterations for the fragment contact test."),
+        click.option("--full-res-masks/--no-full-res-masks",
+                     "--full_res_masks/--no-full_res_masks", "full_res_masks",
+                     default=False, show_default=True,
+                     help="Emit masks at ORIGINAL image resolution instead of "
+                          "the output-stride grid."),
+        click.option("--mask-output", "--mask_output", "mask_output",
+                     default="mask", show_default=True,
+                     type=click.Choice(["mask", "polygon", "both"]),
+                     help="Mask representation: dense mask, simplified "
+                          "polygon ROI, or both."),
+        click.option("--polygon-epsilon", "--polygon_epsilon",
+                     "polygon_epsilon", default=0.01, show_default=True,
+                     help="Douglas-Peucker tolerance as a fraction of the "
+                          "contour perimeter (0 disables)."),
+        # -- SAM prompted-mask producer -------------------------------------------
+        click.option("--mask-backend", "--mask_backend", "mask_backend",
+                     default=None, type=click.Choice(["sam", "sam3"],
+                                                     case_sensitive=False),
+                     help="Produce instance masks from the poses in the input "
+                          ".slp via a SAM backend (no trained model; omit "
+                          "--model-paths)."),
+        click.option("--sam-checkpoint", "--sam_checkpoint", "sam_checkpoint",
+                     default=None,
+                     help="Path to the SAM1 checkpoint (--mask-backend sam)."),
+        click.option("--sam-model-type", "--sam_model_type", "sam_model_type",
+                     default="vit_h", show_default=True,
+                     help="SAM1 model registry key."),
+        click.option("--sam-prompt-mode", "--sam_prompt_mode",
+                     "sam_prompt_mode", default="pose", show_default=True,
+                     type=click.Choice(["pose", "centroid", "box"])),
+        click.option("--sam-anchor-ind", "--sam_anchor_ind", "sam_anchor_ind",
+                     default=None, type=int,
+                     help="Centroid anchor node index (prompt mode centroid)."),
+        click.option("--sam-disjointify-masks", "--sam_disjointify_masks",
+                     "sam_disjointify_masks", is_flag=True, default=False,
+                     help="Make per-frame masks disjoint when overlapping."),
+        click.option("--sam3-model-id", "--sam3_model_id", "sam3_model_id",
+                     default="facebook/sam3", show_default=True,
+                     help="Hugging Face model id for the SAM3 backend."),
+        click.option("--overlay-path", "--overlay_path", "overlay_path",
+                     default=None,
+                     help="Optional review-overlay PNG written by the SAM path."),
+        # -- instance filters -------------------------------------------------------
+        click.option("--filter-overlapping", "--filter_overlapping",
+                     "filter_overlapping", is_flag=True, default=False,
+                     help="Suppress overlapping instances (see "
+                          "--filter-overlapping-method)."),
+        click.option("--filter-overlapping-method",
+                     "--filter_overlapping_method", "filter_overlapping_method",
+                     default="iou", show_default=True,
+                     type=click.Choice(["iou", "oks"])),
+        click.option("--filter-overlapping-threshold",
+                     "--filter_overlapping_threshold",
+                     "filter_overlapping_threshold", default=0.8,
+                     show_default=True),
+        click.option("--filter-min-visible-nodes", "--filter_min_visible_nodes",
+                     "filter_min_visible_nodes", default=None, type=int,
+                     help="Drop instances with fewer visible nodes."),
+        click.option("--filter-min-visible-node-fraction",
+                     "--filter_min_visible_node_fraction",
+                     "filter_min_visible_node_fraction", default=None, type=float,
+                     help="Drop instances with a lower visible-node fraction."),
+        click.option("--filter-min-mean-node-score",
+                     "--filter_min_mean_node_score",
+                     "filter_min_mean_node_score", default=None, type=float,
+                     help="Drop instances whose mean visible-node score is lower."),
+        click.option("--filter-min-node-confidence",
+                     "--filter_min_node_confidence",
+                     "filter_min_node_confidence", default=None, type=float,
+                     help="NaN-out nodes below this confidence."),
+        click.option("--filter-min-instance-score",
+                     "--filter_min_instance_score", "filter_min_instance_score",
+                     default=None, type=float,
+                     help="Drop instances below this score."),
+        click.option("--filter-min-centroid-distance",
+                     "--filter_min_centroid_distance",
+                     "filter_min_centroid_distance", default=None, type=float,
+                     help="Greedy NMS radius (px) for centroid-only output "
+                          "de-duplication."),
+        # -- tracking ------------------------------------------------------------
+        click.option("--tracking/--no-tracking", "-t", "tracking",
+                     default=False, show_default=True),
+        click.option("--tracking-window-size", "--tracking_window_size",
+                     "tracking_window_size", default=5, show_default=True),
+        click.option("--min-new-track-points", "--min_new_track_points",
+                     "min_new_track_points", default=0, show_default=True),
+        click.option("--candidates-method", "--candidates_method",
+                     "candidates_method", default=None,
+                     type=click.Choice(["fixed_window", "local_queues"]),
+                     help="Candidate pool strategy; --max-tracks auto-selects "
+                          "local_queues."),
+        click.option("--min-match-points", "--min_match_points",
+                     "min_match_points", default=0, show_default=True),
+        click.option("--features", default=None,
+                     type=click.Choice(["keypoints", "centroids", "bboxes",
+                                        "masks"]),
+                     help="Track-association feature. Left unset, centroid "
+                          "models resolve to centroids and mask models to masks."),
+        click.option("--scoring-method", "--scoring_method",
+                     "--tracking-scoring-method", "scoring_method", default=None,
+                     type=click.Choice(["oks", "cosine_sim", "iou", "mask_iou",
+                                        "euclidean_dist"]),
+                     help="Track-association scoring. Left unset, centroid "
+                          "models resolve to euclidean_dist and mask models "
+                          "to mask_iou."),
+        click.option("--scoring-reduction", "--scoring_reduction",
+                     "scoring_reduction", default="mean", show_default=True,
+                     type=click.Choice(["mean", "max", "robust_quantile"])),
+        click.option("--robust-best-instance", "--robust_best_instance",
+                     "robust_best_instance", default=1.0, show_default=True),
+        click.option("--track-matching-method", "--track_matching_method",
+                     "track_matching_method", default="hungarian",
+                     show_default=True, type=click.Choice(["hungarian", "greedy"])),
+        click.option("--max-tracks", "--max_tracks", "--tracking-max-tracks",
+                     "max_tracks", default=None, type=int),
+        click.option("--use-flow", "--use_flow", "--tracking-use-flow",
+                     "use_flow", is_flag=True, default=False),
+        click.option("--of-img-scale", "--of_img_scale", "of_img_scale",
+                     default=1.0, show_default=True,
+                     help="Image scale for optical-flow computation."),
+        click.option("--of-window-size", "--of_window_size", "of_window_size",
+                     default=21, show_default=True),
+        click.option("--of-max-levels", "--of_max_levels", "of_max_levels",
+                     default=3, show_default=True),
+        click.option("--use-kalman", "--use_kalman", "use_kalman",
+                     is_flag=True, default=False),
+        click.option("--kf-track-features", "--kf_track_features",
+                     "kf_track_features", default="centroid", show_default=True,
+                     type=click.Choice(["centroid", "keypoints"])),
+        click.option("--kf-init-frame-count", "--kf_init_frame_count",
+                     "kf_init_frame_count", default=10, show_default=True),
+        click.option("--kf-node-indices", "--kf_node_indices",
+                     "kf_node_indices", default=None, callback=_parse_int_list,
+                     help="Comma-separated node indices the Kalman filter tracks."),
+        click.option("--kf-reset-gap-size", "--kf_reset_gap_size",
+                     "kf_reset_gap_size", default=5, show_default=True),
+        click.option("--oks-stddev", "--oks_stddev", "oks_stddev",
+                     default=None, type=float,
+                     help="OKS spread for tracking association (auto-resolved "
+                          "when unset)."),
+        click.option("--post-connect-single-breaks",
+                     "--post_connect_single_breaks",
+                     "post_connect_single_breaks", is_flag=True, default=False),
+        click.option("--tracking-target-instance-count",
+                     "--tracking_target_instance_count",
+                     "tracking_target_instance_count", default=None, type=int),
+        click.option("--tracking-pre-cull-to-target",
+                     "--tracking_pre_cull_to_target",
+                     "tracking_pre_cull_to_target", default=0, show_default=True,
+                     type=int),
+        click.option("--tracking-pre-cull-iou-threshold",
+                     "--tracking_pre_cull_iou_threshold",
+                     "tracking_pre_cull_iou_threshold", default=0.0,
+                     show_default=True),
+        click.option("--tracking-clean-instance-count",
+                     "--tracking_clean_instance_count",
+                     "tracking_clean_instance_count", default=0,
+                     show_default=True, type=int),
+        click.option("--tracking-clean-iou-threshold",
+                     "--tracking_clean_iou_threshold",
+                     "tracking_clean_iou_threshold", default=0.0,
+                     show_default=True),
     ]
     for opt in reversed(opts):
         f = opt(f)
@@ -147,40 +520,136 @@ def _parse_frames(frames: Optional[str]):
     return [int(x) for x in frames.split(",")]
 
 
+_TRACKER_KNOBS = (
+    "tracking_window_size", "min_new_track_points", "candidates_method",
+    "min_match_points", "features", "scoring_method", "scoring_reduction",
+    "robust_best_instance", "track_matching_method", "max_tracks", "use_flow",
+    "of_img_scale", "of_window_size", "of_max_levels", "use_kalman",
+    "kf_track_features", "kf_init_frame_count", "kf_node_indices",
+    "kf_reset_gap_size", "oks_stddev", "post_connect_single_breaks",
+    "tracking_target_instance_count", "tracking_pre_cull_to_target",
+    "tracking_pre_cull_iou_threshold", "tracking_clean_instance_count",
+    "tracking_clean_iou_threshold",
+)
+
+
+def _build_tracker_kwargs(kw: dict) -> dict:
+    """Pop the tracking flag set out of the click kwargs and shape it for
+    ``run_tracker`` (reference cli.py:1242 ``_build_tracker_config``)."""
+    vals = {k: kw.pop(k) for k in _TRACKER_KNOBS}
+    if not kw.pop("tracking"):
+        return {}
+    out = dict(
+        tracking=True,
+        window_size=vals["tracking_window_size"],
+        min_new_track_points=vals["min_new_track_points"],
+        min_match_points=vals["min_match_points"],
+        scoring_reduction=vals["scoring_reduction"],
+        robust_best_instance=vals["robust_best_instance"],
+        track_matching_method=vals["track_matching_method"],
+        max_tracks=vals["max_tracks"],
+        use_flow=vals["use_flow"],
+        use_kalman=vals["use_kalman"],
+        kf_track_features=vals["kf_track_features"],
+        kf_init_frame_count=vals["kf_init_frame_count"],
+        kf_reset_gap_size=vals["kf_reset_gap_size"],
+        of_img_scale=vals["of_img_scale"],
+        of_window_size=vals["of_window_size"],
+        of_max_levels=vals["of_max_levels"],
+        post_connect_single_breaks=vals["post_connect_single_breaks"],
+        target_instance_count=vals["tracking_target_instance_count"],
+        pre_cull_to_target=bool(vals["tracking_pre_cull_to_target"]),
+        pre_cull_iou_threshold=vals["tracking_pre_cull_iou_threshold"],
+        clean_instance_count=vals["tracking_clean_instance_count"],
+        clean_iou_threshold=vals["tracking_clean_iou_threshold"],
+    )
+    # None means "user didn't choose" -> model-type-aware defaults are
+    # resolved downstream (centroid models -> centroids/euclidean_dist,
+    # mask models -> masks/mask_iou; reference cli.py:2743-2767).
+    for k in ("candidates_method", "features", "scoring_method", "oks_stddev",
+              "kf_node_indices"):
+        if vals[k] is not None:
+            out[k] = vals[k]
+    return out
+
+
 def _run_inference(**kw):
     from sleap_nn_tpu.inference import predict
 
-    tracker_kwargs = {}
-    if kw.pop("tracking"):
-        tracker_kwargs = dict(
-            tracking=True,
-            window_size=kw.pop("tracking_window_size"),
-            scoring_method=kw.pop("tracking_scoring_method"),
-            max_tracks=kw.pop("tracking_max_tracks"),
-            use_flow=kw.pop("tracking_use_flow"),
-        )
-    else:
-        for k in ("tracking_window_size", "tracking_scoring_method",
-                  "tracking_max_tracks", "tracking_use_flow"):
-            kw.pop(k)
+    # Inert/compat flags.
+    kw.pop("queue_maxsize", None)
+    cpu_workers = kw.pop("cpu_workers", None)
+    if cpu_workers is not None:
+        click.echo("WARNING: --cpu-workers is deprecated; use --paf-workers.",
+                   err=True)
+        if not kw.get("paf_workers"):
+            kw["paf_workers"] = cpu_workers
+
+    tracker_kwargs = _build_tracker_kwargs(kw)
+
+    gui = kw.pop("gui")
+    if gui:
+        def _gui_progress(n_done):
+            click.echo(json.dumps({"n_processed": int(n_done)}), err=False)
+
+        kw["progress_callback"] = _gui_progress
 
     out_fmt = kw.pop("output_format") or ("slp",)
     kw["output_format"] = list(out_fmt)
 
+    # --embed tri-state (reference cli.py:2310): auto embeds iff the input
+    # was itself an embedded .pkg.slp.
+    embed_choice = str(kw.pop("embed")).lower()
+    data_path = kw.pop("data_path")
+    kw["embed"] = (
+        embed_choice == "true"
+        or (embed_choice == "auto" and str(data_path).endswith(".pkg.slp"))
+    )
+
     from sleap_nn_tpu.inference.filters import FilterConfig
 
+    overlap_on = kw.pop("filter_overlapping")
     fc = FilterConfig(
         min_node_count=kw.pop("filter_min_visible_nodes"),
         min_node_confidence=kw.pop("filter_min_node_confidence"),
         min_instance_score=kw.pop("filter_min_instance_score"),
-        overlap_method=kw.pop("filter_overlapping_method"),
+        overlap_method=kw.pop("filter_overlapping_method") if overlap_on else None,
         overlap_threshold=kw.pop("filter_overlapping_threshold"),
+        max_centroid_distance=kw.pop("filter_min_centroid_distance"),
+        min_visible_node_fraction=kw.pop("filter_min_visible_node_fraction"),
+        min_mean_node_score=kw.pop("filter_min_mean_node_score"),
     )
+    if not overlap_on:
+        kw.pop("filter_overlapping_threshold", None)
     if fc.enabled():
         kw["filters"] = fc
-    kw["no_empty_frames"] = kw.pop("no_empty_frames")
-    data_path = kw.pop("data_path")
-    model_paths = list(kw.pop("model_paths"))
+
+    # SAM prompted-mask producer: poses from the input .slp, no trained model.
+    mask_backend = kw.pop("mask_backend")
+    sam_checkpoint = kw.pop("sam_checkpoint")
+    sam_model_type = kw.pop("sam_model_type")
+    sam3_model_id = kw.pop("sam3_model_id")
+    kw["sam_overlay_path"] = kw.pop("overlay_path")
+    if mask_backend is not None:
+        kw["mask_backend"] = mask_backend
+        if mask_backend == "sam3":
+            kw["sam_model_id"] = sam3_model_id
+        elif sam_checkpoint:
+            # SAM1: a local checkpoint path doubles as the model id.
+            kw["sam_model_id"] = sam_checkpoint
+
+    model_paths = list(kw.pop("model_paths") or ())
+    if mask_backend is None and not model_paths:
+        raise click.UsageError(
+            "Provide --model-paths (trained model dir(s) or an export dir), "
+            "or --mask-backend for SAM prompted masks."
+        )
+    if mask_backend is not None and model_paths:
+        raise click.UsageError(
+            "--mask-backend produces masks from the poses already in the "
+            "input .slp; do not pass --model-paths with it."
+        )
+
     output_path = kw.pop("output_path")
     frames = _parse_frames(kw.pop("frames"))
     if output_path is None:
@@ -195,7 +664,16 @@ def _run_inference(**kw):
         **tracker_kwargs,
     )
     n_inst = sum(len(lf.instances) for lf in labels)
-    click.echo(f"Predicted {len(labels)} frames, {n_inst} instances -> {output_path}")
+    n_masks = sum(len(lf.masks) for lf in labels)
+    msg = f"Predicted {len(labels)} frames, {n_inst} instances"
+    if n_masks:
+        msg += f", {n_masks} masks"
+    click.echo(msg + f" -> {output_path}")
+    if gui:
+        click.echo(json.dumps({
+            "done": True, "n_frames": len(labels), "n_instances": n_inst,
+            "output_path": str(output_path),
+        }))
     return labels
 
 
@@ -294,17 +772,31 @@ def track_only(data_path, output_path, window_size, scoring_method, max_tracks,
 
 
 @cli.command("eval")
-@click.option("--ground-truth", "-g", "ground_truth", required=True, type=click.Path(exists=True))
-@click.option("--predictions", "-p", "predictions", required=True, type=click.Path(exists=True))
-@click.option("--save-metrics", default=None, help="Optional .npz output path.")
-@click.option("--oks-stddev", default=0.025, show_default=True)
-@click.option("--oks-scale", default=None, type=float,
-              help="Fixed OKS object scale (default: GT bbox area).")
-@click.option("--match-threshold", default=0.0, show_default=True)
-@click.option("--match-method", default="oks", show_default=True,
+@click.option("--ground-truth", "--ground-truth-path", "--ground_truth_path",
+              "-g", "ground_truth", required=True, type=click.Path(exists=True),
+              help="Path to ground truth labels (.slp).")
+@click.option("--predictions", "--predicted-path", "--predicted_path", "-p",
+              "predictions", required=True, type=click.Path(exists=True),
+              help="Path to predicted labels (.slp).")
+@click.option("--save-metrics", "--save_metrics", "-s", "save_metrics",
+              default=None, help="Optional .npz output path.")
+@click.option("--oks-stddev", "--oks_stddev", "oks_stddev",
+              default=0.025, show_default=True)
+@click.option("--oks-scale", "--oks_scale", "oks_scale", default=None,
+              type=float, help="Fixed OKS object scale (default: GT bbox area).")
+@click.option("--match-threshold", "--match_threshold", "match_threshold",
+              default=0.0, show_default=True)
+@click.option("--user-labels-only/--no-user-labels-only",
+              "--user_labels_only/--no-user_labels_only", "user_labels_only",
+              default=True, show_default=True,
+              help="Only evaluate user-labeled frames.")
+@click.option("--match-method", "--match_method", "match_method",
+              default="auto", show_default=True,
               type=click.Choice(["oks", "centroid", "mask", "semantic", "auto"]))
+@click.option("--anchor-part", "--anchor_part", "anchor_part", default=None,
+              help="GT node for ground-truth centroids in centroid mode.")
 def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, oks_scale,
-             match_threshold, match_method):
+             match_threshold, user_labels_only, match_method, anchor_part):
     """Evaluate predictions against ground truth labels."""
     from sleap_nn_tpu.evaluation import run_evaluation
 
@@ -314,7 +806,9 @@ def eval_cmd(ground_truth, predictions, save_metrics, oks_stddev, oks_scale,
         oks_stddev=oks_stddev,
         oks_scale=oks_scale,
         match_threshold=match_threshold,
+        user_labels_only=user_labels_only,
         match_method=match_method,
+        anchor_part=anchor_part,
         save_metrics=save_metrics,
     )
     if metrics is None:
@@ -351,15 +845,61 @@ def info(model_dir):
 
 
 @cli.command("config")
-@click.argument("config_path", type=click.Path(exists=True))
+@click.argument("path", type=click.Path(exists=True), required=False)
+@click.option("--output", "-o", default=None, help="Output config YAML path.")
+@click.option("--auto", is_flag=True, default=False,
+              help="Generate a config non-interactively with smart defaults.")
+@click.option("--pipeline", default=None,
+              type=click.Choice(["topdown", "centroid", "bottomup",
+                                 "single_instance"]),
+              help="Pipeline override for --auto mode.")
+@click.option("--show-yaml", "--show_yaml", "show_yaml", is_flag=True,
+              default=False, help="Print the generated YAML instead of saving.")
 @click.argument("overrides", nargs=-1)
-def config_cmd(config_path, overrides):
-    """Validate + print a training config (with optional overrides)."""
-    from sleap_nn_tpu.config import TrainingJobConfig, to_yaml, verify_training_cfg
+def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
+    """Validate a config YAML, or generate one from a SLEAP file.
 
-    cfg = TrainingJobConfig.load_yaml(config_path, overrides=_parse_overrides(overrides))
-    verify_training_cfg(cfg)
-    click.echo(to_yaml(cfg))
+    With a YAML argument: validate + print it (with optional dotted
+    OVERRIDES). With an .slp argument: generate a recommended training
+    config — ``--auto`` for non-interactive smart defaults, otherwise an
+    interactive TUI (reference cli.py:3004).
+    """
+    if path is not None and str(path).endswith((".yaml", ".yml", ".json")):
+        from sleap_nn_tpu.config import TrainingJobConfig, to_yaml, verify_training_cfg
+
+        cfg = TrainingJobConfig.load_yaml(path, overrides=_parse_overrides(overrides))
+        verify_training_cfg(cfg)
+        click.echo(to_yaml(cfg))
+        return
+
+    if auto:
+        if not path:
+            raise click.UsageError("SLP_PATH is required for --auto mode.")
+        from sleap_nn_tpu.config_generator import (
+            analyze_slp,
+            generate_config,
+            recommend_config,
+        )
+        from sleap_nn_tpu.config import to_yaml
+
+        stats = analyze_slp(path)
+        rec = recommend_config(stats)
+        if pipeline:
+            rec.pipeline.pipeline = pipeline
+        if show_yaml:
+            cfg = generate_config(path, output_path=None, stats=stats,
+                                  recommendation=rec)
+            click.echo(to_yaml(cfg))
+            return
+        out = output or str(Path(path).parent / f"{Path(path).stem}_config.yaml")
+        generate_config(path, output_path=out, stats=stats, recommendation=rec)
+        click.echo(f"Saved config to: {out}")
+        return
+
+    # Interactive TUI mode.
+    from sleap_nn_tpu.config_generator.tui import launch_tui
+
+    launch_tui(path)
 
 
 @cli.command()

@@ -115,3 +115,8 @@ class DataConfig:
     use_negative_frames: bool = False
     negative_loss_weight: float = 1.0
     skeletons: Optional[list] = None
+    # Video path remapping applied after loading labels (reference
+    # cli.py:341-370 train --video-paths/--video-path-map/--prefix-map).
+    video_paths: Optional[List[str]] = None
+    video_path_map: Optional[dict] = None
+    video_prefix_map: Optional[dict] = None

@@ -642,6 +642,9 @@ class Predictor:
                 out["valid"] = batch.valid
                 n_frames += int(batch.valid.sum())
                 results.append(out)
+                cb = getattr(self, "progress_callback", None)
+                if cb is not None:
+                    cb(n_frames)
 
         def merge_grouped(ordinal, grouped):
             nonlocal n_frames
@@ -652,6 +655,9 @@ class Predictor:
             grouped["valid"] = batch.valid
             n_frames += int(batch.valid.sum())
             results.append(grouped)
+            cb = getattr(self, "progress_callback", None)
+            if cb is not None:
+                cb(n_frames)
 
         try:
             if pool is not None:

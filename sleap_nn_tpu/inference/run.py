@@ -76,6 +76,13 @@ def predict(
     centroid_output: str = "instance",
     stream_to_file: Optional[Union[str, Path]] = None,
     write_interval: Optional[int] = None,
+    video_dataset: Optional[str] = None,
+    video_input_format: str = "channels_last",
+    headers: Optional[str] = None,
+    stream_mode: Optional[str] = None,
+    runtime: str = "auto",
+    progress_callback=None,
+    restore_source_videos: bool = False,
     mask_backend: Optional[str] = None,
     sam_model_id: str = "facebook/sam-vit-huge",
     sam_prompt_mode: str = "pose",
@@ -100,6 +107,28 @@ def predict(
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if isinstance(data_path, (str, Path)) and "://" in str(data_path):
+        # Remote URLs (reference --data_path http(s)/s3/gs/...) are loaded
+        # via sleap-io's remote loaders, which this environment lacks.
+        # --headers / --stream-mode are only meaningful for those.
+        raise ValueError(
+            f"Remote data_path URLs are not supported in this build: "
+            f"{data_path!r}. Download the file and pass a local path."
+        )
+
+    if video_dataset is not None and isinstance(data_path, (str, Path)):
+        # HDF5 video source: read frames from --video_dataset inside the
+        # file, honoring --video_input_format (reference cli.py:2428-2433).
+        from sleap_nn_tpu.io.video import HDF5VideoBackend, Video as _Video
+
+        data_path = _Video(
+            filename=str(data_path),
+            backend=HDF5VideoBackend(
+                str(data_path), dataset=video_dataset,
+                input_format=video_input_format,
+            ),
+        )
 
     if video_path_map:
         # Remap .slp video paths (reference --video-path-map 'old=new,...'),
@@ -214,13 +243,22 @@ def predict(
             frames=frames,
         )
     # A single -m pointing at a serialized export dir loads the baked graph
-    # (reference run.py export_dir path).
+    # (reference run.py export_dir path). --runtime selects the format when
+    # the export dir carries more than one; 'auto' prefers StableHLO.
     if len(model_paths) == 1:
         mp = Path(model_paths[0])
         if (mp / "metadata.json").exists() and (mp / "model.stablehlo").exists():
+            if runtime not in ("auto", "stablehlo"):
+                raise ValueError(
+                    f"--runtime {runtime!r}: this export dir carries a "
+                    "StableHLO graph; 'savedmodel' exports load via TF "
+                    "serving, not this predictor."
+                )
             predictor = Predictor.from_export_dir(
                 mp, max_instances=max_instances, min_line_scores=min_line_scores
             )
+            if progress_callback is not None:
+                predictor.progress_callback = progress_callback
             result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
             if make_labels and output_path is not None:
                 save_predictions(result, output_path, output_format=output_format)
@@ -271,6 +309,8 @@ def predict(
         head_ckpt_path=head_ckpt_path,
     )
     predictor.centroid_output = centroid_output
+    if progress_callback is not None:
+        predictor.progress_callback = progress_callback
     if profile_dir is not None:
         # XLA/TPU profiler trace around the whole predict loop; open with
         # TensorBoard or Perfetto to see device steps vs H2D vs host gaps.
@@ -288,8 +328,25 @@ def predict(
         else:
             # run_tracker accepts the full knob set: pre-cull, clean cull,
             # post_connect_single_breaks + every Tracker.from_config knob.
+            # features / scoring_method left unset resolve by model type
+            # (reference cli.py:2743-2767 + apply_tracking #586): centroid /
+            # single-node models -> centroids + euclidean_dist, segmentation
+            # (mask) models -> masks + mask_iou.
             from sleap_nn_tpu.tracking.tracker import run_tracker
 
+            mt = predictor.model_type
+            if "features" not in tracker_kwargs:
+                if mt in ("bottomup_segmentation", "semantic_segmentation",
+                          "topdown_segmentation"):
+                    tracker_kwargs["features"] = "masks"
+                elif mt == "centroid" or len(predictor.skeleton.nodes) == 1:
+                    tracker_kwargs["features"] = "centroids"
+            if "scoring_method" not in tracker_kwargs:
+                feats = tracker_kwargs.get("features")
+                if feats == "masks":
+                    tracker_kwargs["scoring_method"] = "mask_iou"
+                elif feats == "centroids":
+                    tracker_kwargs["scoring_method"] = "euclidean_dist"
             result = run_tracker(result, **tracker_kwargs)
     if make_labels and no_empty_frames:
         # Mirror the reference --no_empty_frames: drop frames with nothing on
@@ -312,6 +369,17 @@ def predict(
             for i in range(0, len(frames_list), interval):
                 w.add_frames(frames_list[i:i + interval])
             result = w.finalize()
+    if make_labels and restore_source_videos and not embed:
+        # On a non-embedding save, restore references to the pre-embedding
+        # source videos when recorded (reference cli.py:2320).
+        for vid in result.videos:
+            src = getattr(vid, "source_video", None)
+            if src is not None:
+                idx = result.videos.index(vid)
+                result.videos[idx] = src
+                for lf in result.labeled_frames:
+                    if lf.video is vid:
+                        lf.video = src
     if make_labels and output_path is not None:
         save_predictions(result, output_path, output_format=output_format, embed=embed)
     return result

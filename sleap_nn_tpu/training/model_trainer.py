@@ -57,6 +57,33 @@ from sleap_nn_tpu.training.losses import compute_loss
 from sleap_nn_tpu.training.schedulers import make_scheduler
 
 
+def _remap_video_paths(labels: Labels, data_config):
+    """Apply --video-paths / --video-path-map / --prefix-map remapping.
+
+    Reference cli.py:341-370: replace the labels file's video paths in
+    order (video_paths), by exact match (video_path_map), or by shared
+    prefix (video_prefix_map), for labels moved between machines.
+    """
+    vp = getattr(data_config, "video_paths", None)
+    if vp:
+        for vid, new in zip(labels.videos, vp):
+            vid.filename = new
+            vid.backend = None
+    vmap = getattr(data_config, "video_path_map", None) or {}
+    pmap = getattr(data_config, "video_prefix_map", None) or {}
+    for vid in labels.videos:
+        fn = str(vid.filename)
+        if fn in vmap:
+            vid.filename = vmap[fn]
+            vid.backend = None
+            continue
+        for old, new in pmap.items():
+            if fn.startswith(old):
+                vid.filename = new + fn[len(old):]
+                vid.backend = None
+                break
+
+
 def xavier_init_params(params, key):
     """Re-init conv/dense kernels with Xavier-uniform (reference default,
     training/utils.py:72); biases stay zero."""
@@ -120,11 +147,15 @@ class ModelTrainer:
             if not paths:
                 raise ValueError("data_config.train_labels_path must be set.")
             train_labels = [load_slp(p) for p in paths]
+            for labels in train_labels:
+                _remap_video_paths(labels, config.data_config)
         if val_labels is None:
             if config.data_config.use_same_data_for_val:
                 val_labels = list(train_labels)
             elif config.data_config.val_labels_path:
                 val_labels = [load_slp(p) for p in config.data_config.val_labels_path]
+                for labels in val_labels:
+                    _remap_video_paths(labels, config.data_config)
             else:
                 frac = config.data_config.validation_fraction
                 seed = config.trainer_config.seed

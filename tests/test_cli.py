@@ -204,7 +204,7 @@ def test_predict_new_flags(trained_model, tmp_path):
     out = tmp_path / "flags.slp"
     res = CliRunner().invoke(cli, [
         "predict", "-i", FIXTURE, "-m", trained_model,
-        "-o", str(out), "--embed", "--device", "cpu",
+        "-o", str(out), "--embed", "true", "--device", "cpu",
         "--fg-threshold", "0.4", "--min-mask-area", "8",
     ])
     assert res.exit_code == 0, res.output
@@ -245,3 +245,190 @@ def test_video_path_map_remaps(trained_model, tmp_path):
         video_path_map=f"{old}={old}",
     )
     assert len(result) >= 1
+
+
+# -- new reference-parity flag surface --------------------------------------------
+
+
+def test_predict_underscore_aliases_and_filters(trained_model, tmp_path):
+    """Reference scripts pass underscore-style flags; both spellings work."""
+    out = tmp_path / "alias.slp"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "--data_path", FIXTURE, "--model_paths", trained_model,
+        "--output_path", str(out), "--peak_threshold", "0.1",
+        "--integral_refinement", "integral", "--batch_size", "1",
+        "--filter_min_visible_node_fraction", "0.1",
+        "--filter_min_mean_node_score", "0.01",
+        "--max_height", "384", "--max_width", "384",
+        "--device", "cpu",
+    ])
+    assert result.exit_code == 0, result.output
+    assert out.exists()
+
+
+def test_predict_gui_json_progress(trained_model, tmp_path):
+    out = tmp_path / "gui.slp"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model, "-o", str(out),
+        "--gui", "--device", "cpu", "--batch-size", "1",
+    ])
+    assert result.exit_code == 0, result.output
+    lines = [l for l in result.output.splitlines() if l.startswith("{")]
+    assert lines, result.output
+    payload = json.loads(lines[-1])
+    assert payload.get("done") is True
+    assert payload["n_frames"] >= 1
+
+
+def test_predict_requires_models_or_mask_backend():
+    runner = CliRunner()
+    result = runner.invoke(cli, ["predict", "-i", FIXTURE])
+    assert result.exit_code != 0
+    assert "model-paths" in result.output or "mask-backend" in result.output
+
+
+def test_predict_rejects_models_with_mask_backend(trained_model):
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model, "--mask-backend", "sam",
+    ])
+    assert result.exit_code != 0
+    assert "mask-backend" in result.output
+
+
+def test_predict_remote_url_rejected(trained_model):
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "-i", "https://example.com/video.mp4", "-m", trained_model,
+        "--device", "cpu",
+    ])
+    assert result.exit_code != 0
+
+
+def test_cpu_workers_deprecation_warns(trained_model, tmp_path):
+    out = tmp_path / "dep.slp"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model, "-o", str(out),
+        "--cpu-workers", "0", "--device", "cpu", "--batch-size", "1",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "deprecated" in result.output.lower()
+
+
+def test_predict_stream_to_file(trained_model, tmp_path):
+    target = tmp_path / "streamed.slp"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model,
+        "--stream-to-file", str(target), "--write-interval", "100",
+        "--device", "cpu", "--batch-size", "1",
+        "-o", str(tmp_path / "normal.slp"),
+    ])
+    assert result.exit_code == 0, result.output
+    assert target.exists()
+    from sleap_nn_tpu.io import load_slp
+
+    assert len(load_slp(str(target)).labeled_frames) >= 1
+
+
+def test_predict_tracking_full_knobs(trained_model, tmp_path):
+    out = tmp_path / "trk.slp"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "track", "-i", FIXTURE, "-m", trained_model, "-o", str(out),
+        "--device", "cpu", "--batch-size", "1",
+        "--scoring-method", "oks", "--scoring-reduction", "max",
+        "--track-matching-method", "greedy", "--min-match-points", "0",
+        "--tracking-window-size", "3",
+    ])
+    assert result.exit_code == 0, result.output
+    assert out.exists()
+
+
+def test_eval_reference_flag_names(tmp_path, trained_model):
+    # Predict first so there is something to evaluate.
+    pred = tmp_path / "pred.slp"
+    runner = CliRunner()
+    r = runner.invoke(cli, [
+        "predict", "-i", FIXTURE, "-m", trained_model, "-o", str(pred),
+        "--device", "cpu", "--batch-size", "1",
+    ])
+    assert r.exit_code == 0, r.output
+    result = runner.invoke(cli, [
+        "eval", "--ground_truth_path", FIXTURE, "--predicted_path", str(pred),
+        "--match_method", "oks", "--no-user_labels_only",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "mOKS" in result.output
+
+
+def test_config_auto_mode(tmp_path):
+    out = tmp_path / "auto_config.yaml"
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "config", FIXTURE, "--auto", "-o", str(out),
+    ])
+    assert result.exit_code == 0, result.output
+    assert out.exists()
+    import yaml
+
+    cfg = yaml.safe_load(out.read_text())
+    assert cfg["data_config"]["train_labels_path"] == [FIXTURE]
+
+
+def test_config_auto_show_yaml_and_pipeline():
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "config", FIXTURE, "--auto", "--show-yaml", "--pipeline", "bottomup",
+    ])
+    assert result.exit_code == 0, result.output
+    assert "bottomup" in result.output
+
+
+def test_config_tui_prompt_fallback(tmp_path, monkeypatch):
+    """Non-tty sessions get the plain-prompt flow driving the same engine."""
+    out = tmp_path / "tui_config.yaml"
+    import io as _io
+
+    answers = "\n" * 6 + str(out) + "\n"  # accept defaults, set output path
+    monkeypatch.setattr("sys.stdin", _io.StringIO(answers))
+    from sleap_nn_tpu.config_generator.tui import launch_tui
+
+    saved = launch_tui(FIXTURE)
+    assert saved == str(out)
+    assert out.exists()
+
+
+def test_train_legacy_config_name(tmp_path):
+    """--config-dir/--config-name resolve like the legacy hydra style."""
+    cfg_dir = tmp_path
+    (cfg_dir / "myrun.yaml").write_text(
+        f"""
+data_config:
+  train_labels_path: [{FIXTURE}]
+  use_same_data_for_val: true
+  use_augmentations_train: false
+  preprocessing: {{scale: 0.25}}
+model_config:
+  backbone_config:
+    unet: {{filters: 8, filters_rate: 2.0, max_stride: 8, output_stride: 2}}
+  head_configs:
+    single_instance:
+      confmaps: {{output_stride: 2}}
+trainer_config:
+  max_epochs: 1
+  min_train_steps_per_epoch: 1
+  train_data_loader: {{batch_size: 1}}
+  val_data_loader: {{batch_size: 1}}
+  save_ckpt: false
+  enable_progress_bar: false
+"""
+    )
+    runner = CliRunner()
+    result = runner.invoke(cli, [
+        "train", "--config-dir", str(cfg_dir), "--config-name", "myrun",
+    ])
+    assert result.exit_code == 0, result.output
