@@ -84,27 +84,49 @@ def bench_e2e(predictor, frames):
     return fps
 
 
-def bench_forward(predictor, sample_batch):
-    """Device-resident input -> layer device program latency (ms/batch, B=4)."""
+def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
+    """TRUE device latency of the layer program (ms/batch).
+
+    Over the axon tunnel ``block_until_ready`` returns before remote
+    completion, so naive wall-clock loops measure round-trips, not compute.
+    This chains ``n_iters`` executions inside ONE jitted ``fori_loop`` —
+    each iteration's input is perturbed by the previous output so nothing
+    can be CSE'd — and fetches a single scalar at the end. total / n_iters
+    is the honest per-batch device time.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     layer = predictor.layer
     fn = getattr(layer, "_full", None) or layer._fn
-    x = jnp.asarray(sample_batch[:4])
-    jax.block_until_ready(x)
-    out = fn(x)  # compile
-    jax.block_until_ready(jax.tree_util.tree_leaves(out))
-    times = []
-    for _ in range(max(N_REPEATS, 3)):
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(x)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out))
-        times.append((time.perf_counter() - t0) / iters)
-    return float(np.min(times) * 1000.0)
+    x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
+
+    def first_float_leaf(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return leaf
+        return jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)
+
+    @jax.jit
+    def chained(x):
+        def body(i, acc):
+            # uint8 inputs can't carry the perturbation; flip one pixel by
+            # the running parity instead so iterations stay distinct.
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                xi = x + acc * 1e-9
+            else:
+                bump = (acc.astype(jnp.int32) % 2).astype(x.dtype)
+                xi = x.at[0, 0, 0, 0].set(x[0, 0, 0, 0] + bump)
+            out = fn(xi)
+            return acc + jnp.nan_to_num(jnp.mean(first_float_leaf(out)))
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    r = chained(x0)
+    float(r)  # compile + first run, forced fetch
+    t0 = time.perf_counter()
+    float(chained(x0))
+    return (time.perf_counter() - t0) / n_iters * 1000.0
 
 
 def main():
@@ -137,9 +159,17 @@ def main():
         layer_in = gray4 if predictor._host_grayscale else sample4
         if predictor._host_transform is not None:
             layer_in, _ = predictor._apply_host_resize(layer_in)
-        fwd_ms = bench_forward(predictor, layer_in)
+        fwd_ms = bench_forward(predictor, layer_in, batch=4)
+        # Compute-side throughput at a production batch: frames/sec the chip
+        # sustains with the input device-resident (no tunnel in the loop).
+        big_in = np.repeat(layer_in[:1], BATCH_SIZE, axis=0)
+        fwd_ms_b = bench_forward(predictor, big_in, batch=BATCH_SIZE,
+                                 n_iters=30)
         row = {"e2e_fps": round(fps, 2), "e2e_vs_a40": round(fps / base_fps, 3),
-               "forward_ms_b4": round(fwd_ms, 3)}
+               "forward_ms_b4": round(fwd_ms, 3),
+               f"compute_fps_b{BATCH_SIZE}": round(BATCH_SIZE / fwd_ms_b * 1000, 1),
+               "compute_vs_a40_e2e": round(
+                   (BATCH_SIZE / fwd_ms_b * 1000) / base_fps, 2)}
         if name in FWD_BASELINE_MS:
             row["forward_vs_a40_eager"] = round(FWD_BASELINE_MS[name] / fwd_ms, 3)
         extra[name] = row

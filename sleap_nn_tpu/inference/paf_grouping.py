@@ -119,11 +119,29 @@ def score_paf_lines_dense(
     xs = jnp.clip(sub[..., 0], 0, wp - 1)
     ys = jnp.clip(sub[..., 1], 0, hp - 1)
 
-    # Gather PAF x/y channels per edge: channels 2e, 2e+1.
-    e_idx = jnp.arange(n_edges)[None, :, None, None, None]
-    b_idx = jnp.arange(b)[:, None, None, None, None]
-    paf_x = pafs[b_idx, ys, xs, 2 * e_idx]
-    paf_y = pafs[b_idx, ys, xs, 2 * e_idx + 1]
+    from sleap_nn_tpu.ops.pallas_kernels import (
+        paf_line_samples_pallas,
+        use_pallas_paf,
+    )
+
+    if use_pallas_paf():
+        # Pallas kernel target #2: MXU one-hot sampling with the edge's PAF
+        # plane VMEM-resident (replaces the arbitrary-index gather below).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        samples = paf_line_samples_pallas(
+            pafs,
+            xs.reshape(b, n_edges, -1),
+            ys.reshape(b, n_edges, -1),
+            interpret=not on_tpu,
+        )  # (B, E, 2, Ks*Kd*P)
+        paf_x = samples[:, :, 0].reshape(xs.shape)
+        paf_y = samples[:, :, 1].reshape(xs.shape)
+    else:
+        # Gather PAF x/y channels per edge: channels 2e, 2e+1.
+        e_idx = jnp.arange(n_edges)[None, :, None, None, None]
+        b_idx = jnp.arange(b)[:, None, None, None, None]
+        paf_x = pafs[b_idx, ys, xs, 2 * e_idx]
+        paf_y = pafs[b_idx, ys, xs, 2 * e_idx + 1]
 
     dots = paf_x * unit[..., None, 0] + paf_y * unit[..., None, 1]  # (B,E,Ks,Kd,P)
     mean_scores = jnp.mean(dots, axis=-1)

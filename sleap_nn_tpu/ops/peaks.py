@@ -177,9 +177,19 @@ def find_local_peaks_rough(
         (-1 invalid); valid ``(B, K)`` bool. Sorted by value descending.
     """
     b, h, w, c = cms.shape
-    is_peak = (cms > nms_max_pool(cms, kernel=nms_kernel)) & (cms > threshold)
-    neg = jnp.float32(-jnp.inf)
-    scores = jnp.where(is_peak, cms, neg).reshape(b, h * w * c)
+    from sleap_nn_tpu.ops.pallas_kernels import nms_scores_pallas, use_pallas
+
+    if use_pallas():
+        # Pallas kernel target #1: single-pass fused NMS + threshold
+        # (interpreter mode off-TPU so CPU tests exercise the same path).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        scores = nms_scores_pallas(
+            cms, threshold, kernel=nms_kernel, interpret=not on_tpu
+        ).reshape(b, h * w * c)
+    else:
+        is_peak = (cms > nms_max_pool(cms, kernel=nms_kernel)) & (cms > threshold)
+        neg = jnp.float32(-jnp.inf)
+        scores = jnp.where(is_peak, cms, neg).reshape(b, h * w * c)
     k = min(max_peaks, h * w * c)
     top_vals, top_idx = jax.lax.top_k(scores, k)
     valid = jnp.isfinite(top_vals)
