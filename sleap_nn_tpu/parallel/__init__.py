@@ -7,6 +7,15 @@ leading axis, parameters replicated; XLA inserts the gradient all-reduce.
 Multi-host extends the same mesh over DCN via ``jax.distributed.initialize``.
 """
 
+from sleap_nn_tpu.parallel.distributed import (
+    barrier,
+    initialize_distributed,
+    is_multiprocess,
+    local_batch_size,
+    make_global_batch,
+    process_count,
+    process_index,
+)
 from sleap_nn_tpu.parallel.mesh import (
     get_mesh,
     replicate,
@@ -14,4 +23,16 @@ from sleap_nn_tpu.parallel.mesh import (
     shard_batch_spec,
 )
 
-__all__ = ["get_mesh", "shard_batch", "shard_batch_spec", "replicate"]
+__all__ = [
+    "barrier",
+    "get_mesh",
+    "initialize_distributed",
+    "is_multiprocess",
+    "local_batch_size",
+    "make_global_batch",
+    "process_count",
+    "process_index",
+    "replicate",
+    "shard_batch",
+    "shard_batch_spec",
+]

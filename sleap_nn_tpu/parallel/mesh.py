@@ -31,7 +31,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put a host batch with the leading axis sharded over the mesh."""
+    """Device-put a host batch with the leading axis sharded over the mesh.
+
+    Multi-process runtimes route through
+    :func:`sleap_nn_tpu.parallel.distributed.make_global_batch`: each host
+    contributes its local rows and the result is a globally-shaped sharded
+    array (the JAX multi-host data-feeding contract).
+    """
+    if jax.process_count() > 1:
+        from sleap_nn_tpu.parallel.distributed import make_global_batch
+
+        return make_global_batch(batch, mesh, axis=axis)
     spec = shard_batch_spec(mesh, axis)
 
     def put(x):

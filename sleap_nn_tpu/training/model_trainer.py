@@ -353,6 +353,14 @@ class ModelTrainer:
             cfg.trainer_config.lr_scheduler, base_lr, cfg.trainer_config.max_epochs
         )
 
+        # Multi-host: join the cluster first (no-op single-process; env
+        # SLEAP_NN_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID mirror
+        # torchrun's launch contract). jax.devices() below then spans every
+        # process and the mesh is global.
+        from sleap_nn_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
+
         # mesh + sharding — use the largest device count that divides BOTH
         # batch sizes (replaces the reference's DDP device selection,
         # model_trainer.py:1698-1716)
@@ -522,14 +530,20 @@ class ModelTrainer:
             return
         import orbax.checkpoint as ocp
 
-        path = (self.ckpt_dir / name).absolute()
-        ckptr = ocp.PyTreeCheckpointer()
-        state = {
-            "params": jax.device_get(self.params),
-            "epoch": self.current_epoch,
-            "best_val_loss": float(self.best_val_loss),
-        }
-        ckptr.save(path, state, force=True)
+        from sleap_nn_tpu.parallel import barrier, process_index
+
+        if process_index() == 0:
+            path = (self.ckpt_dir / name).absolute()
+            ckptr = ocp.PyTreeCheckpointer()
+            state = {
+                "params": jax.device_get(self.params),
+                "epoch": self.current_epoch,
+                "best_val_loss": float(self.best_val_loss),
+            }
+            ckptr.save(path, state, force=True)
+        # Multi-host: everyone waits for process 0's write to land before
+        # racing ahead (resume / post-train eval read this file).
+        barrier(f"ckpt:{name}")
 
     @staticmethod
     def load_checkpoint_params(path):
