@@ -346,9 +346,46 @@ class PAFScorer:
         )
         return grouped_peaks, grouped_vals, mask, scores
 
+    def _min_instance_peaks_int(self) -> int:
+        # Same convention as assign_connections_to_instances (reference
+        # ops/paf.py:705): a float is a FRACTION of the node count.
+        mp = self.min_instance_peaks
+        if isinstance(mp, float):
+            return int(mp * self.n_nodes)
+        return int(mp)
+
     # -- host -------------------------------------------------------------------
     def group_sample(self, grouped_peaks, grouped_vals, scores):
-        """Host: dense scores of one sample -> predicted instance arrays."""
+        """Host: dense scores of one sample -> predicted instance arrays.
+
+        Routed through the C++ grouping library (per-edge Hungarian + greedy
+        union in one native call, sleap_nn_tpu/native/paf_group.cpp) when
+        it is buildable; otherwise the scipy/numpy path below. Both produce
+        the same instance partition (tests assert equality).
+        """
+        from sleap_nn_tpu.native import paf_group_sample_native
+
+        native = paf_group_sample_native(
+            np.asarray(scores), self.edge_inds, self.sorted_edge_inds,
+            self.n_nodes, self.min_line_scores, self._min_instance_peaks_int(),
+        )
+        if native is not None:
+            assign, connections, n_inst = native
+            assignments = {
+                (int(nd), int(sl)): int(assign[nd, sl])
+                for nd in range(self.n_nodes)
+                for sl in range(assign.shape[1])
+                if assign[nd, sl] >= 0
+            }
+            return make_predicted_instances(
+                np.asarray(grouped_peaks),
+                np.asarray(grouped_vals),
+                connections,
+                assignments,
+                self.edge_inds,
+                self.n_nodes,
+            )
+
         matches = match_candidates_dense(np.asarray(scores), self.min_line_scores)
         connections: Dict[int, List[Tuple[int, int, float]]] = {}
         for e, s, d, sc in matches:
