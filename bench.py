@@ -176,6 +176,24 @@ def main():
         if name == "topdown":
             headline_fps, headline_vs = fps, fps / base_fps
 
+    # North-star target (BASELINE.md): >2,000 frames/sec/chip top-down at
+    # 1024 px. Chained-loop device timing, bf16 forward (reference's own
+    # fp16-autocast comparison row; keypoint drift <= 0.001 px per its docs).
+    ns_predictor = Predictor.from_model_paths(
+        [str(CKPTS / "minimal_instance_centroid"),
+         str(CKPTS / "minimal_instance_centered_instance")],
+        batch_size=BATCH_SIZE, max_instances=6, use_bf16=True,
+    )
+    ns_in = np.random.default_rng(0).integers(
+        0, 255, (BATCH_SIZE, 1024, 1024, 1), dtype=np.uint8
+    )
+    ns_ms = bench_forward(ns_predictor, ns_in, batch=BATCH_SIZE, n_iters=20)
+    extra["north_star"] = {
+        "topdown_1024px_fps_per_chip": round(BATCH_SIZE / ns_ms * 1000, 1),
+        "target": 2000.0,
+        "vs_target": round(BATCH_SIZE / ns_ms * 1000 / 2000.0, 2),
+    }
+
     import jax
 
     device = jax.devices()[0].platform
