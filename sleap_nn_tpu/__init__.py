@@ -29,3 +29,34 @@ def process_rank() -> int:
         return jax.process_index()
     except Exception:
         return RANK
+
+
+# -- lazy top-level public API (reference sleap_nn/__init__.py contract:
+#    sleap_nn.{predict, Predictor, load_models}; tests/test_public_api.py).
+#    Lazy so `import sleap_nn_tpu` stays cheap (no jax/flax import).
+
+__all__ = ["RANK", "Predictor", "__version__", "load_models", "predict",
+           "process_rank"]
+
+
+def load_models(model_paths, **kwargs):
+    """Build a :class:`Predictor` from trained model dir(s).
+
+    Thin forwarding wrapper over ``Predictor.from_model_paths`` (the
+    reference's ``sleap_nn.load_models``).
+    """
+    from sleap_nn_tpu.inference import Predictor as _P
+
+    return _P.from_model_paths(model_paths, **kwargs)
+
+
+def __getattr__(name: str):
+    if name == "predict":
+        from sleap_nn_tpu.inference import predict as _predict
+
+        return _predict
+    if name == "Predictor":
+        from sleap_nn_tpu.inference import Predictor as _Predictor
+
+        return _Predictor
+    raise AttributeError(f"module 'sleap_nn_tpu' has no attribute {name!r}")

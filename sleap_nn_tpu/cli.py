@@ -597,6 +597,28 @@ def _run_inference(**kw):
     out_fmt = kw.pop("output_format") or ("slp",)
     kw["output_format"] = list(out_fmt)
 
+    # --stream-to-file combination rules (reference
+    # tests/cli/test_flag_validation.py): the streaming writer bypasses the
+    # in-memory Labels post-passes, so flags that need them are rejected.
+    if kw.get("stream_to_file"):
+        if tracker_kwargs:
+            raise click.UsageError(
+                "--stream-to-file cannot be combined with --tracking; "
+                "track the written file afterwards with `track-only`."
+            )
+        if kw.get("no_empty_frames"):
+            raise click.UsageError(
+                "--stream-to-file cannot be combined with --no-empty-frames."
+            )
+        if str(kw.get("embed", "false")).lower() == "true":
+            raise click.UsageError(
+                "--stream-to-file cannot be combined with --embed true."
+            )
+    elif kw.get("write_interval") is not None:
+        raise click.UsageError(
+            "--write-interval only applies with --stream-to-file."
+        )
+
     # --embed tri-state (reference cli.py:2310): auto embeds iff the input
     # was itself an embedded .pkg.slp.
     embed_choice = str(kw.pop("embed")).lower()
@@ -688,6 +710,13 @@ def predict(**kw):
 @_inference_options
 def infer(**kw):
     """Hidden alias of predict (reference parity)."""
+    import warnings
+
+    warnings.warn(
+        "sleap-nn-tpu infer is deprecated. Use sleap-nn-tpu predict instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     _run_inference(**kw)
 
 

@@ -8,6 +8,7 @@ matching + greedy instance assembly stay host-side behind the same
 device/host boundary the reference uses (ScoredBatch, streaming.py:43).
 """
 
+from sleap_nn_tpu.inference.predictor import Predictor
 from sleap_nn_tpu.inference.run import predict
 
-__all__ = ["predict"]
+__all__ = ["Predictor", "predict"]
