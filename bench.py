@@ -32,7 +32,10 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", 100))
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 32))
-N_REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+# Best-of count: e2e rows are bound by the shared host->device tunnel,
+# whose bandwidth fluctuates run to run (observed 94-147 fps on identical
+# code); more repeats sample closer to the true (bandwidth-limited) peak.
+N_REPEATS = int(os.environ.get("BENCH_REPEATS", 6))
 VIDEO = "/root/reference/tests/assets/datasets/small_robot.mp4"
 CKPTS = Path("/root/reference/tests/assets/model_ckpts")
 

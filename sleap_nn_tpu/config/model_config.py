@@ -296,6 +296,12 @@ class ModelConfig:
     """Top-level model config (reference: model_config.py:1370ish)."""
 
     init_weights: str = "default"
+    # Legacy torchvision-weights name (reference model_config.py:112,
+    # ConvNeXt/SwinT only). Torchvision snapshots are not available in this
+    # build — use backbone_config.pretrained (HF snapshot) or
+    # pretrained_backbone_weights (trained ckpt) instead; setting this
+    # raises a clear error rather than silently ignoring it.
+    pre_trained_weights: Optional[str] = None
     pretrained_backbone_weights: Optional[str] = None
     pretrained_head_weights: Optional[str] = None
     backbone_config: BackboneConfig = field(default_factory=BackboneConfig)

@@ -53,4 +53,13 @@ def verify_training_cfg(cfg: TrainingJobConfig) -> TrainingJobConfig:
     cfg.model_config.head_configs.which()
     if cfg.trainer_config.max_epochs <= 0:
         raise ValueError("trainer_config.max_epochs must be > 0.")
+    if getattr(cfg.model_config, "pre_trained_weights", None):
+        raise ValueError(
+            "model_config.pre_trained_weights (torchvision weight names) is "
+            "not supported in this build: torchvision snapshots are not "
+            "downloadable here. Use model_config.backbone_config.pretrained "
+            "(a local HF snapshot) or "
+            "model_config.pretrained_backbone_weights (a trained checkpoint) "
+            "instead."
+        )
     return cfg

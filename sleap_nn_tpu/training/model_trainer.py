@@ -84,6 +84,50 @@ def _remap_video_paths(labels: Labels, data_config):
                 break
 
 
+def _init_subtrees_from_ckpts(params, backbone_ckpt, head_ckpt):
+    """Replace backbone / non-backbone param subtrees from other checkpoints.
+
+    ``model_config.pretrained_backbone_weights`` / ``pretrained_head_weights``
+    transfer-learning init (reference model_config.py:133-140). Accepts a
+    trained model dir or a ``best.ckpt`` path (orbax).
+    """
+    from sleap_nn_tpu.config.utils import resolve_model_dir
+
+    def load_tree(path):
+        from pathlib import Path as _P
+
+        p = _P(path)
+        if p.is_dir():
+            p = resolve_model_dir(p) / "best.ckpt"
+        state = ModelTrainer.load_checkpoint_params(p)
+        return state["params"] if "params" in state else state
+
+    def shapes(t):
+        return jax.tree_util.tree_map(lambda a: tuple(a.shape), t)
+
+    out = dict(params["params"])
+    for src_path, which in ((backbone_ckpt, "backbone"), (head_ckpt, "head")):
+        if not src_path:
+            continue
+        src = load_tree(src_path)
+        src_p = src["params"] if "params" in src else src
+        keys = (["backbone"] if which == "backbone"
+                else [k for k in out if k != "backbone"])
+        for k in keys:
+            if k not in src_p:
+                raise ValueError(
+                    f"pretrained_{which}_weights: checkpoint has no '{k}' "
+                    f"subtree (has {sorted(src_p)})."
+                )
+            if shapes(out[k]) != shapes(src_p[k]):
+                raise ValueError(
+                    f"pretrained_{which}_weights: '{k}' parameter shapes do "
+                    "not match the configured architecture."
+                )
+            out[k] = jax.tree_util.tree_map(jnp.asarray, src_p[k])
+    return {**params, "params": out}
+
+
 def xavier_init_params(params, key):
     """Re-init conv/dense kernels with Xavier-uniform (reference default,
     training/utils.py:72); biases stay zero."""
@@ -318,6 +362,17 @@ class ModelTrainer:
                 return not (freeze and any(n in ("enc", "encoder") for n in names))
 
             self._frozen_mask = jax.tree_util.tree_map_with_path(mark, params)
+        if (cfg.model_config.pretrained_backbone_weights
+                or cfg.model_config.pretrained_head_weights):
+            # Transfer learning (reference model_config.py:133-140 +
+            # model_trainer ckpt surgery): initialize the backbone and/or
+            # head subtrees from another trained checkpoint. Shapes must
+            # match; mismatches raise instead of silently mixing weights.
+            params = _init_subtrees_from_ckpts(
+                params,
+                cfg.model_config.pretrained_backbone_weights,
+                cfg.model_config.pretrained_head_weights,
+            )
         if cfg.trainer_config.resume_ckpt_path:
             # Resume: restore params + epoch + best-val from a saved ckpt
             # (reference trainer_config.py:349 resume_ckpt_path). The

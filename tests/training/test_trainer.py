@@ -297,3 +297,72 @@ def test_loader_prefetch_matches_sync():
         assert sorted(x) == sorted(y)
         for k in x:
             np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_pretrained_backbone_weights_transfer(tmp_path):
+    """model_config.pretrained_backbone_weights initializes the backbone
+    from another checkpoint (transfer learning; shapes must match)."""
+    import jax
+    import numpy as np
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+
+    def make_cfg(run, extra=None):
+        cfg = TrainingJobConfig()
+        cfg.data_config.train_labels_path = [FIXTURE]
+        cfg.data_config.use_same_data_for_val = True
+        cfg.data_config.use_augmentations_train = False
+        cfg.data_config.preprocessing.scale = 0.25
+        apply_overrides(cfg, {
+            "model_config.backbone_config.unet.filters": 8,
+            "model_config.backbone_config.unet.filters_rate": 2.0,
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.backbone_config.unet.output_stride": 2,
+            "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+            **(extra or {}),
+        })
+        cfg.trainer_config.max_epochs = 1
+        cfg.trainer_config.min_train_steps_per_epoch = 1
+        cfg.trainer_config.train_data_loader.batch_size = 1
+        cfg.trainer_config.val_data_loader.batch_size = 1
+        cfg.trainer_config.save_ckpt = True
+        cfg.trainer_config.ckpt_dir = str(tmp_path)
+        cfg.trainer_config.run_name = run
+        cfg.trainer_config.enable_progress_bar = False
+        return cfg
+
+    t1 = ModelTrainer.get_model_trainer_from_config(make_cfg("src"))
+    t1.train()
+    src_backbone = jax.device_get(t1.params["params"]["backbone"])
+
+    cfg2 = make_cfg("dst")
+    cfg2.model_config.pretrained_backbone_weights = str(tmp_path / "src")
+    t2 = ModelTrainer.get_model_trainer_from_config(cfg2)
+    t2.setup()
+    dst_backbone = jax.device_get(t2.params["params"]["backbone"])
+    src_leaves = jax.tree_util.tree_leaves(src_backbone)
+    dst_leaves = jax.tree_util.tree_leaves(dst_backbone)
+    assert all(
+        np.allclose(a, b) for a, b in zip(src_leaves, dst_leaves)
+    ), "backbone weights were not transferred"
+
+    # A shape-incompatible source raises instead of silently mixing.
+    cfg3 = make_cfg("bad", extra={
+        "model_config.backbone_config.unet.filters": 16,
+    })
+    cfg3.model_config.pretrained_backbone_weights = str(tmp_path / "src")
+    with pytest.raises(ValueError, match="shapes"):
+        ModelTrainer.get_model_trainer_from_config(cfg3).setup()
+
+
+def test_legacy_pre_trained_weights_errors():
+    from sleap_nn_tpu.config import TrainingJobConfig, verify_training_cfg
+
+    cfg = TrainingJobConfig()
+    from sleap_nn_tpu.config import apply_overrides
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.model_config.pre_trained_weights = "ConvNeXt_Tiny_Weights"
+    with pytest.raises(ValueError, match="pre_trained_weights"):
+        verify_training_cfg(cfg)
