@@ -672,6 +672,9 @@ def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineCont
         padding = compute_augmentation_padding(
             find_instance_crop_size(labels), rot_max, scale_max
         ) if cfg.data_config.use_augmentations_train else 0
+        # crop_padding (reference data_config.py:161): extra pixels around
+        # the instance bbox when auto-computing the crop size.
+        padding += int(pre.crop_padding or 0)
         kw["crop_size"] = find_instance_crop_size(
             labels,
             padding=padding,

@@ -200,6 +200,11 @@ class OffsetRefinementHead(Head):
 @dataclass(frozen=True)
 class SegmentationHead(Head):
     output_stride: int = 2
+    # BCE+Dice blend (config SegmentationHeadConfig.bce_weight/dice_weight/
+    # bce_pos_weight) carried on the descriptor so compute_loss can honor it.
+    bce_weight: float = 0.5
+    dice_weight: float = 0.5
+    bce_pos_weight: float = None
 
     @property
     def channels(self) -> int:

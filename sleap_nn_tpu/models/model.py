@@ -155,12 +155,12 @@ def get_head(model_type: str, head_config) -> Tuple[Head, ...]:
         seg = _cfg_get(head_config, "segmentation")
         center = _cfg_get(head_config, "center")
         offsets = _cfg_get(head_config, "offsets")
-        heads.append(SegmentationHead(**kw(seg, ("output_stride", "loss_weight"))))
+        heads.append(SegmentationHead(**kw(seg, ("output_stride", "loss_weight", "bce_weight", "dice_weight", "bce_pos_weight"))))
         heads.append(InstanceCenterHead(**kw(center, ("sigma", "output_stride", "loss_weight"))))
         heads.append(CenterOffsetHead(**kw(offsets, ("output_stride", "loss_weight"))))
     elif model_type in ("centered_instance_segmentation", "semantic_segmentation"):
         seg = _cfg_get(head_config, "segmentation")
-        heads.append(SegmentationHead(**kw(seg, ("output_stride", "loss_weight"))))
+        heads.append(SegmentationHead(**kw(seg, ("output_stride", "loss_weight", "bce_weight", "dice_weight", "bce_pos_weight"))))
     else:
         raise ValueError(
             f"{model_type} is not a defined model type. Choose one of {MODEL_TYPES}."

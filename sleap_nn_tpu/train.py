@@ -61,9 +61,23 @@ def run_training(config: TrainingJobConfig) -> ModelTrainer:
 
     if trainer.ckpt_dir is not None:
         model_type = trainer.model_type
+        # Held-out test files (data_config.test_file_path, reference
+        # train.py:478-509): evaluated alongside the train/val splits.
+        test_labels: List = []
+        tfp = config.data_config.test_file_path
+        if tfp:
+            from sleap_nn_tpu.io import load_slp
+
+            paths = [tfp] if isinstance(tfp, (str, Path)) else list(tfp)
+            for p in paths:
+                try:
+                    test_labels.append(load_slp(str(p)))
+                except Exception as e:
+                    print(f"test_file_path {p}: failed to load ({e})")
         for split, labels_list in (
             ("train", trainer.train_labels),
             ("val", trainer.val_labels),
+            ("test", test_labels),
         ):
             for i, labels in enumerate(labels_list):
                 try:

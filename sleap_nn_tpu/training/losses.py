@@ -126,10 +126,16 @@ _HEAD_TARGETS = {
 
 
 def bce_dice_on_probs(p: jnp.ndarray, y: jnp.ndarray, bce_weight=0.5, dice_weight=0.5,
-                      smooth: float = 1.0, eps: float = 1e-7) -> jnp.ndarray:
-    """BCE + Dice on sigmoid OUTPUTS (our SegmentationHead emits probs)."""
+                      smooth: float = 1.0, eps: float = 1e-7,
+                      pos_weight: Optional[float] = None) -> jnp.ndarray:
+    """BCE + Dice on sigmoid OUTPUTS (our SegmentationHead emits probs).
+
+    ``pos_weight`` upweights the foreground BCE term (the
+    ``bce_pos_weight`` config knob for class-imbalanced masks).
+    """
     p = jnp.clip(p, eps, 1 - eps)
-    bce = -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+    pw = 1.0 if pos_weight is None else pos_weight
+    bce = -jnp.mean(pw * y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
     inter = jnp.sum(p * y, axis=(1, 2))
     union = jnp.sum(p, axis=(1, 2)) + jnp.sum(y, axis=(1, 2))
     dice = (2 * inter + smooth) / (union + smooth)
@@ -161,7 +167,12 @@ def compute_loss(
         if name == "ClassVectorsHead":
             part = categorical_crossentropy(y_hat, y)
         elif name == "SegmentationHead":
-            part = bce_dice_on_probs(y_hat, y)
+            part = bce_dice_on_probs(
+                y_hat, y,
+                bce_weight=getattr(head, "bce_weight", 0.5),
+                dice_weight=getattr(head, "dice_weight", 0.5),
+                pos_weight=getattr(head, "bce_pos_weight", None),
+            )
         elif name == "CenterOffsetHead":
             mask = targets.get("offsets_mask")
             part = compute_masked_smooth_l1(y_hat, y, mask if mask is not None else jnp.ones_like(y[..., :1]))

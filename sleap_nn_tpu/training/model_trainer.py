@@ -320,10 +320,22 @@ class ModelTrainer:
         if len(self.val_ds) == 0:
             raise ValueError("Val dataset is empty (no usable labeled frames).")
         bs = cfg.trainer_config.train_data_loader.batch_size
+        # num_workers maps to the background-prefetch depth (this loader
+        # overlaps host decode/collate with the device step via a thread,
+        # not worker processes — the reference's DataLoader worker count
+        # becomes the producer-queue depth here).
+        n_workers = int(getattr(cfg.trainer_config.train_data_loader,
+                                "num_workers", 0) or 0)
+        prefetch = max(2, n_workers)
         self.train_loader = Loader(
-            self.train_ds, bs, shuffle=cfg.trainer_config.train_data_loader.shuffle, seed=seed
+            self.train_ds, bs, shuffle=cfg.trainer_config.train_data_loader.shuffle,
+            seed=seed, prefetch=prefetch,
         )
-        self.val_loader = Loader(self.val_ds, cfg.trainer_config.val_data_loader.batch_size)
+        self.val_loader = Loader(
+            self.val_ds, cfg.trainer_config.val_data_loader.batch_size,
+            prefetch=max(2, int(getattr(cfg.trainer_config.val_data_loader,
+                                        "num_workers", 0) or 0)),
+        )
 
         # model
         backbone_cfg = get_backbone_config(cfg)
@@ -407,6 +419,12 @@ class ModelTrainer:
         self.scheduler = make_scheduler(
             cfg.trainer_config.lr_scheduler, base_lr, cfg.trainer_config.max_epochs
         )
+
+        # trainer_accelerator (reference Lightning accelerator knob):
+        # "cpu" forces the CPU backend; "auto"/"tpu" keep the default
+        # platform (TPU when attached). GPU/MPS have no meaning here.
+        if (cfg.trainer_config.trainer_accelerator or "auto") == "cpu":
+            jax.config.update("jax_platforms", "cpu")
 
         # Multi-host: join the cluster first (no-op single-process; env
         # SLEAP_NN_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID mirror
@@ -600,6 +618,32 @@ class ModelTrainer:
         # racing ahead (resume / post-train eval read this file).
         barrier(f"ckpt:{name}")
 
+    def _update_top_k(self, epoch: int, val_loss: float, top_k: int):
+        """Keep the ``top_k`` best epoch-stamped checkpoints on disk.
+
+        ``save_top_k`` (reference ModelCheckpoint): each qualifying epoch
+        writes ``epoch=NNN-val_loss=X.ckpt``; when more than ``top_k``
+        exist, the worst is deleted.
+        """
+        if not hasattr(self, "_top_k_ckpts"):
+            self._top_k_ckpts = []  # [(val_loss, path)]
+        if len(self._top_k_ckpts) >= top_k and val_loss >= max(
+            v for v, _ in self._top_k_ckpts
+        ):
+            return
+        name = f"epoch={epoch:03d}-val_loss={val_loss:.5f}.ckpt"
+        self.save_checkpoint(name)
+        self._top_k_ckpts.append((val_loss, self.ckpt_dir / name))
+        self._top_k_ckpts.sort(key=lambda t: t[0])
+        from sleap_nn_tpu.parallel import process_index
+
+        while len(self._top_k_ckpts) > top_k:
+            _, worst = self._top_k_ckpts.pop()
+            if process_index() == 0 and worst.exists():
+                import shutil
+
+                shutil.rmtree(worst, ignore_errors=True)
+
     @staticmethod
     def load_checkpoint_params(path):
         import orbax.checkpoint as ocp
@@ -692,10 +736,15 @@ class ModelTrainer:
                     )
                 self.history.append(logs)
 
-                # -- checkpoint best
+                # -- checkpoint best (+ top-k history when save_top_k > 1:
+                # epoch-stamped copies, worst-beyond-k pruned; reference
+                # ModelCheckpoint save_top_k semantics)
                 if val_loss < self.best_val_loss:
                     self.best_val_loss = val_loss
                     self.save_checkpoint("best.ckpt")
+                top_k = int(cfg.trainer_config.model_ckpt.save_top_k or 1)
+                if top_k > 1:
+                    self._update_top_k(epoch, val_loss, top_k)
                 if cfg.trainer_config.model_ckpt.save_last:
                     self.save_checkpoint("last.ckpt")
 

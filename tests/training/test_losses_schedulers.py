@@ -172,3 +172,58 @@ def test_make_scheduler_dispatch():
     # All-None oneof -> constant LR too.
     s2 = make_scheduler(LRCfg(), base_lr=2e-4, max_epochs=10)
     assert s2.step(5) == pytest.approx(2e-4)
+
+
+def test_seg_head_loss_weights_honored():
+    """SegmentationHeadConfig bce/dice/pos weights flow into compute_loss."""
+    import jax.numpy as jnp
+    from sleap_nn_tpu.models.heads import SegmentationHead
+    from sleap_nn_tpu.training.losses import compute_loss
+
+    y = np.zeros((1, 8, 8, 1), np.float32)
+    y[0, :2, :2, 0] = 1.0
+    p = np.full_like(y, 0.1)  # mostly-background prediction
+    preds = {"SegmentationHead": jnp.asarray(p)}
+    targets = {"segmentation": jnp.asarray(y)}
+
+    base_head = SegmentationHead(output_stride=2)
+    w_head = SegmentationHead(output_stride=2, bce_weight=1.0, dice_weight=0.0,
+                              bce_pos_weight=10.0)
+    base, _ = compute_loss(preds, targets, (base_head,))
+    weighted, _ = compute_loss(preds, targets, (w_head,))
+    assert float(weighted) != pytest.approx(float(base))
+    # Pure-dice head zeroes the BCE term entirely.
+    dice_head = SegmentationHead(output_stride=2, bce_weight=0.0, dice_weight=1.0)
+    dice_only, _ = compute_loss(preds, targets, (dice_head,))
+    from sleap_nn_tpu.training.losses import bce_dice_on_probs
+
+    want = bce_dice_on_probs(jnp.asarray(p), jnp.asarray(y),
+                             bce_weight=0.0, dice_weight=1.0)
+    assert float(dice_only) == pytest.approx(float(want))
+
+
+def test_crop_padding_grows_auto_crop_size():
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import build_pipeline_context
+    from sleap_nn_tpu.io import load_slp
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    labels = load_slp(FIXTURE)
+
+    def ctx(pad):
+        cfg = TrainingJobConfig()
+        cfg.data_config.use_augmentations_train = False
+        apply_overrides(cfg, {
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.head_configs.centered_instance.confmaps.output_stride": 2,
+        })
+        cfg.data_config.preprocessing.crop_padding = pad
+        return build_pipeline_context(cfg, labels, "centered_instance")
+
+    base = ctx(None).crop_size
+    padded = ctx(64).crop_size
+    # Padding enlarges the auto-computed crop (exact delta interacts with
+    # min_crop_size: max(bbox, min_crop - pad) + pad, stride-rounded).
+    assert padded > base
+    assert padded % 8 == 0
+    assert padded - base >= 24

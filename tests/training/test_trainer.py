@@ -366,3 +366,68 @@ def test_legacy_pre_trained_weights_errors():
     cfg.model_config.pre_trained_weights = "ConvNeXt_Tiny_Weights"
     with pytest.raises(ValueError, match="pre_trained_weights"):
         verify_training_cfg(cfg)
+
+
+def test_save_top_k_epoch_checkpoints(tmp_path):
+    """save_top_k > 1 keeps epoch-stamped best checkpoints, pruned to k."""
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.filters_rate": 2.0,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 4
+    cfg.trainer_config.min_train_steps_per_epoch = 2
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(tmp_path)
+    cfg.trainer_config.run_name = "topk"
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.model_ckpt.save_top_k = 2
+    ModelTrainer.get_model_trainer_from_config(cfg).train()
+    run = tmp_path / "topk"
+    epoch_ckpts = sorted(run.glob("epoch=*.ckpt"))
+    assert 1 <= len(epoch_ckpts) <= 2, epoch_ckpts
+    assert (run / "best.ckpt").exists()
+    # Stamped checkpoints load back like best.ckpt does.
+    state = ModelTrainer.load_checkpoint_params(epoch_ckpts[0])
+    assert "params" in state
+
+
+def test_post_training_eval_on_test_file(tmp_path):
+    """data_config.test_file_path gets predicted + evaluated after training
+    (labels_pr.test_0.slp + metrics.test_0.npz in the model dir)."""
+    from sleap_nn_tpu.train import run_training
+
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    cfg.data_config.test_file_path = FIXTURE  # held-out eval (same fixture)
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.filters_rate": 2.0,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 10
+    cfg.trainer_config.min_train_steps_per_epoch = 8
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(tmp_path)
+    cfg.trainer_config.run_name = "testsplit"
+    cfg.trainer_config.enable_progress_bar = False
+    run_training(cfg)
+    run = tmp_path / "testsplit"
+    assert (run / "labels_pr.test_0.slp").exists()
+    assert (run / "metrics.test_0.npz").exists()
