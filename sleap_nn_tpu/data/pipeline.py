@@ -480,18 +480,29 @@ class TiledDataset:
         # back (ctx.halo_crop_to). Reference: data/tiling.py:262,322.
         self.use_halo = bool(use_halo)
         self.halo_size = int(_math.ceil(tiling.tile_size * _math.sqrt(2.0)))
-        if tiling.samples_per_frame:
+        # Sampling strategy (reference data_config.py:109): 'foreground'
+        # (train; object-aware biased draws) or 'grid' (val/debug; the
+        # deterministic full-coverage grid).
+        self.sampling = getattr(tiling, "sampling", "foreground") or "foreground"
+        s0 = inner.get_sample(0)
+        self._grid = generate_tile_grid(
+            s0["image"].shape[:2], tiling.tile_size,
+            overlap=tiling.overlap or 0,
+            output_stride=1,
+            min_overlap_fraction=tiling.min_overlap_fraction,
+        )
+        if self.sampling == "grid":
+            self.samples_per_frame = max(1, len(self._grid))
+        elif tiling.samples_per_frame:
             self.samples_per_frame = int(tiling.samples_per_frame)
         else:
             # Default: the deterministic grid count of the first frame.
-            s0 = inner.get_sample(0)
-            grid = generate_tile_grid(
-                s0["image"].shape[:2], tiling.tile_size,
-                overlap=tiling.overlap or 0,
-                output_stride=1,
-                min_overlap_fraction=tiling.min_overlap_fraction,
-            )
-            self.samples_per_frame = max(1, len(grid))
+            self.samples_per_frame = max(1, len(self._grid))
+        # full_frame_pass: one extra slot per frame holding the whole frame
+        # downscaled to tile_size (global context alongside the tiles).
+        self.full_frame_pass = bool(getattr(tiling, "full_frame_pass", False))
+        if self.full_frame_pass:
+            self.samples_per_frame += 1
 
     def set_epoch(self, epoch: int):
         self.epoch = int(epoch)
@@ -517,21 +528,27 @@ class TiledDataset:
 
         frame_i, k = divmod(int(idx), self.samples_per_frame)
         s = self.inner.get_sample(frame_i)
+        if self.full_frame_pass and k == self.samples_per_frame - 1:
+            return self._full_frame_sample(s)
         key = f"{s['video_idx']}:{s['frame_idx']}"
         rng = np.random.default_rng(
             tile_sample_seed(self.base_seed, key, k, self.epoch)
         )
-        centers = frame_foreground_centers(s["instances"])
-        origin = draw_tile_origin(
-            centers,
-            s["image"].shape[:2],
-            self.cfg.tile_size,
-            sample_k=k,
-            samples_per_frame=self.samples_per_frame,
-            tile_fg_fraction=self.cfg.tile_fg_fraction,
-            center_jitter=self.cfg.center_jitter,
-            rng=rng,
-        )
+        if self.sampling == "grid":
+            # Deterministic full-coverage grid tile (val/debug sampling).
+            origin = tuple(self._grid[k % max(1, len(self._grid))])
+        else:
+            centers = frame_foreground_centers(s["instances"])
+            origin = draw_tile_origin(
+                centers,
+                s["image"].shape[:2],
+                self.cfg.tile_size,
+                sample_k=k,
+                samples_per_frame=self.samples_per_frame,
+                tile_fg_fraction=self.cfg.tile_fg_fraction,
+                center_jitter=self.cfg.center_jitter,
+                rng=rng,
+            )
         if self.use_halo:
             # Shift the origin so the halo is centered on the tile center,
             # then extract at halo size. min_visible gating still uses the
@@ -560,6 +577,43 @@ class TiledDataset:
         if "track_ids" in s:
             out["track_ids"] = np.asarray(s["track_ids"])[order]
         out["orig_size"] = np.array([self.cfg.tile_size, self.cfg.tile_size], np.float32)
+        out["num_instances"] = int(vis.sum())
+        return out
+
+    def _full_frame_sample(self, s: Dict[str, Any]) -> Dict[str, Any]:
+        """The frame downscaled to tile_size (the full_frame_pass slot).
+
+        Gives the model global context alongside the local tiles. With the
+        halo path active, the resized frame sits centered on a halo-size
+        canvas so the post-augmentation crop-back recovers it exactly.
+        """
+        import cv2
+
+        ts = int(self.cfg.tile_size)
+        img = s["image"]
+        h, w = img.shape[:2]
+        scale = min(ts / h, ts / w)
+        nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        if resized.ndim == 2:
+            resized = resized[..., None]
+        canvas_size = self.halo_size if self.use_halo else ts
+        off = ((canvas_size - nh) // 2, (canvas_size - nw) // 2)
+        canvas = np.zeros((canvas_size, canvas_size, img.shape[2]), img.dtype)
+        canvas[off[0]:off[0] + nh, off[1]:off[1] + nw] = resized
+        pts = np.asarray(s["instances"], np.float32).copy()
+        pts *= scale
+        pts[..., 0] += off[1]
+        pts[..., 1] += off[0]
+
+        vis = ~np.isnan(pts[..., 0]).all(axis=-1)
+        order = np.concatenate([np.nonzero(vis)[0], np.nonzero(~vis)[0]])
+        out = dict(s)
+        out["image"] = canvas
+        out["instances"] = pts[order]
+        if "track_ids" in s:
+            out["track_ids"] = np.asarray(s["track_ids"])[order]
+        out["orig_size"] = np.array([ts, ts], np.float32)
         out["num_instances"] = int(vis.sum())
         return out
 

@@ -667,6 +667,12 @@ class ModelTrainer:
         # wins; otherwise max(n_batches, min_train_steps_per_epoch) so tiny
         # datasets still take a full optimization epoch by re-drawing data.
         steps_cap = cfg.trainer_config.train_steps_per_epoch
+        tiling = getattr(cfg.data_config.preprocessing, "tiling", None)
+        if steps_cap is None and tiling is not None and tiling.enabled \
+                and tiling.steps_per_epoch:
+            # Tiled training: tiling.steps_per_epoch caps the per-epoch tile
+            # step count (reference data_config.py:30).
+            steps_cap = int(tiling.steps_per_epoch)
         if steps_cap is None:
             steps_cap = max(
                 len(self.train_loader), cfg.trainer_config.min_train_steps_per_epoch

@@ -203,3 +203,73 @@ def test_tiled_dataset_halo_shapes(minimal_instance_slp):
     sh = halo.get_sample(0)
     assert sh["image"].shape[:2] == (halo.halo_size, halo.halo_size)
     assert halo.halo_size == 136  # ceil(96*sqrt(2))
+
+
+def test_grid_sampling_mode_covers_image(minimal_instance_slp):
+    """tiling.sampling='grid' yields the deterministic full-coverage grid."""
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import build_pipeline_context, make_dataset
+    from sleap_nn_tpu.io import load_slp
+
+    labels = load_slp(minimal_instance_slp)
+    cfg = TrainingJobConfig()
+    cfg.data_config.use_augmentations_train = False
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.bottomup.confmaps.output_stride": 2,
+        "model_config.head_configs.bottomup.pafs.output_stride": 2,
+        "data_config.preprocessing.tiling.enabled": True,
+        "data_config.preprocessing.tiling.tile_size": 192,
+        "data_config.preprocessing.tiling.sampling": "grid",
+        "data_config.preprocessing.tiling.min_overlap_fraction": 0.0,
+    })
+    ctx = build_pipeline_context(cfg, labels, "bottomup")
+    from sleap_nn_tpu.data.pipeline import TiledDataset
+
+    inner = make_dataset("bottomup", [labels], ctx)
+    ds = TiledDataset(inner, cfg.data_config.preprocessing.tiling, base_seed=0)
+    # 384x384 at tile 192 -> 2x2 grid.
+    assert ds.samples_per_frame == 4
+    tiles = [ds.get_sample(i)["image"] for i in range(4)]
+    assert all(t.shape[:2] == (192, 192) for t in tiles)
+    # Deterministic: re-reading yields identical pixels; the 4 tiles
+    # reassemble the full frame exactly (no overlap at this geometry).
+    again = ds.get_sample(0)["image"]
+    np.testing.assert_array_equal(tiles[0], again)
+    top = np.concatenate([tiles[0], tiles[1]], axis=1)
+    bottom = np.concatenate([tiles[2], tiles[3]], axis=1)
+    full = np.concatenate([top, bottom], axis=0)
+    src = ds.inner.get_sample(0)["image"]
+    np.testing.assert_array_equal(full, src)
+
+
+def test_full_frame_pass_extra_slot(minimal_instance_slp):
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import build_pipeline_context, make_dataset
+    from sleap_nn_tpu.io import load_slp
+
+    labels = load_slp(minimal_instance_slp)
+    cfg = TrainingJobConfig()
+    cfg.data_config.use_augmentations_train = False
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.bottomup.confmaps.output_stride": 2,
+        "model_config.head_configs.bottomup.pafs.output_stride": 2,
+        "data_config.preprocessing.tiling.enabled": True,
+        "data_config.preprocessing.tiling.tile_size": 192,
+        "data_config.preprocessing.tiling.samples_per_frame": 2,
+        "data_config.preprocessing.tiling.full_frame_pass": True,
+    })
+    ctx = build_pipeline_context(cfg, labels, "bottomup")
+    from sleap_nn_tpu.data.pipeline import TiledDataset
+
+    inner = make_dataset("bottomup", [labels], ctx)
+    ds = TiledDataset(inner, cfg.data_config.preprocessing.tiling, base_seed=0)
+    assert ds.samples_per_frame == 3  # 2 tiles + 1 full-frame slot
+    ff = ds.get_sample(2)
+    assert ff["image"].shape[:2] == (192, 192)
+    # The downscaled frame keeps its instances (visible, in-bounds).
+    vis = ~np.isnan(ff["instances"][..., 0]).all(axis=-1)
+    assert vis.sum() >= 1
+    pts = ff["instances"][vis]
+    assert np.nanmax(pts) <= 192
