@@ -238,6 +238,17 @@ class ModelTrainer:
         cm = getattr(head, "confmaps", None)
         if cm is not None and hasattr(cm, "part_names") and cm.part_names is None:
             cm.part_names = list(skel.node_names)
+        src = getattr(cm, "centroid_source", None) if cm is not None else None
+        if src == "user":
+            # Reference model_config.py:697: 'user' trains on first-class
+            # UserCentroid annotations. This io model has no user-centroid
+            # records, so fail loudly instead of silently training on
+            # computed centroids against the user's explicit choice.
+            raise ValueError(
+                "centroid_source='user' requires user-annotated centroid "
+                "records, which this build's .slp model does not carry; "
+                "use centroid_source='computed' (anchor_part / visible-mean)."
+            )
         pafs = getattr(head, "pafs", None)
         if pafs is not None and pafs.edges is None:
             pafs.edges = [list(e) for e in skel.edge_names]
@@ -411,7 +422,19 @@ class ModelTrainer:
         # optimizer (+ injected LR for host-side schedulers)
         opt_name = cfg.trainer_config.optimizer_name.lower()
         base_lr = cfg.trainer_config.optimizer.lr
-        opt_fn = {"adam": optax.adam, "adamw": optax.adamw}.get(opt_name)
+        # amsgrad (OptimizerConfig knob): optax ships it as its own
+        # transform; adamw has no amsgrad variant in optax, so reject the
+        # combination loudly rather than silently dropping the flag.
+        amsgrad = bool(getattr(cfg.trainer_config.optimizer, "amsgrad", False))
+        if amsgrad and opt_name == "adam":
+            opt_fn = optax.amsgrad
+        elif amsgrad:
+            raise ValueError(
+                "optimizer.amsgrad is only supported with optimizer_name "
+                f"'adam' (got {cfg.trainer_config.optimizer_name!r})."
+            )
+        else:
+            opt_fn = {"adam": optax.adam, "adamw": optax.adamw}.get(opt_name)
         if opt_fn is None:
             raise ValueError(f"Unsupported optimizer: {cfg.trainer_config.optimizer_name}")
         self.tx = optax.inject_hyperparams(opt_fn)(learning_rate=base_lr)

@@ -227,3 +227,54 @@ def test_crop_padding_grows_auto_crop_size():
     assert padded > base
     assert padded % 8 == 0
     assert padded - base >= 24
+
+
+def test_amsgrad_optimizer_selection():
+    """optimizer.amsgrad routes adam to optax.amsgrad; adamw+amsgrad errors."""
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.training import ModelTrainer
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+    def cfg_for(opt, amsgrad):
+        cfg = TrainingJobConfig()
+        cfg.data_config.train_labels_path = [FIXTURE]
+        cfg.data_config.use_same_data_for_val = True
+        cfg.data_config.use_augmentations_train = False
+        cfg.data_config.preprocessing.scale = 0.25
+        apply_overrides(cfg, {
+            "model_config.backbone_config.unet.filters": 8,
+            "model_config.backbone_config.unet.max_stride": 8,
+            "model_config.backbone_config.unet.output_stride": 2,
+            "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        })
+        cfg.trainer_config.optimizer_name = opt
+        cfg.trainer_config.optimizer.amsgrad = amsgrad
+        cfg.trainer_config.save_ckpt = False
+        cfg.trainer_config.enable_progress_bar = False
+        return cfg
+
+    t = ModelTrainer.get_model_trainer_from_config(cfg_for("adam", True))
+    t.setup()  # builds the optax.amsgrad transform without error
+    assert t.tx is not None
+
+    with pytest.raises(ValueError, match="amsgrad"):
+        ModelTrainer.get_model_trainer_from_config(cfg_for("adamw", True)).setup()
+
+
+def test_centroid_source_user_rejected():
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.training import ModelTrainer
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.centroid.confmaps.output_stride": 2,
+        "model_config.head_configs.centroid.confmaps.centroid_source": "user",
+    })
+    with pytest.raises(ValueError, match="centroid_source"):
+        ModelTrainer.get_model_trainer_from_config(cfg)
