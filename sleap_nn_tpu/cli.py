@@ -588,11 +588,40 @@ def _run_inference(**kw):
     tracker_kwargs = _build_tracker_kwargs(kw)
 
     gui = kw.pop("gui")
+    progress_ui = None
     if gui:
         def _gui_progress(n_done):
             click.echo(json.dumps({"n_processed": int(n_done)}), err=False)
 
         kw["progress_callback"] = _gui_progress
+    elif sys.stderr.isatty():
+        # Interactive: rich progress with a rolling-FPS column (reference
+        # cli.py:1959-2077 _make_fps_column/_make_rich_progress).
+        import time as _time
+        from collections import deque
+
+        from rich.progress import Progress, SpinnerColumn, TextColumn
+
+        progress_ui = Progress(
+            SpinnerColumn(),
+            TextColumn("Predicting... {task.completed} frames"),
+            TextColumn("{task.fields[fps]}"),
+            transient=True,
+        )
+        task_id = progress_ui.add_task("predict", total=None, fps="")
+        window = deque(maxlen=32)  # (t, n) samples for rolling FPS
+
+        def _rich_progress(n_done):
+            now = _time.perf_counter()
+            window.append((now, n_done))
+            fps = ""
+            if len(window) >= 2:
+                (t0, n0), (t1, n1) = window[0], window[-1]
+                if t1 > t0:
+                    fps = f"{(n1 - n0) / (t1 - t0):.1f} fps"
+            progress_ui.update(task_id, completed=n_done, fps=fps)
+
+        kw["progress_callback"] = _rich_progress
 
     out_fmt = kw.pop("output_format") or ("slp",)
     kw["output_format"] = list(out_fmt)
@@ -677,14 +706,25 @@ def _run_inference(**kw):
     if output_path is None:
         output_path = str(Path(data_path).with_suffix("")) + ".predictions.slp"
 
-    labels = predict(
-        data_path,
-        model_paths,
-        output_path=output_path,
-        frames=frames,
-        **kw,
-        **tracker_kwargs,
-    )
+    if progress_ui is not None:
+        with progress_ui:
+            labels = predict(
+                data_path,
+                model_paths,
+                output_path=output_path,
+                frames=frames,
+                **kw,
+                **tracker_kwargs,
+            )
+    else:
+        labels = predict(
+            data_path,
+            model_paths,
+            output_path=output_path,
+            frames=frames,
+            **kw,
+            **tracker_kwargs,
+        )
     n_inst = sum(len(lf.instances) for lf in labels)
     n_masks = sum(len(lf.masks) for lf in labels)
     msg = f"Predicted {len(labels)} frames, {n_inst} instances"

@@ -685,6 +685,18 @@ class ModelTrainer:
         self.setup()
         cfg = self.config
         self._log_all("on_train_start")
+        # trainer_config.profiler (reference Lightning profiler knob):
+        # 'simple'/'advanced' print a per-epoch timing summary at train end;
+        # any other value ('jax', 'xla', 'pytorch') captures a jax.profiler
+        # trace into <run_dir>/profile (open with TensorBoard/Perfetto).
+        profiler = cfg.trainer_config.profiler
+        trace_cm = None
+        if profiler and profiler not in ("simple", "advanced", "passthrough"):
+            import jax as _jax
+
+            trace_dir = (self.ckpt_dir or Path(".")) / "profile"
+            trace_cm = _jax.profiler.trace(str(trace_dir))
+            trace_cm.__enter__()
         # Effective steps per epoch (reference trainer_config.py:338-371 /
         # Lightning limit_train_batches): an explicit train_steps_per_epoch
         # wins; otherwise max(n_batches, min_train_steps_per_epoch) so tiny
@@ -780,17 +792,40 @@ class ModelTrainer:
                 self._log_all("on_epoch_end", epoch, logs)
                 if self.should_stop:
                     break
+        except KeyboardInterrupt:
+            # Ctrl-C cancels the run: the partial run dir is deleted so
+            # aborted experiments don't masquerade as trained models
+            # (reference model_trainer.py:1896-1940).
+            self._interrupted = True
+            print("Stopping training (KeyboardInterrupt)...")
         finally:
             self._log_all("on_train_end")
             for cb in self.callbacks:
                 if hasattr(cb, "close"):
                     cb.close()
+            import shutil
+
             if (
                 self.ckpt_dir is not None
                 and not cfg.trainer_config.keep_viz
                 and (self.ckpt_dir / "viz").exists()
             ):
-                import shutil
-
                 shutil.rmtree(self.ckpt_dir / "viz", ignore_errors=True)
+            if trace_cm is not None:
+                trace_cm.__exit__(None, None, None)
+            if profiler in ("simple", "advanced") and self.history:
+                times = [h.get("epoch_time_s", 0.0) for h in self.history]
+                sps = [h.get("train/steps_per_sec", 0.0) for h in self.history]
+                print(
+                    f"[profiler:{profiler}] {len(times)} epochs | "
+                    f"epoch_time avg {np.mean(times):.2f}s "
+                    f"min {np.min(times):.2f}s max {np.max(times):.2f}s | "
+                    f"steps/sec avg {np.mean(sps):.2f}"
+                )
+            if getattr(self, "_interrupted", False) and self.ckpt_dir is not None:
+                from sleap_nn_tpu.parallel import process_index
+
+                if process_index() == 0 and self.ckpt_dir.exists():
+                    print(f"Training canceled - cleaning up {self.ckpt_dir}...")
+                    shutil.rmtree(self.ckpt_dir, ignore_errors=True)
         return self.history

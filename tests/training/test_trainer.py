@@ -431,3 +431,69 @@ def test_post_training_eval_on_test_file(tmp_path):
     run = tmp_path / "testsplit"
     assert (run / "labels_pr.test_0.slp").exists()
     assert (run / "metrics.test_0.npz").exists()
+
+
+def test_keyboard_interrupt_cleans_run_dir(tmp_path, monkeypatch):
+    """Ctrl-C mid-training removes the partial run dir (reference
+    model_trainer.py:1896-1940)."""
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 50
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(tmp_path)
+    cfg.trainer_config.run_name = "interrupted"
+    cfg.trainer_config.enable_progress_bar = False
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+
+    # Interrupt from inside the loop via a callback hook.
+    class Interrupter:
+        def __getattr__(self, name):
+            if name == "on_epoch_start":
+                def hook(trainer_, epoch):
+                    if epoch >= 1:
+                        raise KeyboardInterrupt
+                return hook
+            return lambda *a, **k: None
+
+    trainer.setup()
+    trainer.callbacks.append(Interrupter())
+    run_dir = tmp_path / "interrupted"
+    trainer.train()
+    assert not run_dir.exists(), "interrupted run dir must be cleaned up"
+
+
+def test_profiler_simple_summary(tmp_path, capsys):
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 2
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = False
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.profiler = "simple"
+    ModelTrainer.get_model_trainer_from_config(cfg).train()
+    out = capsys.readouterr().out
+    assert "[profiler:simple]" in out
+    assert "steps/sec" in out
