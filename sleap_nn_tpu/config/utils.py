@@ -57,9 +57,18 @@ def check_output_strides(cfg: TrainingJobConfig) -> TrainingJobConfig:
 
 def resolve_model_dir(path) -> Path:
     """Resolve a model dir or a file inside it to the dir containing
-    training_config.yaml (reference: config/utils.py:11)."""
+    training_config.yaml (reference: config/utils.py:11).
+
+    Accepted forms (reference tests/inference/test_compat_shims.py): the
+    dir itself (trailing slash fine), a ``*.ckpt`` inside it, a
+    ``training_config.yaml``/``.yml``/``.json``, or any other file in the
+    dir — all resolve to the containing model dir. (``load_model``
+    additionally honors an explicitly-given ``.ckpt`` as the weights
+    source.)
+    """
     p = Path(path)
-    if p.is_file():
+    if p.is_file() or (p.is_dir() and p.suffix.lower() == ".ckpt"):
+        # Orbax checkpoints are directories named *.ckpt.
         p = p.parent
     if (p / "training_config.yaml").exists():
         return p

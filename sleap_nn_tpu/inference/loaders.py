@@ -45,7 +45,15 @@ class LoadedModel:
 
 
 def load_model(path, params_override=None) -> LoadedModel:
-    """Load one model dir (training_config.yaml + best.ckpt)."""
+    """Load one model dir (training_config.yaml + best.ckpt).
+
+    A path pointing directly at a ``.ckpt`` loads THAT checkpoint (e.g. an
+    ``epoch=...ckpt`` from save_top_k or ``last.ckpt``) with the dir's
+    training config.
+    """
+    p = Path(path)
+    # Orbax checkpoints are DIRECTORIES named *.ckpt; torch ones are files.
+    explicit_ckpt = p if p.suffix.lower() == ".ckpt" and p.exists() else None
     model_dir = resolve_model_dir(path)
     config = TrainingJobConfig.load_yaml(model_dir / "training_config.yaml")
     model_type = get_model_type_from_cfg(config)
@@ -57,7 +65,7 @@ def load_model(path, params_override=None) -> LoadedModel:
     if params_override is not None:
         params = params_override
     else:
-        ckpt = model_dir / "best.ckpt"
+        ckpt = explicit_ckpt or model_dir / "best.ckpt"
         if not ckpt.exists():
             ckpt = model_dir / "last.ckpt"
 

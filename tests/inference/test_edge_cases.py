@@ -124,3 +124,72 @@ def test_predict_empty_frame_list_yields_nothing(tiny_model):
 
     out = predict(ROBOT, [tiny_model], frames=[], make_labels=True)
     assert len(out) == 0
+
+
+def test_model_path_resolution_forms(tmp_path):
+    """Dir / trailing slash / best.ckpt / training_config.yaml / other files
+    all resolve to the model dir; unrelated paths raise (reference
+    tests/inference/test_compat_shims.py)."""
+    from sleap_nn_tpu.config.utils import resolve_model_dir
+
+    d = tmp_path / "model"
+    d.mkdir()
+    (d / "training_config.yaml").write_text("x: 1\n")
+    (d / "best.ckpt").mkdir()  # orbax ckpts are directories
+    (d / "training_log.csv").write_text("epoch\n")
+
+    assert resolve_model_dir(d) == d
+    assert resolve_model_dir(str(d) + "/") == d
+    assert resolve_model_dir(d / "best.ckpt") == d
+    assert resolve_model_dir(d / "training_config.yaml") == d
+    assert resolve_model_dir(d / "training_log.csv") == d
+
+    with pytest.raises(FileNotFoundError):
+        resolve_model_dir(tmp_path / "nope")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_model_dir(empty)
+
+
+def test_load_model_honors_explicit_ckpt(tmp_path):
+    """Pointing -m at a specific .ckpt loads THOSE weights (e.g. a
+    save_top_k epoch checkpoint), not best.ckpt."""
+    import jax
+    import numpy as np
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.inference.loaders import load_model
+    from sleap_nn_tpu.training import ModelTrainer
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 1
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = True
+    cfg.trainer_config.ckpt_dir = str(tmp_path)
+    cfg.trainer_config.run_name = "m"
+    cfg.trainer_config.enable_progress_bar = False
+    cfg.trainer_config.model_ckpt.save_last = True
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    trainer.train()
+    run = tmp_path / "m"
+
+    via_dir = load_model(run)
+    via_last = load_model(run / "last.ckpt")
+    a = jax.tree_util.tree_leaves(via_dir.params)
+    b = jax.tree_util.tree_leaves(via_last.params)
+    # Same single-epoch run: best == last here; the point is both FORMS load.
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    assert via_last.model_type == "single_instance"
