@@ -54,8 +54,11 @@ _BUILTIN_CONFIGS = {
 }
 
 
-def find_local_snapshot(model_name: str) -> Optional[Path]:
+def find_local_snapshot(model_name: str, revision: Optional[str] = None) -> Optional[Path]:
     """Resolve a local HF snapshot dir for ``model_name`` (no network).
+
+    ``revision`` pins a snapshot by commit prefix (the HF cache names
+    snapshot dirs by commit sha); unset picks the newest local snapshot.
 
     Accepts a filesystem path directly, else searches the HF hub cache
     (``~/.cache/huggingface/hub/models--org--name/snapshots/*``).
@@ -66,6 +69,14 @@ def find_local_snapshot(model_name: str) -> Optional[Path]:
     cache = Path.home() / ".cache/huggingface/hub"
     slug = "models--" + model_name.replace("/", "--")
     snaps = sorted((cache / slug / "snapshots").glob("*")) if (cache / slug).exists() else []
+    if revision:
+        pinned = [s for s in snaps if s.name.startswith(revision)]
+        if not pinned:
+            raise FileNotFoundError(
+                f"No local snapshot of {model_name!r} at revision "
+                f"{revision!r} (found: {[s.name[:12] for s in snaps]})."
+            )
+        snaps = pinned
     for snap in reversed(snaps):
         if (snap / "config.json").exists():
             return snap
@@ -283,6 +294,17 @@ def probe_pyramid(encoder: nn.Module, in_channels: int = 3) -> Tuple[List[int], 
     return strides, [by_stride[s] for s in strides]
 
 
+class _StageSubsetEncoder(nn.Module):
+    """Wrap an encoder to expose only the ``out_indices`` feature stages."""
+
+    inner: nn.Module
+    indices: Tuple[int, ...]
+
+    def __call__(self, x):
+        feats = self.inner(x)
+        return [feats[i] for i in self.indices]
+
+
 class PretrainedBackbone(nn.Module):
     """Pretrained encoder + probe-built SLEAP decoder (standard output dict)."""
 
@@ -352,6 +374,21 @@ class PretrainedBackbone(nn.Module):
         arch_cfg, _ = resolve_hf_config(config.model_name)
         encoder = build_encoder(arch_cfg)
         strides, channels = probe_pyramid(encoder)
+        # out_indices (reference pretrained.py out_indices): restrict which
+        # encoder stages feed the pyramid — the deepest selected stage
+        # becomes the bottleneck, earlier ones the skips.
+        oi = getattr(config, "out_indices", None)
+        if oi:
+            oi = sorted(int(i) for i in oi)
+            bad = [i for i in oi if not 0 <= i < len(strides)]
+            if bad:
+                raise ValueError(
+                    f"out_indices {bad} out of range for a "
+                    f"{len(strides)}-stage encoder."
+                )
+            strides = [strides[i] for i in oi]
+            channels = [channels[i] for i in oi]
+            encoder = _StageSubsetEncoder(encoder, tuple(oi))
         mean = tuple(config.image_mean) if config.image_mean else IMAGENET_MEAN
         std = tuple(config.image_std) if config.image_std else IMAGENET_STD
         return cls(

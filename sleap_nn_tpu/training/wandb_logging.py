@@ -123,11 +123,15 @@ class WandbLoggerCallback(Callback):
         payload = {"epoch": epoch, **logs}
         self.run.log(payload)
         wb = trainer.config.trainer_config.wandb
-        if wb.save_viz_imgs_wandb and trainer.ckpt_dir is not None:
+        if (
+            wb.save_viz_imgs_wandb
+            and getattr(wb, "viz_enabled", True)
+            and trainer.ckpt_dir is not None
+        ):
             viz_dir = trainer.ckpt_dir / "viz"
             if viz_dir.exists():
-                # VizCallback writes <viz_dir>/<epoch>.png
-                for png in sorted(viz_dir.glob(f"{epoch}.*")):
+                # VizCallback writes <viz_dir>/epoch_{epoch:04d}.<fmt>
+                for png in sorted(viz_dir.glob(f"epoch_{epoch:04d}.*")):
                     self.run.save(str(png))
 
     def on_train_end(self, trainer):
@@ -141,6 +145,13 @@ class WandbLoggerCallback(Callback):
             for key, value in summary.items():
                 self.run.summary[key] = value
             self.run.finish()
+            # delete_local_logs (reference WandbConfig): drop the synced
+            # local wandb dir after the run finishes uploading.
+            wb = trainer.config.trainer_config.wandb
+            if getattr(wb, "delete_local_logs", None) and trainer.ckpt_dir:
+                import shutil
+
+                shutil.rmtree(trainer.ckpt_dir / "wandb", ignore_errors=True)
         else:
             self.run.finish(summary)
         self.run = None

@@ -174,3 +174,57 @@ def test_pretrained_training_with_freeze(cnv2_snapshot, tmp_path):
     dec_b = jax.tree_util.tree_leaves(subtree(before, "params", "backbone", "dec"))
     dec_a = jax.tree_util.tree_leaves(subtree(after, "params", "backbone", "dec"))
     assert any(not np.array_equal(b, a) for b, a in zip(dec_b, dec_a))  # trained
+
+
+def test_out_indices_subsets_pyramid():
+    """out_indices restricts which encoder stages feed the decoder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from types import SimpleNamespace
+    from sleap_nn_tpu.models.pretrained import PretrainedBackbone
+
+    def cfg(**over):
+        base = dict(
+            model_name="facebook/convnextv2-nano-22k-224",
+            output_stride=4, filters_rate=2.0, convs_per_block=2,
+            kernel_size=3, up_interpolate=True, normalize=True,
+            image_mean=None, image_std=None, out_indices=None,
+        )
+        base.update(over)
+        return SimpleNamespace(**base)
+
+    full = PretrainedBackbone.from_config(cfg())
+    sub = PretrainedBackbone.from_config(cfg(out_indices=[0, 1, 2]))
+    assert len(sub.pyramid_strides) == 3
+    assert sub.max_stride < full.max_stride  # deepest stage dropped
+    # The subset model initializes and runs.
+    x = jnp.zeros((1, 64, 64, 3))
+    params = sub.init(jax.random.PRNGKey(0), x)
+    out = sub.apply(params, x)
+    assert any(np.asarray(v).ndim == 4 for v in jax.tree_util.tree_leaves(out))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_indices"):
+        PretrainedBackbone.from_config(cfg(out_indices=[0, 9]))
+
+
+def test_revision_pinning_errors_on_unknown(tmp_path, monkeypatch):
+    from sleap_nn_tpu.models.pretrained import find_local_snapshot
+
+    # Build a fake HF cache layout with two snapshots.
+    cache = tmp_path / ".cache/huggingface/hub"
+    slug = cache / "models--org--model/snapshots"
+    for sha in ("aaaa1111", "bbbb2222"):
+        d = slug / sha
+        d.mkdir(parents=True)
+        (d / "config.json").write_text("{}")
+    monkeypatch.setattr("pathlib.Path.home", lambda: tmp_path)
+
+    snap = find_local_snapshot("org/model")
+    assert snap is not None and snap.name == "bbbb2222"  # newest by sort
+    pinned = find_local_snapshot("org/model", revision="aaaa")
+    assert pinned.name == "aaaa1111"
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="revision"):
+        find_local_snapshot("org/model", revision="cccc")
