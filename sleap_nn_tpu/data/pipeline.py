@@ -303,6 +303,8 @@ class BaseDataset:
         cache_dir=None,
         use_negative_frames: bool = False,
         negative_loss_weight: float = 1.0,
+        use_existing_imgs: bool = False,
+        cache_workers: int = 0,
     ):
         self.labels_list = list(labels_list)
         self.ctx = ctx
@@ -314,7 +316,8 @@ class BaseDataset:
         self.samples: List[Dict[str, Any]] = []
         self._build_index(cache_imgs)
         if cache_mode == "disk":
-            self._spill_to_disk()
+            self._spill_to_disk(use_existing=use_existing_imgs,
+                                workers=cache_workers)
 
     def _track_index(self, labels: Labels) -> dict:
         # Class index = position in labels.tracks (by name order, stable).
@@ -364,19 +367,37 @@ class BaseDataset:
             "sample_weight": float(self.negative_loss_weight),
         }
 
-    def _spill_to_disk(self):
-        """Move decoded frames to .npy files; reload lazily in get_sample."""
+    def _spill_to_disk(self, use_existing: bool = False, workers: int = 0):
+        """Move decoded frames to .npy files; reload lazily in get_sample.
+
+        ``use_existing`` reuses already-spilled files (skip rewriting when a
+        matching ``sample_i.npy`` exists — the reference's
+        ``use_existing_imgs``); ``workers`` > 1 writes with a thread pool
+        (``parallel_caching``/``cache_workers``).
+        """
         import tempfile
         from pathlib import Path
 
         cache_dir = Path(self.cache_dir or tempfile.mkdtemp(prefix="sleap_tpu_cache_"))
         cache_dir.mkdir(parents=True, exist_ok=True)
         self.cache_dir = cache_dir
-        for i, s in enumerate(self.samples):
+
+        def spill_one(i_s):
+            i, s = i_s
             path = cache_dir / f"sample_{i}.npy"
-            np.save(path, s["image"])
+            if not (use_existing and path.exists()):
+                np.save(path, s["image"])
             s["image_path"] = str(path)
             del s["image"]
+
+        if workers and workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(spill_one, enumerate(self.samples)))
+        else:
+            for item in enumerate(self.samples):
+                spill_one(item)
 
     def _append_samples(self, sample: Dict[str, Any]):
         self.samples.append(sample)

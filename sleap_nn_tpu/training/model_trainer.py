@@ -291,6 +291,12 @@ class ModelTrainer:
             negative_loss_weight=cfg.data_config.negative_loss_weight,
             cache_mode="disk" if cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk" else "memory",
             cache_dir=cfg.data_config.cache_img_path,
+            use_existing_imgs=cfg.data_config.use_existing_imgs,
+            cache_workers=(
+                cfg.data_config.cache_workers
+                if cfg.data_config.cache_workers
+                else (4 if cfg.data_config.parallel_caching else 0)
+            ),
         )
         self.train_ds = make_dataset(self.model_type, self.train_labels, self.ctx, **ds_kwargs)
         val_ctx = dataclasses.replace(self.ctx, use_augmentations=False)
@@ -822,6 +828,20 @@ class ModelTrainer:
                     f"min {np.min(times):.2f}s max {np.max(times):.2f}s | "
                     f"steps/sec avg {np.mean(sps):.2f}"
                 )
+            if (
+                cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk"
+                and cfg.data_config.delete_cache_imgs_after_training
+            ):
+                from sleap_nn_tpu.parallel import process_index as _pidx
+
+                if _pidx() == 0:
+                    for ds in (getattr(self, "train_ds", None),
+                               getattr(self, "val_ds", None)):
+                        cache = getattr(
+                            getattr(ds, "inner", ds), "cache_dir", None
+                        )
+                        if cache:
+                            shutil.rmtree(cache, ignore_errors=True)
             if getattr(self, "_interrupted", False) and self.ckpt_dir is not None:
                 from sleap_nn_tpu.parallel import process_index
 

@@ -323,3 +323,64 @@ def test_tiled_training_smoke(labels, tmp_path):
     })
     with pytest.raises(ValueError, match="crop-based"):
         ModelTrainer.get_model_trainer_from_config(cfg2).train()
+
+
+def test_disk_cache_knobs(labels, tmp_path):
+    """use_existing_imgs reuses spilled files; cache_workers parallelizes."""
+    import time
+    from sleap_nn_tpu.data.pipeline import make_dataset
+
+    ctx = build_pipeline_context(base_cfg("single_instance", labels), labels,
+                                 "single_instance")
+    cache = tmp_path / "imgcache"
+    ds1 = make_dataset("single_instance", [labels], ctx,
+                       cache_mode="disk", cache_dir=cache, cache_workers=4)
+    files = sorted(cache.glob("sample_*.npy"))
+    assert files
+    mtimes = {f: f.stat().st_mtime_ns for f in files}
+    time.sleep(0.01)
+
+    # Re-spill with use_existing: files untouched.
+    ds2 = make_dataset("single_instance", [labels], ctx,
+                       cache_mode="disk", cache_dir=cache,
+                       use_existing_imgs=True)
+    for f in files:
+        assert f.stat().st_mtime_ns == mtimes[f], "existing cache was rewritten"
+    # Samples still load correctly from the reused cache.
+    s = ds2.get_sample(0)
+    assert s["image"].ndim == 3
+
+    # Without use_existing the files are rewritten.
+    make_dataset("single_instance", [labels], ctx,
+                 cache_mode="disk", cache_dir=cache)
+    assert any(f.stat().st_mtime_ns != mtimes[f] for f in files)
+
+
+def test_delete_cache_imgs_after_training(tmp_path):
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.training import ModelTrainer
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    cache = tmp_path / "cache"
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.25
+    cfg.data_config.data_pipeline_fw = "jax_dataset_cache_img_disk"
+    cfg.data_config.cache_img_path = str(cache)
+    cfg.data_config.delete_cache_imgs_after_training = True
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    })
+    cfg.trainer_config.max_epochs = 1
+    cfg.trainer_config.min_train_steps_per_epoch = 1
+    cfg.trainer_config.train_data_loader.batch_size = 1
+    cfg.trainer_config.val_data_loader.batch_size = 1
+    cfg.trainer_config.save_ckpt = False
+    cfg.trainer_config.enable_progress_bar = False
+    ModelTrainer.get_model_trainer_from_config(cfg).train()
+    assert not cache.exists() or not any(cache.glob("sample_*.npy"))
