@@ -973,14 +973,41 @@ def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
 
 @cli.command()
 @click.argument("model_dir", type=click.Path(exists=True), nargs=-1, required=True)
-@click.option("--output-dir", "-o", default=None)
+@click.option("--output-dir", "--output", "-o", "output_dir", default=None)
 @click.option("--format", "fmt", default="stablehlo", show_default=True,
               type=click.Choice(["stablehlo", "savedmodel"]))
-@click.option("--batch-size", default=4, show_default=True)
+@click.option("--batch-size", "--max-batch-size", "batch_size", default=4,
+              show_default=True,
+              help="Batch size baked into the exported graph.")
 @click.option("--peak-threshold", default=0.2, show_default=True)
 @click.option("--max-instances", default=20, show_default=True,
               help="Crop slots baked into topdown composite exports.")
-def export(model_dir, output_dir, fmt, batch_size, peak_threshold, max_instances):
+@click.option("--max-peaks", "--max-peaks-per-node", "max_peaks", default=200,
+              show_default=True, help="Peak slots baked into the graph.")
+@click.option("--input-height", default=None, type=int,
+              help="Override the baked input height.")
+@click.option("--input-width", default=None, type=int,
+              help="Override the baked input width.")
+@click.option("--input-scale", default=None, type=float,
+              help="Override the baked preprocessing scale.")
+@click.option("--crop-size", default=None, type=int,
+              help="Override the instance crop size (topdown composites).")
+@click.option("--precision", default="fp32", show_default=True,
+              type=click.Choice(["fp32", "bf16"]),
+              help="Forward-pass precision baked into the graph (bf16 is "
+                   "the TPU analog of the reference's fp16 engines).")
+@click.option("--verify/--no-verify", "verify", default=True, show_default=True,
+              help="Numerically verify the serialized graph against eager.")
+@click.option("--device", default=None, hidden=True,
+              help="[no-op] Retained for reference-CLI compatibility.")
+@click.option("--opset-version", default=None, type=int, hidden=True,
+              help="[ONNX-only] Not applicable to StableHLO exports.")
+@click.option("--workspace-size-gb", default=None, type=float, hidden=True,
+              help="[TensorRT-only] Not applicable to StableHLO exports.")
+def export(model_dir, output_dir, fmt, batch_size, peak_threshold,
+           max_instances, max_peaks, input_height, input_width, input_scale,
+           crop_size, precision, verify, device, opset_version,
+           workspace_size_gb):
     """Export trained model(s) with baked postprocessing.
 
     Pass one model dir, or a centroid + instance-model pair for the fused
@@ -988,6 +1015,12 @@ def export(model_dir, output_dir, fmt, batch_size, peak_threshold, max_instances
     """
     from sleap_nn_tpu.export import export_model
 
+    if opset_version is not None or workspace_size_gb is not None:
+        click.echo(
+            "WARNING: --opset-version/--workspace-size-gb are ONNX/TensorRT "
+            "knobs; StableHLO exports ignore them.",
+            err=True,
+        )
     dirs = list(model_dir)
     out = export_model(
         dirs if len(dirs) > 1 else dirs[0],
@@ -996,6 +1029,13 @@ def export(model_dir, output_dir, fmt, batch_size, peak_threshold, max_instances
         batch_size=batch_size,
         peak_threshold=peak_threshold,
         max_instances=max_instances,
+        max_peaks=max_peaks,
+        input_height=input_height,
+        input_width=input_width,
+        input_scale=input_scale,
+        crop_size=crop_size,
+        precision=precision,
+        verify=verify,
     )
     click.echo(f"Exported to: {out}")
 

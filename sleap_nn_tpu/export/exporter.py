@@ -236,7 +236,8 @@ def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
 
 def _build_composite_wrapper(
     model_dirs, peak_threshold: float, batch_size: int, max_peaks: int,
-    max_instances: int,
+    max_instances: int, input_height=None, input_width=None,
+    input_scale=None, crop_size=None, use_bf16: bool = False,
 ):
     """Two-model (centroid + instance) fused export: crop extraction in-graph.
 
@@ -251,6 +252,11 @@ def _build_composite_wrapper(
         peak_threshold=peak_threshold,
         max_peaks=max_peaks,
         max_instances=max_instances,
+        max_height=input_height,
+        max_width=input_width,
+        input_scale=input_scale,
+        crop_size=crop_size,
+        use_bf16=use_bf16,
     )
     if p.model_type not in ("topdown", "multi_class_topdown"):
         raise NotImplementedError(
@@ -272,6 +278,31 @@ def _build_composite_wrapper(
     return p, layer._full, input_shape, outputs
 
 
+def _apply_bf16(loaded):
+    """Swap the loaded model for a bf16-forward shim (``--precision bf16``).
+
+    Inputs cast to bfloat16 at the model boundary, params cast once,
+    outputs back to float32 — the same policy as JaxBackend(use_bf16) so
+    exported numerics match live bf16 inference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    orig_model = loaded.model
+    loaded.params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        loaded.params,
+    )
+
+    class _BF16Shim:
+        def apply(self, params, x):
+            out = orig_model.apply(params, x.astype(jnp.bfloat16))
+            return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+    loaded.model = _BF16Shim()
+
+
 def export_model(
     model_dir,
     output_dir=None,
@@ -281,18 +312,32 @@ def export_model(
     max_peaks: int = 200,
     max_instances: int = 20,
     verify: bool = True,
+    input_height: "Optional[int]" = None,
+    input_width: "Optional[int]" = None,
+    input_scale: "Optional[float]" = None,
+    crop_size: "Optional[int]" = None,
+    precision: str = "fp32",
 ) -> Path:
     """Export trained model dir(s) to a serialized artifact + metadata.json.
 
     ``model_dir`` may be a single dir or a [centroid, instance-model] pair
     for the fused topdown / multi_class_topdown composite export.
+    ``input_height``/``input_width``/``input_scale`` override the baked
+    input geometry; ``precision='bf16'`` bakes a bfloat16 forward
+    (reference exports offer the analogous fp16 engines).
     """
     import jax
     import jax.numpy as jnp
 
+    if precision not in ("fp32", "bf16"):
+        raise ValueError(f"precision must be fp32 or bf16, got {precision!r}")
+
     if isinstance(model_dir, (list, tuple)) and len(model_dir) > 1:
         predictor, fn, input_shape, output_names = _build_composite_wrapper(
-            model_dir, peak_threshold, batch_size, max_peaks, max_instances
+            model_dir, peak_threshold, batch_size, max_peaks, max_instances,
+            input_height=input_height, input_width=input_width,
+            input_scale=input_scale, crop_size=crop_size,
+            use_bf16=precision == "bf16",
         )
         model_type = predictor.model_type
         skeleton_nodes = tuple(predictor.skeleton.node_names)
@@ -305,6 +350,15 @@ def export_model(
         if isinstance(model_dir, (list, tuple)):
             model_dir = model_dir[0]
         loaded = load_model(model_dir)
+        pre_cfg = loaded.config.data_config.preprocessing
+        if input_height is not None:
+            pre_cfg.max_height = int(input_height)
+        if input_width is not None:
+            pre_cfg.max_width = int(input_width)
+        if input_scale is not None:
+            pre_cfg.scale = float(input_scale)
+        if precision == "bf16":
+            _apply_bf16(loaded)
         fn, input_shape, output_names = _build_wrapper(
             loaded, peak_threshold, batch_size, max_peaks
         )

@@ -161,3 +161,37 @@ def test_export_centered_instance_segmentation(tmp_path):
     assert seg.shape[0] == 2
     with pytest.raises(NotImplementedError, match="topdown composite"):
         Predictor.from_export_dir(out)
+
+
+def test_export_precision_bf16_and_input_overrides(tmp_path):
+    """--precision bf16 bakes a bfloat16 forward; --input-height/-width
+    override the baked geometry. Numerics stay close to fp32."""
+    import numpy as np
+    src = _train_tiny("single_instance", {
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    }, tmp_path)
+    out32 = export_model(src, output_dir=tmp_path / "e32", batch_size=1,
+                         peak_threshold=0.1)
+    out16 = export_model(src, output_dir=tmp_path / "e16", batch_size=1,
+                         peak_threshold=0.1, precision="bf16")
+    from sleap_nn_tpu.export import load_exported_model
+
+    call32, meta32 = load_exported_model(out32)
+    call16, meta16 = load_exported_model(out16)
+    assert meta32.input_shape == meta16.input_shape
+    x = _rand_frames(1, meta32.input_shape[1], meta32.input_shape[2])
+    if meta32.input_shape[-1] == 1:
+        x = x[..., :1]
+    p32 = np.asarray(call32(x)["pred_keypoints"])
+    p16 = np.asarray(call16(x)["pred_keypoints"])
+    # bf16 keypoint drift stays small (reference quotes <=0.001 px for fp16;
+    # bf16 has fewer mantissa bits so allow a looser but still tight bound).
+    both = np.isfinite(p32) & np.isfinite(p16)
+    if both.any():
+        assert np.abs(p32[both] - p16[both]).max() < 0.5
+
+    # Input overrides change the baked shape.
+    out_sz = export_model(src, output_dir=tmp_path / "esz", batch_size=1,
+                          peak_threshold=0.1, input_height=192, input_width=160)
+    _, meta_sz = load_exported_model(out_sz)
+    assert tuple(meta_sz.input_shape[1:3]) == (192, 160)
