@@ -370,11 +370,21 @@ def export_model(
     output_dir = Path(output_dir or (Path(model_dir) / "exported"))
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    x_spec = jax.ShapeDtypeStruct(input_shape, jnp.uint8)
-    exported = jax.export.export(jax.jit(fn))(x_spec)
-    blob = exported.serialize()
-    artifact = output_dir / "model.stablehlo"
-    artifact.write_bytes(blob)
+    if fmt == "savedmodel":
+        # TF SavedModel via jax2tf (the TF-serving deployment surface; the
+        # reference's ONNX analog). The graph bakes the same uint8 ->
+        # outputs program; metadata records the directory artifact with a
+        # tree hash over its files.
+        artifact_name = "savedmodel"
+        _export_savedmodel(fn, input_shape, output_dir / artifact_name)
+        blob = _hash_tree(output_dir / artifact_name)
+    else:
+        artifact_name = "model.stablehlo"
+        x_spec = jax.ShapeDtypeStruct(input_shape, jnp.uint8)
+        exported = jax.export.export(jax.jit(fn))(x_spec)
+        blob = exported.serialize()
+        (output_dir / artifact_name).write_bytes(blob)
+        blob = hashlib.sha256(blob).hexdigest()
 
     meta = ExportMetadata(
         model_type=model_type,
@@ -384,8 +394,8 @@ def export_model(
         peak_threshold=peak_threshold,
         skeleton_nodes=skeleton_nodes,
         skeleton_edges=skeleton_edges,
-        artifact="model.stablehlo",
-        artifact_sha256=hashlib.sha256(blob).hexdigest(),
+        artifact=artifact_name,
+        artifact_sha256=blob,
     )
     (output_dir / "metadata.json").write_text(meta.to_json())
     # Copy the training config for provenance (reference: export/cli.py:854).
@@ -402,13 +412,58 @@ def export_model(
     return output_dir
 
 
+def _export_savedmodel(fn, input_shape, out_dir: Path):
+    """Serialize ``fn`` as a TF SavedModel (jax2tf bridge)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = jax2tf.convert(fn, with_gradient=False)
+    module = tf.Module()
+    module.serve = tf.function(
+        tf_fn,
+        input_signature=[tf.TensorSpec(list(input_shape), tf.uint8)],
+        autograph=False,
+    )
+    tf.saved_model.save(
+        module, str(out_dir),
+        signatures={"serving_default": module.serve},
+    )
+
+
+def _hash_tree(root: Path) -> str:
+    """Deterministic sha256 over a directory's files (path + bytes)."""
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*")):
+        if p.is_file():
+            h.update(str(p.relative_to(root)).encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()
+
+
 def load_exported_model(export_dir):
     """Load a serialized export: returns (callable, ExportMetadata)."""
     import jax
 
     export_dir = Path(export_dir)
     meta = ExportMetadata.from_json((export_dir / "metadata.json").read_text())
-    blob = (export_dir / meta.artifact).read_bytes()
+    artifact = export_dir / meta.artifact
+    if artifact.is_dir():  # SavedModel
+        if _hash_tree(artifact) != meta.artifact_sha256:
+            raise ValueError("Exported artifact hash mismatch (corrupted tree).")
+        import tensorflow as tf
+
+        module = tf.saved_model.load(str(artifact))
+        serve = module.signatures["serving_default"]
+
+        def call(x):
+            import numpy as _np
+
+            out = serve(**{list(serve.structured_input_signature[1])[0]:
+                           tf.constant(_np.asarray(x))})
+            return {k: v.numpy() for k, v in out.items()}
+
+        return call, meta
+    blob = artifact.read_bytes()
     if hashlib.sha256(blob).hexdigest() != meta.artifact_sha256:
         raise ValueError("Exported artifact hash mismatch (corrupted file).")
     exported = jax.export.deserialize(bytearray(blob))

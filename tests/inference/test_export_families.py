@@ -195,3 +195,25 @@ def test_export_precision_bf16_and_input_overrides(tmp_path):
                           peak_threshold=0.1, input_height=192, input_width=160)
     _, meta_sz = load_exported_model(out_sz)
     assert tuple(meta_sz.input_shape[1:3]) == (192, 160)
+
+
+def test_export_savedmodel_roundtrip(tmp_path):
+    """fmt='savedmodel' writes a real TF SavedModel that reproduces the
+    eager numerics (previously the flag silently produced StableHLO)."""
+    import numpy as np
+    src = _train_tiny("single_instance", {
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+    }, tmp_path)
+    out = export_model(src, output_dir=tmp_path / "sm", batch_size=1,
+                       peak_threshold=0.1, fmt="savedmodel")
+    assert (out / "savedmodel" / "saved_model.pb").exists()
+    from sleap_nn_tpu.export import load_exported_model
+
+    call, meta = load_exported_model(out)
+    assert meta.artifact == "savedmodel"
+    x = _rand_frames(1, meta.input_shape[1], meta.input_shape[2])
+    if meta.input_shape[-1] == 1:
+        x = x[..., :1]
+    got = call(x)
+    assert "pred_keypoints" in got
+    assert np.asarray(got["pred_keypoints"]).shape[0] == 1
