@@ -996,6 +996,10 @@ def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
               type=click.Choice(["fp32", "bf16"]),
               help="Forward-pass precision baked into the graph (bf16 is "
                    "the TPU analog of the reference's fp16 engines).")
+@click.option("--n-line-points", default=10, show_default=True,
+              help="PAF line samples baked into bottomup exports.")
+@click.option("--max-edge-length-ratio", default=0.25, show_default=True)
+@click.option("--dist-penalty-weight", default=1.0, show_default=True)
 @click.option("--verify/--no-verify", "verify", default=True, show_default=True,
               help="Numerically verify the serialized graph against eager.")
 @click.option("--device", default=None, hidden=True,
@@ -1006,7 +1010,8 @@ def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
               help="[TensorRT-only] Not applicable to StableHLO exports.")
 def export(model_dir, output_dir, fmt, batch_size, peak_threshold,
            max_instances, max_peaks, input_height, input_width, input_scale,
-           crop_size, precision, verify, device, opset_version,
+           crop_size, precision, n_line_points, max_edge_length_ratio,
+           dist_penalty_weight, verify, device, opset_version,
            workspace_size_gb):
     """Export trained model(s) with baked postprocessing.
 
@@ -1035,6 +1040,9 @@ def export(model_dir, output_dir, fmt, batch_size, peak_threshold,
         input_scale=input_scale,
         crop_size=crop_size,
         precision=precision,
+        n_line_points=n_line_points,
+        max_edge_length_ratio=max_edge_length_ratio,
+        dist_penalty_weight=dist_penalty_weight,
         verify=verify,
     )
     click.echo(f"Exported to: {out}")

@@ -39,7 +39,7 @@ class ExportMetadata:
 
 
 def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
-                   max_peaks: int):
+                   max_peaks: int, paf_knobs: dict = None):
     """Bake normalize + forward + peaks into one function (reference wrapper pattern)."""
     import jax.numpy as jnp
 
@@ -118,6 +118,7 @@ def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
             part_names=head.confmaps.part_names,
             edges=[tuple(e) for e in head.pafs.edges],
             pafs_stride=head.pafs.output_stride,
+            **(paf_knobs or {}),
         )
 
         def fn(images):
@@ -317,6 +318,9 @@ def export_model(
     input_scale: "Optional[float]" = None,
     crop_size: "Optional[int]" = None,
     precision: str = "fp32",
+    n_line_points: int = 10,
+    max_edge_length_ratio: float = 0.25,
+    dist_penalty_weight: float = 1.0,
 ) -> Path:
     """Export trained model dir(s) to a serialized artifact + metadata.json.
 
@@ -360,7 +364,12 @@ def export_model(
         if precision == "bf16":
             _apply_bf16(loaded)
         fn, input_shape, output_names = _build_wrapper(
-            loaded, peak_threshold, batch_size, max_peaks
+            loaded, peak_threshold, batch_size, max_peaks,
+            paf_knobs={
+                "n_points": n_line_points,
+                "max_edge_length_ratio": max_edge_length_ratio,
+                "dist_penalty_weight": dist_penalty_weight,
+            },
         )
         model_type = loaded.model_type
         skeleton_nodes = tuple(loaded.skeleton_nodes)

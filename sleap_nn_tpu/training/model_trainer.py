@@ -752,6 +752,12 @@ class ModelTrainer:
                     self._log_all("on_batch_end", n_steps - 1, {})
                     if self.should_stop or (steps_cap and n_steps >= steps_cap):
                         break
+                # Block on the final step's loss BEFORE stopping the epoch
+                # timer: jax dispatch is async (and over the axon tunnel even
+                # block_until_ready returns early), so without a real fetch
+                # the timer measures dispatch rate, not training rate.
+                if train_losses:
+                    float(jax.device_get(train_losses[-1]))
                 train_time = time.perf_counter() - t0
                 train_loss = float(np.mean([jax.device_get(l) for l in train_losses]))
 
