@@ -116,6 +116,33 @@ def legacy_config_mapper(legacy: dict) -> TrainingJobConfig:
             "model_config.head_configs.bottomup.pafs.sigma": pafs.get("sigma", 15.0),
             "model_config.head_configs.bottomup.pafs.output_stride": pafs.get("output_stride", 1),
         })
+    elif heads.get("multi_class_bottomup"):
+        h = heads["multi_class_bottomup"]
+        cm, cmaps = h.get("confmaps", {}), h.get("class_maps", {})
+        apply_overrides(cfg, {
+            "model_config.head_configs.multi_class_bottomup.confmaps.part_names": cm.get("part_names"),
+            "model_config.head_configs.multi_class_bottomup.confmaps.sigma": cm.get("sigma", 5.0),
+            "model_config.head_configs.multi_class_bottomup.confmaps.output_stride": cm.get("output_stride", 1),
+            "model_config.head_configs.multi_class_bottomup.confmaps.loss_weight": cm.get("loss_weight", 1.0),
+            "model_config.head_configs.multi_class_bottomup.class_maps.classes": cmaps.get("classes"),
+            "model_config.head_configs.multi_class_bottomup.class_maps.sigma": cmaps.get("sigma", 5.0),
+            "model_config.head_configs.multi_class_bottomup.class_maps.output_stride": cmaps.get("output_stride", 1),
+            "model_config.head_configs.multi_class_bottomup.class_maps.loss_weight": cmaps.get("loss_weight", 1.0),
+        })
+    elif heads.get("multi_class_topdown"):
+        h = heads["multi_class_topdown"]
+        cm = h.get("confmaps", {})
+        cvec = h.get("class_vectors", {})
+        apply_overrides(cfg, {
+            "model_config.head_configs.multi_class_topdown.confmaps.part_names": cm.get("part_names"),
+            "model_config.head_configs.multi_class_topdown.confmaps.anchor_part": cm.get("anchor_part"),
+            "model_config.head_configs.multi_class_topdown.confmaps.sigma": cm.get("sigma", 5.0),
+            "model_config.head_configs.multi_class_topdown.confmaps.output_stride": cm.get("output_stride", 1),
+            "model_config.head_configs.multi_class_topdown.class_vectors.classes": cvec.get("classes"),
+            "model_config.head_configs.multi_class_topdown.class_vectors.num_fc_layers": cvec.get("num_fc_layers", 1),
+            "model_config.head_configs.multi_class_topdown.class_vectors.num_fc_units": cvec.get("num_fc_units", 64),
+            "model_config.head_configs.multi_class_topdown.class_vectors.loss_weight": cvec.get("loss_weight", 1.0),
+        })
 
     opt = legacy.get("optimization", {})
     cfg.trainer_config.train_data_loader.batch_size = int(opt.get("batch_size", 4))
@@ -210,6 +237,13 @@ def _legacy_name_to_path(name: str) -> Optional[Tuple[str, ...]]:
     if "stem" in name and "_conv" in name:
         stem, conv = name.split("_")
         return ("backbone", "stem", stem, conv)
+    if name.startswith("pre_classification") and name.endswith("_fc"):
+        # Keras class-vectors FC stack: pre_classificationN_fc -> fcN.
+        idx = name[len("pre_classification"):-len("_fc")]
+        return ("ClassVectorsHead", f"fc{idx}")
+    if "ClassVectorsHead" in name:
+        # The final Dense (units -> n_classes) is the logits layer.
+        return ("ClassVectorsHead", "logits")
     if "Head" in name:
         head_name = name.rsplit("_", 1)[0]  # strip trailing _0
         return (head_name, "head_conv")
