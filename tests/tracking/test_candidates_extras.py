@@ -144,3 +144,60 @@ def test_tracker_reconnects_across_all_empty_gap():
     names = {i.track.name for lf in out.labeled_frames
              for i in lf.predicted_instances if i.track}
     assert len(names) == 1
+
+
+def test_two_trackers_do_not_share_track_objects():
+    """Separate tracker instances mint distinct Track objects (reference
+    test_tracker_track_objects_not_shared)."""
+    a, b = synth(n_frames=3), synth(n_frames=3)
+    t1 = Tracker.from_config()
+    t2 = Tracker.from_config()
+    t1.track_labels(a)
+    t2.track_labels(b)
+    tracks_a = {id(i.track) for lf in a.labeled_frames
+                for i in lf.predicted_instances if i.track}
+    tracks_b = {id(i.track) for lf in b.labeled_frames
+                for i in lf.predicted_instances if i.track}
+    assert not tracks_a & tracks_b
+
+
+def test_run_tracker_zero_frames_with_clean_count():
+    from sleap_nn_tpu.io import Labels
+    from sleap_nn_tpu.tracking import run_tracker
+
+    out = run_tracker(Labels([]), clean_instance_count=2)
+    assert out.labeled_frames == []
+    assert out.tracks == []
+
+
+def test_get_scores_empty_candidate_list_no_crash():
+    """A track whose candidate list is empty scores NaN, not crash."""
+    tracker = Tracker.from_config()
+    inst = make_instance([10, 10])
+    current = tracker.get_features([inst], 0)
+    # Fabricate a live track id with NO stored features.
+    tracker.candidate.tracker_queue.append([])
+    scores = tracker.get_scores(current, {tid: [] for tid in
+                                          tracker.candidate.current_tracks})
+    assert scores.shape[0] == 1
+    assert np.isnan(scores).all() or scores.size == 0
+
+
+def test_hungarian_all_inf_matrix_yields_no_matches():
+    from sleap_nn_tpu.tracking.utils import hungarian_matching
+
+    cost = np.full((3, 3), np.inf)
+    rows, cols = hungarian_matching(cost)
+    assert len(rows) == 0 and len(cols) == 0
+
+
+def test_nms_with_target_keeps_count():
+    from sleap_nn_tpu.tracking.utils import nms_fast
+
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60],
+                      [100, 100, 110, 110]], float)
+    scores = np.array([0.9, 0.8, 0.7, 0.6])
+    keep = nms_fast(boxes, scores, iou_threshold=0.5, target_count=2)
+    assert len(keep) == 2
+    assert keep[0] == 0  # highest score survives
+    assert 1 not in keep  # suppressed duplicate
