@@ -244,15 +244,21 @@ def predict(
         )
     # A single -m pointing at a serialized export dir loads the baked graph
     # (reference run.py export_dir path). --runtime selects the format when
-    # the export dir carries more than one; 'auto' prefers StableHLO.
+    # the export dir carries more than one; 'auto' accepts either.
     if len(model_paths) == 1:
         mp = Path(model_paths[0])
-        if (mp / "metadata.json").exists() and (mp / "model.stablehlo").exists():
-            if runtime not in ("auto", "stablehlo"):
+        has_hlo = (mp / "model.stablehlo").exists()
+        has_sm = (mp / "savedmodel").is_dir()
+        if (mp / "metadata.json").exists() and (has_hlo or has_sm):
+            if runtime == "stablehlo" and not has_hlo:
                 raise ValueError(
-                    f"--runtime {runtime!r}: this export dir carries a "
-                    "StableHLO graph; 'savedmodel' exports load via TF "
-                    "serving, not this predictor."
+                    "--runtime stablehlo: this export dir carries a TF "
+                    "SavedModel only."
+                )
+            if runtime == "savedmodel" and not has_sm:
+                raise ValueError(
+                    "--runtime savedmodel: this export dir carries a "
+                    "StableHLO graph only."
                 )
             predictor = Predictor.from_export_dir(
                 mp, max_instances=max_instances, min_line_scores=min_line_scores
