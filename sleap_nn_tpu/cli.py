@@ -660,18 +660,17 @@ def _run_inference(**kw):
     from sleap_nn_tpu.inference.filters import FilterConfig
 
     overlap_on = kw.pop("filter_overlapping")
+    overlap_method = kw.pop("filter_overlapping_method")  # always consumed
     fc = FilterConfig(
         min_node_count=kw.pop("filter_min_visible_nodes"),
         min_node_confidence=kw.pop("filter_min_node_confidence"),
         min_instance_score=kw.pop("filter_min_instance_score"),
-        overlap_method=kw.pop("filter_overlapping_method") if overlap_on else None,
+        overlap_method=overlap_method if overlap_on else None,
         overlap_threshold=kw.pop("filter_overlapping_threshold"),
         max_centroid_distance=kw.pop("filter_min_centroid_distance"),
         min_visible_node_fraction=kw.pop("filter_min_visible_node_fraction"),
         min_mean_node_score=kw.pop("filter_min_mean_node_score"),
     )
-    if not overlap_on:
-        kw.pop("filter_overlapping_threshold", None)
     if fc.enabled():
         kw["filters"] = fc
 

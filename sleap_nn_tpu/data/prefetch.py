@@ -13,33 +13,70 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from typing import Optional
 
 
 class PrefetchIterator:
-    """Wrap a generator with a bounded background-thread prefetch queue."""
+    """Wrap a generator with a bounded background-thread prefetch queue.
+
+    Abandonment-safe: consumers that break out of iteration early (the
+    steps-per-epoch cap does this every epoch) would otherwise leave the
+    worker parked forever on the bounded queue, leaking a thread plus the
+    buffered batches. The worker's puts poll a stop flag, and the flag is
+    raised by :meth:`close`, garbage collection of the iterator, or
+    generator exhaustion — so no thread or pinned batch outlives its
+    consumer.
+    """
 
     def __init__(self, gen, prefetch: int = 2):
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        stop = self._stop
+
+        def put(q, item) -> bool:
+            """Bounded put that gives up when the consumer went away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in gen:
-                    self.q.put(item)
+                    if not put(self.q, item):
+                        return  # abandoned: drop everything, exit
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                self.q.put(self._done)
+                put(self.q, self._done)
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
+        # GC of the iterator releases the worker even without close().
+        self._finalizer = weakref.finalize(self, stop.set)
+
+    def close(self):
+        """Release the worker thread (safe to call multiple times)."""
+        self._stop.set()
+        # Drain anything buffered so the worker's pending put unblocks.
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self.q.get()
         if item is self._done:
             if self._err is not None:

@@ -466,19 +466,23 @@ class Evaluator:
             pairs, fn, fp = match_masks(gt_masks, pr_masks, iou_thr)
             # Per-frame payload for PQ / per-size / fragmentation / COCO mAP:
             # the 1-to-1 Hungarian pairs above can't express those
-            # (reference: evaluation.py:1640-1830).
+            # (reference: evaluation.py:1640-1830). One pixel pass per pair
+            # computes intersection; IoU derives from it and the areas (no
+            # second full-canvas mask_iou sweep).
             n_p, n_g = len(pr_masks), len(gt_masks)
+            pr_areas = np.array([int(m.sum()) for m in pr_masks], dtype=float)
+            gt_areas_arr = np.array([int(m.sum()) for m in gt_masks], dtype=float)
             iou_mat = np.zeros((n_p, n_g), dtype=float)
             inter_mat = np.zeros((n_p, n_g), dtype=float)
             for pj in range(n_p):
                 for gi in range(n_g):
-                    iou_mat[pj, gi] = mask_iou(pr_masks[pj], gt_masks[gi])
                     a, b = pr_masks[pj], gt_masks[gi]
                     hh = min(a.shape[0], b.shape[0])
                     ww = min(a.shape[1], b.shape[1])
-                    inter_mat[pj, gi] = float(
-                        np.logical_and(a[:hh, :ww], b[:hh, :ww]).sum()
-                    )
+                    inter = float(np.logical_and(a[:hh, :ww], b[:hh, :ww]).sum())
+                    inter_mat[pj, gi] = inter
+                    union = pr_areas[pj] + gt_areas_arr[gi] - inter
+                    iou_mat[pj, gi] = inter / union if union > 0 else 0.0
             self._mask_frames.append(
                 {
                     "iou": iou_mat,
@@ -487,8 +491,8 @@ class Evaluator:
                         [float(getattr(m, "score", 0.0) or 0.0) for m in frame_pr.masks],
                         dtype=float,
                     ),
-                    "gt_areas": np.array([int(m.sum()) for m in gt_masks], dtype=float),
-                    "pred_areas": np.array([int(m.sum()) for m in pr_masks], dtype=float),
+                    "gt_areas": gt_areas_arr,
+                    "pred_areas": pr_areas,
                 }
             )
             gt_mi = get_instances(frame_gt)

@@ -405,6 +405,8 @@ def export_model(
         skeleton_edges=skeleton_edges,
         artifact=artifact_name,
         artifact_sha256=blob,
+        format="tf_savedmodel" if fmt == "savedmodel"
+        else "jax_export_stablehlo",
     )
     (output_dir / "metadata.json").write_text(meta.to_json())
     # Copy the training config for provenance (reference: export/cli.py:854).
@@ -449,12 +451,24 @@ def _hash_tree(root: Path) -> str:
     return h.hexdigest()
 
 
-def load_exported_model(export_dir):
-    """Load a serialized export: returns (callable, ExportMetadata)."""
+def load_exported_model(export_dir, runtime: str = "auto"):
+    """Load a serialized export: returns (callable, ExportMetadata).
+
+    ``runtime`` ('auto'|'stablehlo'|'savedmodel') must agree with the
+    dir's metadata; a dir holding both artifact kinds is ambiguous (one
+    metadata.json names one artifact) — export each format to its own dir.
+    """
     import jax
 
     export_dir = Path(export_dir)
     meta = ExportMetadata.from_json((export_dir / "metadata.json").read_text())
+    want = {"stablehlo": "model.stablehlo", "savedmodel": "savedmodel"}.get(runtime)
+    if want is not None and meta.artifact != want:
+        raise ValueError(
+            f"--runtime {runtime!r}: this export dir's metadata names "
+            f"{meta.artifact!r}. Re-export with --format {runtime} (to a "
+            "separate output dir when keeping both)."
+        )
     artifact = export_dir / meta.artifact
     if artifact.is_dir():  # SavedModel
         if _hash_tree(artifact) != meta.artifact_sha256:

@@ -527,8 +527,10 @@ class Predictor:
         scale, mh, mw = self._host_transform
         b, h, w, c = frames.shape
         eff = 1.0
-        if mh and mw and (h, w) != (mh, mw):
-            eff = min(mh / h, mw / w)
+        if (mh or mw) and (h, w) != (mh or h, mw or w):
+            # Single-dim caps behave like the device apply_sizematcher
+            # (`max_height or h`): an unset dim constrains nothing.
+            eff = min((mh or h) / h, (mw or w) / w)
         th, tw = int(round(h * eff)), int(round(w * eff))
         th2, tw2 = int(round(th * scale)), int(round(tw * scale))
         if (th2, tw2) == (h, w):
@@ -980,6 +982,7 @@ def from_export_dir(
     export_dir, batch_size: Optional[int] = None,
     max_instances: Optional[int] = None,
     min_line_scores: float = 0.25,
+    runtime: str = "auto",
 ) -> Predictor:
     """Build a Predictor from a serialized export dir (reference: predictor.py:1124).
 
@@ -990,7 +993,7 @@ def from_export_dir(
     """
     from sleap_nn_tpu.export import load_exported_model
 
-    call, meta = load_exported_model(export_dir)
+    call, meta = load_exported_model(export_dir, runtime=runtime)
     skel = Skeleton(nodes=list(meta.skeleton_nodes) or ["centroid"],
                     edges=list(meta.skeleton_edges))
 

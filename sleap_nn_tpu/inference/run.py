@@ -250,18 +250,11 @@ def predict(
         has_hlo = (mp / "model.stablehlo").exists()
         has_sm = (mp / "savedmodel").is_dir()
         if (mp / "metadata.json").exists() and (has_hlo or has_sm):
-            if runtime == "stablehlo" and not has_hlo:
-                raise ValueError(
-                    "--runtime stablehlo: this export dir carries a TF "
-                    "SavedModel only."
-                )
-            if runtime == "savedmodel" and not has_sm:
-                raise ValueError(
-                    "--runtime savedmodel: this export dir carries a "
-                    "StableHLO graph only."
-                )
+            # Artifact selection/validation happens against metadata in
+            # load_exported_model (a dir with both kinds is ambiguous).
             predictor = Predictor.from_export_dir(
-                mp, max_instances=max_instances, min_line_scores=min_line_scores
+                mp, max_instances=max_instances,
+                min_line_scores=min_line_scores, runtime=runtime,
             )
             if progress_callback is not None:
                 predictor.progress_callback = progress_callback

@@ -83,9 +83,13 @@ def find_local_snapshot(model_name: str, revision: Optional[str] = None) -> Opti
     return None
 
 
-def resolve_hf_config(model_name: str) -> Tuple[Dict[str, Any], Optional[Path]]:
-    """Return (architecture config dict, local snapshot path or None)."""
-    snap = find_local_snapshot(model_name)
+def resolve_hf_config(model_name: str, revision: "Optional[str]" = None,
+                      ) -> Tuple[Dict[str, Any], Optional[Path]]:
+    """Return (architecture config dict, local snapshot path or None).
+
+    ``revision`` pins a snapshot by commit-sha prefix (errors if absent).
+    """
+    snap = find_local_snapshot(model_name, revision=revision)
     if snap is not None:
         with open(snap / "config.json") as fp:
             return json.load(fp), snap
@@ -371,7 +375,8 @@ class PretrainedBackbone(nn.Module):
 
     @classmethod
     def from_config(cls, config) -> "PretrainedBackbone":
-        arch_cfg, _ = resolve_hf_config(config.model_name)
+        arch_cfg, _ = resolve_hf_config(config.model_name,
+                                        getattr(config, "revision", None))
         encoder = build_encoder(arch_cfg)
         strides, channels = probe_pyramid(encoder)
         # out_indices (reference pretrained.py out_indices): restrict which
@@ -538,14 +543,15 @@ def _transform(value: np.ndarray, how: str) -> np.ndarray:
     return value
 
 
-def load_hf_encoder_params(model_name: str, variables, backbone_scope: str = "backbone"):
+def load_hf_encoder_params(model_name: str, variables, backbone_scope: str = "backbone",
+                           revision: "Optional[str]" = None):
     """Load pretrained encoder weights into a Model's variables, if available.
 
     Returns (variables, loaded: bool). Looks for a local safetensors
     snapshot; when none exists, warns and returns the input unchanged
     (random init) — mirroring the reference's offline ``weights=False`` path.
     """
-    arch_cfg, snap = resolve_hf_config(model_name)
+    arch_cfg, snap = resolve_hf_config(model_name, revision=revision)
     if snap is None:
         warnings.warn(
             f"No local snapshot for pretrained backbone {model_name!r}; "
@@ -597,6 +603,10 @@ def load_hf_encoder_params(model_name: str, variables, backbone_scope: str = "ba
         root = variables.get(coll, {})
         scope = root.get(backbone_scope, root)
         enc = scope.get("enc") or scope.get("encoder")
+        if enc is not None and set(enc) == {"inner"}:
+            # out_indices wraps the encoder in _StageSubsetEncoder; the real
+            # encoder params live one level down under 'inner'.
+            enc = enc["inner"]
         if enc is None and any(
             k.startswith(("patch_embed", "embed", "stem", "stage", "out_norm"))
             for k in scope

@@ -281,6 +281,23 @@ class ModelTrainer:
         if self._setup_done:
             return
         cfg = self.config
+
+        # Backend selection MUST precede every JAX computation in setup
+        # (the probe render / model.init below initialize the backend, after
+        # which neither jax.distributed.initialize nor a platform switch
+        # can take effect).
+        # trainer_accelerator (reference Lightning accelerator knob):
+        # "cpu" forces the CPU backend; "auto"/"tpu" keep the default.
+        if (cfg.trainer_config.trainer_accelerator or "auto") == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        # Multi-host: join the cluster (no-op single-process; env
+        # SLEAP_NN_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID mirror
+        # torchrun's launch contract). jax.devices() later then spans every
+        # process and the mesh is global.
+        from sleap_nn_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
+
         seed = cfg.trainer_config.seed if cfg.trainer_config.seed is not None else 0
         self.key = jax.random.PRNGKey(seed)
 
@@ -377,7 +394,10 @@ class ModelTrainer:
             if getattr(bb, "weights", True):
                 from sleap_nn_tpu.models.pretrained import load_hf_encoder_params
 
-                params, _ = load_hf_encoder_params(bb.model_name, params)
+                params, _ = load_hf_encoder_params(
+                    bb.model_name, params,
+                    revision=getattr(bb, "revision", None),
+                )
             freeze = bool(getattr(bb, "freeze", False))
 
             # BatchNorm running stats are inference-mode constants
@@ -448,20 +468,6 @@ class ModelTrainer:
         self.scheduler = make_scheduler(
             cfg.trainer_config.lr_scheduler, base_lr, cfg.trainer_config.max_epochs
         )
-
-        # trainer_accelerator (reference Lightning accelerator knob):
-        # "cpu" forces the CPU backend; "auto"/"tpu" keep the default
-        # platform (TPU when attached). GPU/MPS have no meaning here.
-        if (cfg.trainer_config.trainer_accelerator or "auto") == "cpu":
-            jax.config.update("jax_platforms", "cpu")
-
-        # Multi-host: join the cluster first (no-op single-process; env
-        # SLEAP_NN_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID mirror
-        # torchrun's launch contract). jax.devices() below then spans every
-        # process and the mesh is global.
-        from sleap_nn_tpu.parallel import initialize_distributed
-
-        initialize_distributed()
 
         # mesh + sharding — use the largest device count that divides BOTH
         # batch sizes (replaces the reference's DDP device selection,
@@ -752,6 +758,10 @@ class ModelTrainer:
                     self._log_all("on_batch_end", n_steps - 1, {})
                     if self.should_stop or (steps_cap and n_steps >= steps_cap):
                         break
+                # Release the prefetch worker when iteration stopped early
+                # (steps cap / stop command) — otherwise it leaks per epoch.
+                if hasattr(data_iter, "close"):
+                    data_iter.close()
                 # Block on the final step's loss BEFORE stopping the epoch
                 # timer: jax dispatch is async (and over the axon tunnel even
                 # block_until_ready returns early), so without a real fetch

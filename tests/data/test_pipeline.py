@@ -384,3 +384,34 @@ def test_delete_cache_imgs_after_training(tmp_path):
     cfg.trainer_config.enable_progress_bar = False
     ModelTrainer.get_model_trainer_from_config(cfg).train()
     assert not cache.exists() or not any(cache.glob("sample_*.npy"))
+
+
+def test_prefetch_iterator_abandonment_releases_worker():
+    """Regression: breaking out of a prefetched iterator mid-epoch must not
+    leave the worker thread parked on the bounded queue."""
+    import threading
+    import time
+    from sleap_nn_tpu.data.prefetch import PrefetchIterator
+
+    def gen():
+        for i in range(1000):
+            yield i
+
+    before = threading.active_count()
+    for _ in range(8):  # epochs that each break early
+        it = PrefetchIterator(gen(), prefetch=2)
+        next(it)
+        it.close()
+    time.sleep(0.5)
+    after = threading.active_count()
+    assert after - before <= 1, "prefetch workers leaked"
+
+    # GC-based release (no explicit close).
+    it = PrefetchIterator(gen(), prefetch=2)
+    next(it)
+    del it
+    import gc
+
+    gc.collect()
+    time.sleep(0.5)
+    assert threading.active_count() - before <= 1

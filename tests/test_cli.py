@@ -491,3 +491,25 @@ def test_embed_choice_case_insensitive_and_invalid(trained_model, tmp_path):
         "predict", "-i", FIXTURE, "-m", trained_model, "--embed", "maybe",
     ])
     assert r2.exit_code != 0
+
+
+def test_tracking_flow_without_overlap_filter(trained_model, tmp_path):
+    """Regression: --tracking --use-flow with NO --filter-overlapping used to
+    leak filter_overlapping_method into the tracker kwargs and crash the
+    flow/Kalman tracker constructors."""
+    out = tmp_path / "flowtrk.slp"
+    runner = CliRunner()
+    r = runner.invoke(cli, [
+        "track", "-i",
+        "/root/reference/tests/assets/datasets/small_robot.mp4",
+        "-m", trained_model, "-o", str(out), "--frames", "0-2",
+        "--peak-threshold", "0.05", "--use-flow",
+    ], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    r2 = runner.invoke(cli, [
+        "track", "-i",
+        "/root/reference/tests/assets/datasets/small_robot.mp4",
+        "-m", trained_model, "-o", str(tmp_path / "kftrk.slp"),
+        "--frames", "0-2", "--peak-threshold", "0.05", "--use-kalman",
+    ], catch_exceptions=False)
+    assert r2.exit_code == 0, r2.output
