@@ -193,3 +193,29 @@ def test_load_model_honors_explicit_ckpt(tmp_path):
     # Same single-epoch run: best == last here; the point is both FORMS load.
     assert all(np.allclose(x, y) for x, y in zip(a, b))
     assert via_last.model_type == "single_instance"
+
+
+def test_host_resize_single_dim_sizematch():
+    """Regression: host_resize with only ONE of max_height/max_width set
+    must sizematch like the device path (it silently skipped before)."""
+    import numpy as np
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    p = Predictor.__new__(Predictor)
+    p._host_transform = (1.0, 256, None)  # scale=1, max_height only
+    frames = np.zeros((2, 320, 560, 1), np.uint8)
+    out, eff = Predictor._apply_host_resize(p, frames)
+    assert eff == pytest.approx(256 / 320)
+    assert out.shape[1] == 256
+    assert out.shape[2] == int(round(560 * 256 / 320))
+
+    # Width-only cap.
+    p._host_transform = (1.0, None, 280)
+    out2, eff2 = Predictor._apply_host_resize(p, frames)
+    assert eff2 == pytest.approx(0.5)
+    assert out2.shape[1:3] == (160, 280)
+
+    # No caps, scale 1: exact passthrough.
+    p._host_transform = (1.0, None, None)
+    out3, eff3 = Predictor._apply_host_resize(p, frames)
+    assert eff3 == 1.0 and out3.shape == frames.shape
