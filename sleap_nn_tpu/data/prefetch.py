@@ -32,11 +32,17 @@ class PrefetchIterator:
     def __init__(self, gen, prefetch: int = 2):
         self.q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._done = object()
-        self._err: Optional[BaseException] = None
+        # Error transported via a mutable cell, not an attribute: the worker
+        # closure must hold NO reference to self, or the running thread keeps
+        # the iterator alive and the GC finalizer below can never fire.
+        self._err_cell: list = []
         self._stop = threading.Event()
         stop = self._stop
+        q = self.q
+        done = self._done
+        err_cell = self._err_cell
 
-        def put(q, item) -> bool:
+        def put(item) -> bool:
             """Bounded put that gives up when the consumer went away."""
             while not stop.is_set():
                 try:
@@ -49,17 +55,21 @@ class PrefetchIterator:
         def worker():
             try:
                 for item in gen:
-                    if not put(self.q, item):
+                    if not put(item):
                         return  # abandoned: drop everything, exit
             except BaseException as e:  # propagate into the consumer
-                self._err = e
+                err_cell.append(e)
             finally:
-                put(self.q, self._done)
+                put(done)
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
         # GC of the iterator releases the worker even without close().
         self._finalizer = weakref.finalize(self, stop.set)
+
+    @property
+    def _err(self) -> Optional[BaseException]:
+        return self._err_cell[0] if self._err_cell else None
 
     def close(self):
         """Release the worker thread (safe to call multiple times)."""

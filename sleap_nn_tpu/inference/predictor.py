@@ -578,13 +578,19 @@ class Predictor:
                     "centroids and needs a .slp source (a video has none); "
                     "pair the model with a centroid model for videos."
                 )
-            return VideoProvider(p, batch_size=self.batch_size, frames=frames)
+            return VideoProvider(
+                p, batch_size=self.batch_size, frames=frames,
+                out_format="gray" if self._host_grayscale else None,
+            )
         if isinstance(data, Video):
             if needs_gt:
                 raise ValueError(
                     "Centered-instance-only inference needs a .slp source."
                 )
-            return VideoProvider(data, batch_size=self.batch_size, frames=frames)
+            return VideoProvider(
+                data, batch_size=self.batch_size, frames=frames,
+                out_format="gray" if self._host_grayscale else None,
+            )
         raise ValueError(f"Unsupported data source: {type(data)}")
 
     def predict(
@@ -601,6 +607,17 @@ class Predictor:
         """
         provider = provider or self._make_provider(data, frames)
         results = []
+        # Streaming writer (set by run.predict for --stream-to-file): frames
+        # flush as each batch completes, so a crash mid-run leaves a usable
+        # temp .slp — not just an atomic finalize (reference streams during
+        # inference, predictor.py predict_to_file :1791).
+        writer = getattr(self, "stream_writer", None)
+        if writer is not None:
+            stream_videos = (
+                provider.labels.videos if isinstance(provider, LabelsProvider)
+                else [provider.video] if isinstance(provider, VideoProvider)
+                else []
+            )
         t0 = time.perf_counter()
         n_frames = 0
         # Pipeline: keep up to `depth` batches in flight on the device while
@@ -644,6 +661,8 @@ class Predictor:
                 out["valid"] = batch.valid
                 n_frames += int(batch.valid.sum())
                 results.append(out)
+                if writer is not None:
+                    writer.add_frames(self._frames_from_out(out, stream_videos))
                 cb = getattr(self, "progress_callback", None)
                 if cb is not None:
                     cb(n_frames)
@@ -657,6 +676,8 @@ class Predictor:
             grouped["valid"] = batch.valid
             n_frames += int(batch.valid.sum())
             results.append(grouped)
+            if writer is not None:
+                writer.add_frames(self._frames_from_out(grouped, stream_videos))
             cb = getattr(self, "progress_callback", None)
             if cb is not None:
                 cb(n_frames)
@@ -726,145 +747,10 @@ class Predictor:
 
     def to_labels(self, results: List[Dict], video=None, labels_src=None) -> Labels:
         """Batch outputs -> Labels with PredictedInstances (reference: outputs.py:284)."""
-        skel = self.skeleton
-        lfs = []
         videos = labels_src.videos if labels_src is not None else ([video] if video else [])
+        lfs = []
         for out in results:
-            b = len(out["frame_inds"])
-            for i in range(b):
-                if not out["valid"][i]:
-                    continue
-                vid = videos[out["video_inds"][i]] if videos else None
-                frame_idx = int(out["frame_inds"][i])
-                instances = []
-                frame_masks = []
-
-                if self.model_type == "topdown_segmentation":
-                    # Masks only — no phantom keypoint instances (matches the
-                    # reference TopDownSegmentationLayer emission contract).
-                    frame_masks = out["pred_masks"][i]
-                    if frame_masks:
-                        lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=[])
-                        lf.masks = frame_masks
-                        self._apply_mask_output(lf, out.get("mask_scale", 1.0))
-                        lfs.append(lf)
-                    continue
-
-                if self.model_type in ("bottomup_segmentation", "semantic_segmentation"):
-                    frame_masks = out["pred_masks"][i]
-                    if self.model_type == "bottomup_segmentation":
-                        cents = out["pred_centroids"][i]
-                        vals = out["centroid_vals"][i]
-                        valid = out["centroid_valid"][i]
-                        for k in range(cents.shape[0]):
-                            if not valid[k] or np.all(np.isnan(cents[k])):
-                                continue
-                            instances.append(
-                                self._make_instance(cents[k][None], vals[k : k + 1], skel)
-                            )
-                    if frame_masks or instances:
-                        lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances)
-                        lf.masks = frame_masks
-                        self._apply_mask_output(lf, out.get("mask_scale", 1.0))
-                        lfs.append(lf)
-                    continue
-
-                if self.model_type == "single_instance":
-                    pts = out["pred_keypoints"][i]  # (1, n_nodes, 2)
-                    vals = out["pred_peak_values"][i]
-                    for k in range(pts.shape[0]):
-                        if np.all(np.isnan(pts[k])):
-                            continue
-                        instances.append(self._make_instance(pts[k], vals[k], skel))
-
-                elif self.model_type == "centroid":
-                    cents = out["pred_centroids"][i]  # (K, 2)
-                    vals = out["centroid_vals"][i]
-                    valid = out["centroid_valid"][i]
-                    # --centroid-output (reference cli.py:2376): 'instance'
-                    # emits single-node PredictedInstances (frontend-loadable,
-                    # default), 'centroid' emits PredictedCentroid records on
-                    # LabeledFrame.centroids, 'both' emits both.
-                    c_out = getattr(self, "centroid_output", "instance")
-                    frame_centroids = []
-                    for k in range(cents.shape[0]):
-                        if not valid[k] or np.all(np.isnan(cents[k])):
-                            continue
-                        if c_out in ("instance", "both"):
-                            instances.append(
-                                self._make_instance(cents[k][None], vals[k : k + 1], skel)
-                            )
-                        if c_out in ("centroid", "both"):
-                            from sleap_nn_tpu.io.model import PredictedCentroid
-
-                            frame_centroids.append(
-                                PredictedCentroid(cents[k], score=float(vals[k]))
-                            )
-                    if frame_centroids:
-                        lf = LabeledFrame(
-                            video=vid, frame_idx=frame_idx, instances=instances
-                        )
-                        lf.centroids = frame_centroids
-                        lfs.append(lf)
-                        continue
-
-                elif self.model_type == "topdown":
-                    pts = out["pred_keypoints"][i]  # (K, n_nodes, 2)
-                    vals = out["pred_peak_values"][i]
-                    valid = out["instance_valid"][i]
-                    for k in range(pts.shape[0]):
-                        if not valid[k] or np.all(np.isnan(pts[k])):
-                            continue
-                        instances.append(self._make_instance(pts[k], vals[k], skel))
-
-                elif self.model_type == "multi_class_bottomup":
-                    pts = out["pred_keypoints"][i]  # (n_classes, n_nodes, 2)
-                    vals = np.nan_to_num(out["pred_peak_values"][i])
-                    probs = out["pred_class_probs"][i]
-                    for k in range(pts.shape[0]):
-                        if np.all(np.isnan(pts[k])):
-                            continue
-                        inst = self._make_instance(pts[k], vals[k], skel)
-                        inst.track = self._class_track(k)
-                        inst.tracking_score = float(np.nanmean(probs[k]))
-                        instances.append(inst)
-
-                elif self.model_type == "multi_class_topdown":
-                    pts = out["pred_keypoints"][i]
-                    vals = out["pred_peak_values"][i]
-                    valid = out["instance_valid"][i]
-                    cls_inds = out["pred_class_inds"][i]
-                    cls_scores = out["pred_class_scores"][i]
-                    for k in range(pts.shape[0]):
-                        if not valid[k] or np.all(np.isnan(pts[k])):
-                            continue
-                        inst = self._make_instance(pts[k], vals[k], skel)
-                        if cls_inds[k] >= 0:
-                            inst.track = self._class_track(int(cls_inds[k]))
-                            inst.tracking_score = float(np.nan_to_num(cls_scores[k]))
-                        instances.append(inst)
-
-                elif self.model_type == "bottomup":
-                    pts_list = out["pred_keypoints"][i]
-                    vals_list = out["pred_peak_values"][i]
-                    scores = out["pred_instance_scores"][i]
-                    for k in range(len(pts_list)):
-                        if np.all(np.isnan(pts_list[k])):
-                            continue
-                        instances.append(
-                            self._make_instance(
-                                pts_list[k], vals_list[k], skel, score=float(scores[k])
-                            )
-                        )
-
-                filters = getattr(self, "filters", None)
-                if filters is not None and filters.enabled():
-                    from sleap_nn_tpu.inference.filters import FilterPipeline
-
-                    instances = FilterPipeline(filters).apply(instances)
-                if instances:
-                    lfs.append(LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances))
-
+            lfs.extend(self._frames_from_out(out, videos))
         labels = Labels(labeled_frames=lfs, videos=[v for v in videos if v is not None])
         if getattr(self, "_class_tracks", None):
             labels.tracks = [t for t in self._class_tracks.values()]
@@ -874,6 +760,151 @@ class Predictor:
             [m.model_dir for m in self.models], stats=getattr(self, "last_stats", None)
         )
         return labels
+
+    def _frames_from_out(self, out: Dict, videos) -> List[LabeledFrame]:
+        """Convert ONE batch output dict into LabeledFrames (in frame order).
+
+        Shared by :meth:`to_labels` and the streaming writer path, which
+        flushes frames as each batch completes rather than after the run.
+        """
+        skel = self.skeleton
+        lfs: List[LabeledFrame] = []
+        b = len(out["frame_inds"])
+        for i in range(b):
+            if not out["valid"][i]:
+                continue
+            vid = videos[out["video_inds"][i]] if videos else None
+            frame_idx = int(out["frame_inds"][i])
+            instances = []
+            frame_masks = []
+
+            if self.model_type == "topdown_segmentation":
+                # Masks only — no phantom keypoint instances (matches the
+                # reference TopDownSegmentationLayer emission contract).
+                frame_masks = out["pred_masks"][i]
+                if frame_masks:
+                    lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=[])
+                    lf.masks = frame_masks
+                    self._apply_mask_output(lf, out.get("mask_scale", 1.0))
+                    lfs.append(lf)
+                continue
+
+            if self.model_type in ("bottomup_segmentation", "semantic_segmentation"):
+                frame_masks = out["pred_masks"][i]
+                if self.model_type == "bottomup_segmentation":
+                    cents = out["pred_centroids"][i]
+                    vals = out["centroid_vals"][i]
+                    valid = out["centroid_valid"][i]
+                    for k in range(cents.shape[0]):
+                        if not valid[k] or np.all(np.isnan(cents[k])):
+                            continue
+                        instances.append(
+                            self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                        )
+                if frame_masks or instances:
+                    lf = LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances)
+                    lf.masks = frame_masks
+                    self._apply_mask_output(lf, out.get("mask_scale", 1.0))
+                    lfs.append(lf)
+                continue
+
+            if self.model_type == "single_instance":
+                pts = out["pred_keypoints"][i]  # (1, n_nodes, 2)
+                vals = out["pred_peak_values"][i]
+                for k in range(pts.shape[0]):
+                    if np.all(np.isnan(pts[k])):
+                        continue
+                    instances.append(self._make_instance(pts[k], vals[k], skel))
+
+            elif self.model_type == "centroid":
+                cents = out["pred_centroids"][i]  # (K, 2)
+                vals = out["centroid_vals"][i]
+                valid = out["centroid_valid"][i]
+                # --centroid-output (reference cli.py:2376): 'instance'
+                # emits single-node PredictedInstances (frontend-loadable,
+                # default), 'centroid' emits PredictedCentroid records on
+                # LabeledFrame.centroids, 'both' emits both.
+                c_out = getattr(self, "centroid_output", "instance")
+                frame_centroids = []
+                for k in range(cents.shape[0]):
+                    if not valid[k] or np.all(np.isnan(cents[k])):
+                        continue
+                    if c_out in ("instance", "both"):
+                        instances.append(
+                            self._make_instance(cents[k][None], vals[k : k + 1], skel)
+                        )
+                    if c_out in ("centroid", "both"):
+                        from sleap_nn_tpu.io.model import PredictedCentroid
+
+                        frame_centroids.append(
+                            PredictedCentroid(cents[k], score=float(vals[k]))
+                        )
+                if frame_centroids:
+                    lf = LabeledFrame(
+                        video=vid, frame_idx=frame_idx, instances=instances
+                    )
+                    lf.centroids = frame_centroids
+                    lfs.append(lf)
+                    continue
+
+            elif self.model_type == "topdown":
+                pts = out["pred_keypoints"][i]  # (K, n_nodes, 2)
+                vals = out["pred_peak_values"][i]
+                valid = out["instance_valid"][i]
+                for k in range(pts.shape[0]):
+                    if not valid[k] or np.all(np.isnan(pts[k])):
+                        continue
+                    instances.append(self._make_instance(pts[k], vals[k], skel))
+
+            elif self.model_type == "multi_class_bottomup":
+                pts = out["pred_keypoints"][i]  # (n_classes, n_nodes, 2)
+                vals = np.nan_to_num(out["pred_peak_values"][i])
+                probs = out["pred_class_probs"][i]
+                for k in range(pts.shape[0]):
+                    if np.all(np.isnan(pts[k])):
+                        continue
+                    inst = self._make_instance(pts[k], vals[k], skel)
+                    inst.track = self._class_track(k)
+                    inst.tracking_score = float(np.nanmean(probs[k]))
+                    instances.append(inst)
+
+            elif self.model_type == "multi_class_topdown":
+                pts = out["pred_keypoints"][i]
+                vals = out["pred_peak_values"][i]
+                valid = out["instance_valid"][i]
+                cls_inds = out["pred_class_inds"][i]
+                cls_scores = out["pred_class_scores"][i]
+                for k in range(pts.shape[0]):
+                    if not valid[k] or np.all(np.isnan(pts[k])):
+                        continue
+                    inst = self._make_instance(pts[k], vals[k], skel)
+                    if cls_inds[k] >= 0:
+                        inst.track = self._class_track(int(cls_inds[k]))
+                        inst.tracking_score = float(np.nan_to_num(cls_scores[k]))
+                    instances.append(inst)
+
+            elif self.model_type == "bottomup":
+                pts_list = out["pred_keypoints"][i]
+                vals_list = out["pred_peak_values"][i]
+                scores = out["pred_instance_scores"][i]
+                for k in range(len(pts_list)):
+                    if np.all(np.isnan(pts_list[k])):
+                        continue
+                    instances.append(
+                        self._make_instance(
+                            pts_list[k], vals_list[k], skel, score=float(scores[k])
+                        )
+                    )
+
+            filters = getattr(self, "filters", None)
+            if filters is not None and filters.enabled():
+                from sleap_nn_tpu.inference.filters import FilterPipeline
+
+                instances = FilterPipeline(filters).apply(instances)
+            if instances:
+                lfs.append(LabeledFrame(video=vid, frame_idx=frame_idx, instances=instances))
+
+        return lfs
 
     def _class_track(self, class_idx: int):
         """Track object per supervised-ID class (multiclass models)."""

@@ -44,6 +44,7 @@ class VideoProvider:
         frames: Optional[Sequence[int]] = None,
         prefetch: int = 2,
         video_idx: int = 0,
+        out_format: Optional[str] = None,
     ):
         if isinstance(video, (str,)):
             video = Video.from_filename(video)
@@ -53,6 +54,9 @@ class VideoProvider:
         self.frames = list(frames) if frames is not None else list(range(n))
         self.prefetch = prefetch
         self.video_idx = video_idx
+        # out_format='gray': decode straight to 1-channel (single conversion
+        # pass in the codec thread) instead of decode->RGB copy->gray later.
+        self.out_format = out_format
 
     def __len__(self):
         return (len(self.frames) + self.batch_size - 1) // self.batch_size
@@ -65,7 +69,7 @@ class VideoProvider:
         bs = self.batch_size
         for start in range(0, len(self.frames), bs):
             idxs = self.frames[start : start + bs]
-            imgs = [self.video[i] for i in idxs]
+            imgs = [self.video.get_frame(i, fmt=self.out_format) for i in idxs]
             valid = np.ones(bs, dtype=bool)
             if len(idxs) < bs:
                 pad = bs - len(idxs)

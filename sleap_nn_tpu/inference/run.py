@@ -244,7 +244,12 @@ def predict(
         )
     # A single -m pointing at a serialized export dir loads the baked graph
     # (reference run.py export_dir path). --runtime selects the format when
-    # the export dir carries more than one; 'auto' accepts either.
+    # the export dir carries more than one; 'auto' accepts either. The
+    # exported predictor then flows through the SAME post-prediction pipeline
+    # below (tracking, filters, no_empty_frames, stream_to_file, embed) —
+    # the reference forwards these to the exported runtime too
+    # (reference cli.py:1746-1755).
+    predictor = None
     if len(model_paths) == 1:
         mp = Path(model_paths[0])
         has_hlo = (mp / "model.stablehlo").exists()
@@ -256,60 +261,77 @@ def predict(
                 mp, max_instances=max_instances,
                 min_line_scores=min_line_scores, runtime=runtime,
             )
-            if progress_callback is not None:
-                predictor.progress_callback = progress_callback
-            result = predictor.predict(data_path, frames=frames, make_labels=make_labels)
-            if make_labels and output_path is not None:
-                save_predictions(result, output_path, output_format=output_format)
-            return result
+            predictor.filters = filters
+            predictor.mask_output = mask_output
+            predictor.polygon_epsilon = polygon_epsilon
 
-    predictor = Predictor.from_model_paths(
-        model_paths,
-        peak_threshold=peak_threshold,
-        refinement=refinement,
-        integral_patch_size=integral_patch_size,
-        max_instances=max_instances,
-        batch_size=batch_size,
-        use_bf16=use_bf16,
-        max_peaks=max_peaks,
-        min_line_scores=min_line_scores,
-        paf_workers=paf_workers,
-        merge_fragments=merge_fragments,
-        crop_size=crop_size,
-        filters=filters,
-        centroid_peak_threshold=centroid_peak_threshold,
-        anchor_part=anchor_part,
-        host_resize=host_resize,
-        centroid_only=centroid_only,
-        merge_method=merge_method,
-        fg_threshold=fg_threshold,
-        min_mask_area=min_mask_area,
-        input_scale=input_scale,
-        max_height=max_height,
-        max_width=max_width,
-        ensure_rgb=ensure_rgb,
-        ensure_grayscale=ensure_grayscale,
-        max_edge_length_ratio=max_edge_length_ratio,
-        dist_penalty_weight=dist_penalty_weight,
-        n_points=n_points,
-        min_instance_peaks=min_instance_peaks,
-        center_nms_kernel=center_nms_kernel,
-        distance_gate_alpha=distance_gate_alpha,
-        mask_cleanup=mask_cleanup,
-        mask_cleanup_radius=mask_cleanup_radius,
-        merge_dilate=merge_dilate,
-        merge_w_valley=merge_w_valley,
-        merge_w_offset=merge_w_offset,
-        merge_thresholds=merge_thresholds,
-        full_res_masks=full_res_masks,
-        mask_output=mask_output,
-        polygon_epsilon=polygon_epsilon,
-        backbone_ckpt_path=backbone_ckpt_path,
-        head_ckpt_path=head_ckpt_path,
-    )
+    if predictor is None:
+        predictor = Predictor.from_model_paths(
+            model_paths,
+            peak_threshold=peak_threshold,
+            refinement=refinement,
+            integral_patch_size=integral_patch_size,
+            max_instances=max_instances,
+            batch_size=batch_size,
+            use_bf16=use_bf16,
+            max_peaks=max_peaks,
+            min_line_scores=min_line_scores,
+            paf_workers=paf_workers,
+            merge_fragments=merge_fragments,
+            crop_size=crop_size,
+            filters=filters,
+            centroid_peak_threshold=centroid_peak_threshold,
+            anchor_part=anchor_part,
+            host_resize=host_resize,
+            centroid_only=centroid_only,
+            merge_method=merge_method,
+            fg_threshold=fg_threshold,
+            min_mask_area=min_mask_area,
+            input_scale=input_scale,
+            max_height=max_height,
+            max_width=max_width,
+            ensure_rgb=ensure_rgb,
+            ensure_grayscale=ensure_grayscale,
+            max_edge_length_ratio=max_edge_length_ratio,
+            dist_penalty_weight=dist_penalty_weight,
+            n_points=n_points,
+            min_instance_peaks=min_instance_peaks,
+            center_nms_kernel=center_nms_kernel,
+            distance_gate_alpha=distance_gate_alpha,
+            mask_cleanup=mask_cleanup,
+            mask_cleanup_radius=mask_cleanup_radius,
+            merge_dilate=merge_dilate,
+            merge_w_valley=merge_w_valley,
+            merge_w_offset=merge_w_offset,
+            merge_thresholds=merge_thresholds,
+            full_res_masks=full_res_masks,
+            mask_output=mask_output,
+            polygon_epsilon=polygon_epsilon,
+            backbone_ckpt_path=backbone_ckpt_path,
+            head_ckpt_path=head_ckpt_path,
+        )
     predictor.centroid_output = centroid_output
     if progress_callback is not None:
         predictor.progress_callback = progress_callback
+    stream_writer = None
+    if make_labels and stream_to_file is not None:
+        # --stream-to-file (reference cli.py:2814): frames flush to a temp
+        # .slp DURING prediction (crash-safe), atomic rename on finalize.
+        # Whole-video passes (tracking, frame filtering) would invalidate
+        # already-flushed frames — the CLI rejects those combinations and the
+        # Python API mirrors that here.
+        if tracking or tracker is not None or no_empty_frames:
+            raise ValueError(
+                "stream_to_file streams frames as they are predicted and "
+                "cannot be combined with tracking or no_empty_frames "
+                "(those rewrite frames after the full run)."
+            )
+        from sleap_nn_tpu.inference.writer import IncrementalLabelsWriter
+
+        stream_writer = IncrementalLabelsWriter(
+            stream_to_file, flush_every=int(write_interval or 500)
+        )
+        predictor.stream_writer = stream_writer
     if profile_dir is not None:
         # XLA/TPU profiler trace around the whole predict loop; open with
         # TensorBoard or Perfetto to see device steps vs H2D vs host gaps.
@@ -353,21 +375,12 @@ def predict(
         result.labeled_frames = [
             lf for lf in result.labeled_frames if lf.instances or lf.masks
         ]
-    if make_labels and stream_to_file is not None:
-        # --stream-to-file (reference cli.py:2814): route through the
-        # incremental writer — periodic crash-safe temp flushes every
-        # write_interval frames, atomic finalize.
-        from sleap_nn_tpu.inference.writer import IncrementalLabelsWriter
-
-        interval = int(write_interval or 500)
-        with IncrementalLabelsWriter(
-            stream_to_file, flush_every=interval,
-            provenance=dict(getattr(result, "provenance", {}) or {}),
-        ) as w:
-            frames_list = list(result.labeled_frames)
-            for i in range(0, len(frames_list), interval):
-                w.add_frames(frames_list[i:i + interval])
-            result = w.finalize()
+    if stream_writer is not None:
+        # Frames were flushed during prediction; stamp provenance and
+        # atomically finalize the streamed file.
+        stream_writer.provenance = dict(getattr(result, "provenance", {}) or {})
+        stream_writer.finalize()
+        predictor.stream_writer = None
     if make_labels and restore_source_videos and not embed:
         # On a non-embedding save, restore references to the pre-embedding
         # source videos when recorded (reference cli.py:2320).

@@ -170,6 +170,26 @@ def upsample_mask(mask: np.ndarray, output_stride: int, out_hw: Tuple[int, int])
     return up[: out_hw[0], : out_hw[1]]
 
 
+def crop_valid_grid(
+    mask: np.ndarray, orig_hw, eff_scale: float, scale: float, stride: int
+) -> np.ndarray:
+    """Crop a grid-resolution mask to the rows/cols that cover real image.
+
+    The network grid spans the pad-to-stride extent of the *scaled* input
+    (sizematch pad + stride pad are bottom/right zeros); resizing the whole
+    grid to the original (W, H) would stretch that pad into the image and
+    compress mask content toward the top-left. Crop to
+    ``ceil(round(orig*eff)*scale / stride)`` first (the same valid extent
+    ``upsample_mask``'s out_hw crop uses, expressed in grid cells).
+    """
+    h, w = (int(v) for v in np.asarray(orig_hw).reshape(-1)[:2])
+    sh = int(round(h * eff_scale))
+    sw = int(round(w * eff_scale))
+    gh = -(-int(round(sh * scale)) // stride)  # ceil div
+    gw = -(-int(round(sw * scale)) // stride)
+    return mask[:gh, :gw]
+
+
 class BottomUpSegmentationLayer:
     """fg + centers + offsets -> instance masks (reference: :785)."""
 
@@ -315,11 +335,18 @@ class BottomUpSegmentationLayer:
 
         ``--full_res_masks`` (reference cli.py:2576): the grid covers the
         scaled input (``pre.scale * eff_scale``) at ``seg_output_stride``, so
-        one grid cell spans ``stride / scale`` original pixels.
+        one grid cell spans ``stride / scale`` original pixels. The grid also
+        covers the sizematch/stride padding — crop to the valid extent before
+        resizing or the pad stretches into the image.
         """
         import cv2
 
         H, W = (int(v) for v in np.asarray(dev["orig_hw"]).reshape(-1)[:2])
+        eff = float(np.asarray(dev["eff_scale"]).reshape(-1)[0])
+        scale = float(getattr(getattr(self, "pre", None), "scale", 1.0) or 1.0)
+        mask = crop_valid_grid(
+            mask, dev["orig_hw"], eff, scale, self.seg_output_stride
+        )
         return cv2.resize(
             mask.astype(np.uint8), (W, H), interpolation=cv2.INTER_NEAREST
         ).astype(bool)
@@ -363,9 +390,18 @@ class SemanticSegmentationLayer:
             import cv2
 
             H, W = (int(v) for v in np.asarray(dev["orig_hw"]).reshape(-1)[:2])
+            eff_ = float(np.asarray(dev.get("eff_scale", 1.0)).reshape(-1)[0])
+            scale_ = float(
+                getattr(getattr(self, "pre", None), "scale", 1.0) or 1.0
+            )
+            stride_ = int(getattr(self, "seg_output_stride", 1) or 1)
             fg = np.stack([
-                cv2.resize(f.astype(np.uint8), (W, H),
-                           interpolation=cv2.INTER_NEAREST).astype(bool)
+                cv2.resize(
+                    crop_valid_grid(
+                        f, dev["orig_hw"], eff_, scale_, stride_
+                    ).astype(np.uint8),
+                    (W, H), interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
                 for f in fg
             ])
         eff = float(np.asarray(dev.get("eff_scale", 1.0)).reshape(-1)[0])

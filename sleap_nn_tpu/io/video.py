@@ -92,7 +92,14 @@ class MediaVideoBackend:
         c = 1 if self.grayscale else 3
         return (n, h, w, c)
 
-    def get_frame(self, idx: int) -> np.ndarray:
+    def get_frame(self, idx: int, fmt: Optional[str] = None) -> np.ndarray:
+        """Decode one frame; ``fmt='gray'`` converts BGR->gray in ONE pass.
+
+        The direct-to-gray path skips the BGR->RGB contiguous copy and the
+        consumer's second RGB->gray conversion — on a single-core host the
+        per-frame data passes, not the codec, bound provider throughput
+        (BGR2GRAY on BGR equals RGB2GRAY on RGB: same ITU-601 weights).
+        """
         import cv2
 
         cap = self._cap()
@@ -103,7 +110,7 @@ class MediaVideoBackend:
         if not ok:
             raise IndexError(f"Failed to read frame {idx} from {self.filename}")
         self._local.pos = idx + 1
-        if self.grayscale:
+        if fmt == "gray" or self.grayscale:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)[..., None]
         else:
             img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
@@ -173,7 +180,7 @@ class HDF5VideoBackend:
         img = self.get_frame(self.frame_numbers[0])
         return (self.num_frames,) + img.shape
 
-    def get_frame(self, idx: int) -> np.ndarray:
+    def get_frame(self, idx: int, fmt: Optional[str] = None) -> np.ndarray:
         self._load_meta()
         f = self._file()
         ds = f[self.dataset]
@@ -181,18 +188,22 @@ class HDF5VideoBackend:
         if row is None:
             raise IndexError(f"Frame {idx} is not embedded in {self.filename}:{self.dataset}")
         data = ds[row]
-        fmt = self._attrs.get("format", "")
-        if isinstance(fmt, bytes):
-            fmt = fmt.decode()
-        if ds.dtype == object or fmt in ("png", "jpg", "jpeg"):
+        enc = self._attrs.get("format", "")
+        if isinstance(enc, bytes):
+            enc = enc.decode()
+        if ds.dtype == object or enc in ("png", "jpg", "jpeg"):
             buf = np.frombuffer(np.asarray(data).tobytes(), dtype=np.uint8)
-            gray = int(self._attrs.get("channels", 3)) == 1
+            gray = fmt == "gray" or int(self._attrs.get("channels", 3)) == 1
             return _imdecode(buf, gray)
         img = np.asarray(data)
         if self.input_format == "channels_first" and img.ndim == 3:
             img = np.moveaxis(img, 0, -1)
         if img.ndim == 2:
             img = img[..., None]
+        if fmt == "gray" and img.shape[-1] == 3:
+            import cv2
+
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
         return img
 
 
@@ -212,10 +223,11 @@ class ImageVideoBackend:
         img = self.get_frame(0)
         return (self.num_frames,) + img.shape
 
-    def get_frame(self, idx: int) -> np.ndarray:
+    def get_frame(self, idx: int, fmt: Optional[str] = None) -> np.ndarray:
         import cv2
 
-        flag = cv2.IMREAD_GRAYSCALE if self.grayscale else cv2.IMREAD_COLOR
+        gray = fmt == "gray" or self.grayscale
+        flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
         img = cv2.imread(self.filenames[idx], flag)
         if img is None:
             raise FileNotFoundError(self.filenames[idx])
@@ -309,8 +321,22 @@ class Video:
             return np.stack([self.backend.get_frame(int(i)) for i in idx])
         return self.backend.get_frame(int(idx))
 
-    def get_frame(self, idx: int) -> np.ndarray:
-        return self[idx]
+    def get_frame(self, idx: int, fmt: Optional[str] = None) -> np.ndarray:
+        """Read one frame; ``fmt='gray'`` asks the backend for single-pass
+        grayscale decode (identical ITU-601 result, fewer data copies)."""
+        if fmt is None:
+            return self[idx]
+        self.open()
+        try:
+            return self.backend.get_frame(int(idx), fmt=fmt)
+        except TypeError:
+            # Foreign backend without fmt support: convert after decode.
+            img = self.backend.get_frame(int(idx))
+            if fmt == "gray" and img.shape[-1] == 3:
+                import cv2
+
+                img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
+            return img
 
     def __repr__(self) -> str:
         return f"Video(filename={self.filename!r}, shape={self.shape})"
