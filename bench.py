@@ -9,15 +9,23 @@ importer — so this times identical architectures to the A40 baseline rows:
 
     single_instance 228 fps | centroid 231 fps | topdown 95 fps | bottomup 137 fps
 
-Also reports a compute-only number per family — device-resident input ->
-jitted forward+postprocess latency (ms/batch, B=4) — to separate TPU compute
-capability from the host->device tunnel bandwidth that bounds e2e here
-(compare reference docs/guides/inference-performance.md:40-48 eager forward
-ms/batch on A40: single 1.20, centroid 2.48, bottomup 3.59).
+Beyond the fixture rows it reports:
+
+- a compute-only number per family (device-resident input -> jitted
+  forward+postprocess, chained-fori_loop timing) to separate chip capability
+  from host/tunnel limits;
+- a measured host->device **tunnel bandwidth** and single-core **decode fps**,
+  from which every e2e row gets an explicit ceiling
+  (``ceiling_fps = min(decode, bandwidth/payload, compute)``) so sub-1.0
+  vs-A40 rows are self-explaining on this 1-CPU, ~30 MB/s-tunnel host;
+- **production-scale** rows: a UNet ``medium_rf`` (and ConvNeXt-tiny) topdown
+  pair at 1024 px, bf16, with **MFU** derived from the compiled program's
+  ``cost_analysis()`` FLOPs against the chip's bf16 peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The headline metric stays the topdown e2e row; per-family numbers live under
-"extra".
+"extra", with "extra.mfu", "extra.model_scale" and "extra.tunnel_ceiling_fps"
+summarizing the production proof.
 """
 
 from __future__ import annotations
@@ -26,9 +34,12 @@ import json
 import os
 import sys
 import time
+import types
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", 100))
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 32))
@@ -73,16 +84,85 @@ ROWS = [
 FWD_BASELINE_MS = {"single_instance": 1.20, "centroid": 2.48, "bottomup": 3.59}
 
 
-def bench_e2e(predictor, frames):
+def peak_flops_per_sec() -> float:
+    """bf16 peak FLOP/s for the attached chip (overridable via env)."""
+    env = os.environ.get("BENCH_PEAK_FLOPS")
+    if env:
+        return float(env)
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5lite" in kind:
+        return 197e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    if "v4" in kind:
+        return 275e12
+    # CPU / unknown: report MFU against the v5e figure with a note.
+    return 197e12
+
+
+def measure_tunnel_bw() -> float:
+    """Host->device bandwidth (bytes/sec) via differential-size transfers.
+
+    Over the axon tunnel ``block_until_ready`` can return before remote
+    completion; only a device->host scalar fetch forces real completion, so
+    each timing transfers a buffer and fetches a 4-byte reduction. Two sizes
+    cancel the fixed round-trip latency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reduce_u8(x):
+        return x.astype(jnp.uint32).sum()
+
+    sizes = [4 << 20, 32 << 20]
+    times = []
+    rng = np.random.default_rng(0)
+    for sz in sizes:
+        buf = rng.integers(0, 255, (sz,), dtype=np.uint8)
+        best = float("inf")
+        for _ in range(3):  # first iteration also compiles this shape
+            t0 = time.perf_counter()
+            int(reduce_u8(jax.device_put(buf)))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return (sizes[1] - sizes[0]) / max(times[1] - times[0], 1e-9)
+
+
+_decode_cache = {}
+
+
+def measure_decode_fps(out_format=None) -> float:
+    """Host-only provider throughput (decode + batch assembly), best of 3."""
+    if out_format in _decode_cache:
+        return _decode_cache[out_format]
     from sleap_nn_tpu.inference.providers import VideoProvider
 
-    warm = VideoProvider(VIDEO, batch_size=BATCH_SIZE, frames=frames[: 2 * BATCH_SIZE])
-    predictor.predict(None, make_labels=False, provider=warm)
+    best = 0.0
+    for _ in range(3):
+        prov = VideoProvider(
+            VIDEO, batch_size=BATCH_SIZE, frames=list(range(N_FRAMES)),
+            out_format=out_format,
+        )
+        t0 = time.perf_counter()
+        n = 0
+        for b in prov:
+            n += int(b.valid.sum())
+        best = max(best, n / (time.perf_counter() - t0))
+    _decode_cache[out_format] = best
+    return best
+
+
+def bench_e2e(predictor, frames):
+    predictor.predict(VIDEO, frames=frames[: 2 * BATCH_SIZE], make_labels=False)
     fps = 0.0
     for _ in range(N_REPEATS):
-        provider = VideoProvider(VIDEO, batch_size=BATCH_SIZE, frames=frames)
         t0 = time.perf_counter()
-        predictor.predict(None, make_labels=False, provider=provider)
+        predictor.predict(VIDEO, frames=frames, make_labels=False)
         fps = max(fps, N_FRAMES / (time.perf_counter() - t0))
     return fps
 
@@ -99,7 +179,6 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
     """
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     layer = predictor.layer
     fn = getattr(layer, "_full", None) or layer._fn
@@ -132,21 +211,217 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
     return (time.perf_counter() - t0) / n_iters * 1000.0
 
 
+def program_cost(predictor, sample_batch, batch: int) -> tuple:
+    """(FLOPs, bytes accessed) of ONE compiled layer-program execution.
+
+    From XLA's cost analysis on the compiled HLO. 'bytes accessed' counts
+    each op's operands+outputs BEFORE fusion, so it upper-bounds real HBM
+    traffic — use it as a roofline indicator, not a measurement.
+    """
+    import jax.numpy as jnp
+
+    layer = predictor.layer
+    fn = getattr(layer, "_full", None) or layer._fn
+    x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
+    try:
+        cost = fn.lower(x0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def program_flops(predictor, sample_batch, batch: int) -> float:
+    return program_cost(predictor, sample_batch, batch)[0]
+
+
+def _row_payload_bytes(predictor) -> int:
+    """Per-frame bytes actually sent over the host->device link."""
+    from sleap_nn_tpu.io.video import Video
+    from sleap_nn_tpu.inference.predictor import rgb_to_gray_uint8
+
+    fmt = "gray" if predictor._host_grayscale else None
+    frame = Video.from_filename(VIDEO).get_frame(0, fmt=fmt)[None]
+    if predictor._host_grayscale and frame.shape[-1] == 3:
+        frame = rgb_to_gray_uint8(frame)
+    if predictor._host_transform is not None:
+        frame, _ = predictor._apply_host_resize(frame)
+    return int(frame.nbytes)
+
+
+# ---------------------------------------------------------------------------
+# Production-scale models (VERDICT r2 #1): UNet medium_rf / ConvNeXt-tiny
+# topdown pairs at 1024 px, bf16, built in-memory (throughput measurement
+# needs real architecture + shapes, not trained weights).
+# ---------------------------------------------------------------------------
+
+
+def build_production_topdown(backbone: str, img: int, crop: int,
+                             max_instances: int = 20, n_nodes: int = 15):
+    """A centroid + centered-instance pair at production scale (ref
+    config/model_config.py:33 UNetMediumRFConfig, :108 ConvNeXt tiny)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sleap_nn_tpu.inference.backends import JaxBackend
+    from sleap_nn_tpu.inference.layers import (
+        CenteredInstanceLayer,
+        CentroidLayer,
+        PostprocessConfig,
+        PreprocessConfig,
+        TopDownLayer,
+    )
+    from sleap_nn_tpu.models.model import Model
+
+    ns = types.SimpleNamespace
+    if backbone == "unet_medium_rf":
+        from sleap_nn_tpu.config.model_config import UNetMediumRFConfig
+
+        bb_type, bb_cfg = "unet", UNetMediumRFConfig(
+            in_channels=1, output_stride=2
+        )
+        max_stride = bb_cfg.max_stride
+    elif backbone == "convnext_tiny":
+        from sleap_nn_tpu.config.model_config import ConvNextConfig
+
+        bb_type, bb_cfg = "convnext", ConvNextConfig(
+            model_type="tiny", in_channels=1, output_stride=2
+        )
+        max_stride = bb_cfg.max_stride
+    else:
+        raise ValueError(backbone)
+
+    key = jax.random.PRNGKey(0)
+    c_model = Model.from_config(
+        bb_type, bb_cfg,
+        ns(confmaps=ns(anchor_part=None, sigma=5.0, output_stride=2,
+                       loss_weight=None)),
+        "centroid",
+    )
+    c_params = c_model.init(key, jnp.zeros((1, max_stride * 4, max_stride * 4, 1), jnp.float32))
+    i_model = Model.from_config(
+        bb_type, bb_cfg,
+        ns(confmaps=ns(part_names=[f"n{i}" for i in range(n_nodes)],
+                       anchor_part=None, sigma=3.0, output_stride=2,
+                       loss_weight=None)),
+        "centered_instance",
+    )
+    i_params = i_model.init(key, jnp.zeros((1, crop, crop, 1), jnp.float32))
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(c_params)
+    ) + sum(
+        int(np.prod(p.shape))
+        for p in jax.tree_util.tree_leaves(i_params)
+    )
+
+    pre = PreprocessConfig(ensure_grayscale=True, scale=1.0, max_stride=max_stride)
+    post = PostprocessConfig(peak_threshold=0.2, max_instances=max_instances)
+    centroid_layer = CentroidLayer(
+        JaxBackend(c_model, c_params, use_bf16=True), pre, post, output_stride=2
+    )
+    instance_layer = CenteredInstanceLayer(
+        JaxBackend(i_model, i_params, use_bf16=True), pre,
+        PostprocessConfig(peak_threshold=0.2), output_stride=2,
+    )
+    layer = TopDownLayer(centroid_layer, instance_layer,
+                         max_instances=max_instances, crop_size=crop)
+    return types.SimpleNamespace(layer=layer), n_params
+
+
+HBM_BW = {  # bytes/sec, per chip
+    "v5e": 819e9, "v5 lite": 819e9, "v5p": 2765e9, "v4": 1228e9,
+    "v6": 1640e9, "trillium": 1640e9,
+}
+
+
+def _hbm_bw() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in HBM_BW.items():
+        if k in kind:
+            return v
+    return 819e9
+
+
+def production_row(backbone: str, img: int, crop: int, batch: int,
+                   n_iters: int, peak: float, max_instances: int = 6) -> dict:
+    """Throughput + roofline accounting for a production-scale topdown pair.
+
+    Narrow-channel UNets at megapixel resolution are HBM-bandwidth-bound,
+    not MXU-bound: the speed-of-light row shows BOTH limits so a low MFU
+    reads as 'memory-bound architecture', not 'slow kernels'. (The 2,000
+    f/s/chip north-star is physically reachable only below the model's
+    compute speed-of-light: peak / FLOPs-per-frame.)
+    """
+    shim, n_params = build_production_topdown(
+        backbone, img, crop, max_instances=max_instances
+    )
+    x = np.random.default_rng(0).integers(
+        0, 255, (batch, img, img, 1), dtype=np.uint8
+    )
+    ms = bench_forward(shim, x, batch=batch, n_iters=n_iters)
+    flops, byts = program_cost(shim, x, batch)
+    fps = batch / ms * 1000.0
+    achieved = flops / (ms / 1000.0) if flops else 0.0
+    sol_compute = peak / (flops / batch) if flops else None
+    sol_memory = _hbm_bw() / (byts / batch) if byts else None
+    row = {
+        "fps_per_chip": round(fps, 1),
+        "ms_per_batch": round(ms, 3),
+        "batch": batch,
+        "image_px": img,
+        "crop_px": crop,
+        "max_instances": max_instances,
+        "params_m": round(n_params / 1e6, 2),
+        "gflops_per_frame": round(flops / batch / 1e9, 2) if flops else None,
+        "achieved_tflops": round(achieved / 1e12, 2) if flops else None,
+        "mfu": round(achieved / peak, 4) if flops else None,
+        "vs_target_2000fps": round(fps / 2000.0, 2),
+    }
+    if sol_compute is not None:
+        row["speed_of_light_fps_compute"] = round(sol_compute, 0)
+        row["speed_of_light_fps_memory_lb"] = (
+            round(sol_memory, 0) if sol_memory else None
+        )
+        row["bound"] = (
+            "memory" if sol_memory and sol_memory < sol_compute else "compute"
+        )
+        # fraction of the binding (tighter) physical limit actually achieved;
+        # bytes are pre-fusion so the memory limit is a lower bound and this
+        # fraction can exceed 1 on well-fused programs.
+        binding = min(x_ for x_ in (sol_compute, sol_memory) if x_)
+        row["fraction_of_roofline"] = round(fps / binding, 3)
+    return row
+
+
 def main():
     from sleap_nn_tpu.inference.predictor import Predictor
-    from sleap_nn_tpu.io.video import Video
 
     frames = list(range(N_FRAMES))
-    video = Video(VIDEO)
-    sample = video[0][None]  # (1, H, W, 3)
-    import numpy as np
 
-    sample4 = np.repeat(sample, 4, axis=0)
-    gray4 = (
-        sample4[..., 0] * 0.2989 + sample4[..., 1] * 0.587 + sample4[..., 2] * 0.114
-    ).astype(np.uint8)[..., None]
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    peak = peak_flops_per_sec()
 
     extra = {}
+    tunnel_bw = measure_tunnel_bw()
+    extra["host_limits"] = {
+        "h2d_bandwidth_MBps": round(tunnel_bw / 1e6, 1),
+        "decode_fps_gray": round(measure_decode_fps("gray"), 1),
+        "decode_fps_rgb": round(measure_decode_fps(None), 1),
+        "host_cpus": os.cpu_count(),
+        "note": (
+            "single-CPU host; e2e rows are bound by "
+            "min(decode, bandwidth/payload), not the chip"
+        ),
+    }
+
+    tunnel_ceilings = {}
     headline_fps, headline_vs = 0.0, 0.0
     for name, dirs, base_fps, kwargs in ROWS:
         predictor = Predictor.from_model_paths(
@@ -156,10 +431,18 @@ def main():
             **kwargs,
         )
         fps = bench_e2e(predictor, frames)
-        # Feed the forward bench exactly what the device sees in predict():
-        # host grayscale + host resize applied (the A40 forward table also
-        # ran at preprocessed input sizes).
-        layer_in = gray4 if predictor._host_grayscale else sample4
+        payload = _row_payload_bytes(predictor)
+        tunnel_ceiling = tunnel_bw / payload
+        decode_fps = measure_decode_fps(
+            "gray" if predictor._host_grayscale else None
+        )
+        # Feed the forward bench exactly what the device sees in predict().
+        from sleap_nn_tpu.io.video import Video
+
+        fmt = "gray" if predictor._host_grayscale else None
+        layer_in = np.repeat(
+            Video.from_filename(VIDEO).get_frame(0, fmt=fmt)[None], 4, axis=0
+        )
         if predictor._host_transform is not None:
             layer_in, _ = predictor._apply_host_resize(layer_in)
         fwd_ms = bench_forward(predictor, layer_in, batch=4)
@@ -168,38 +451,70 @@ def main():
         big_in = np.repeat(layer_in[:1], BATCH_SIZE, axis=0)
         fwd_ms_b = bench_forward(predictor, big_in, batch=BATCH_SIZE,
                                  n_iters=30)
+        compute_fps = BATCH_SIZE / fwd_ms_b * 1000
+        ceiling = min(tunnel_ceiling, decode_fps, compute_fps)
         row = {"e2e_fps": round(fps, 2), "e2e_vs_a40": round(fps / base_fps, 3),
                "forward_ms_b4": round(fwd_ms, 3),
-               f"compute_fps_b{BATCH_SIZE}": round(BATCH_SIZE / fwd_ms_b * 1000, 1),
-               "compute_vs_a40_e2e": round(
-                   (BATCH_SIZE / fwd_ms_b * 1000) / base_fps, 2)}
+               f"compute_fps_b{BATCH_SIZE}": round(compute_fps, 1),
+               "compute_vs_a40_e2e": round(compute_fps / base_fps, 2),
+               "payload_bytes_per_frame": payload,
+               "tunnel_ceiling_fps": round(tunnel_ceiling, 1),
+               "host_ceiling_fps": round(ceiling, 1),
+               "e2e_vs_ceiling": round(fps / ceiling, 3)}
         if name in FWD_BASELINE_MS:
             row["forward_vs_a40_eager"] = round(FWD_BASELINE_MS[name] / fwd_ms, 3)
         extra[name] = row
+        tunnel_ceilings[name] = round(tunnel_ceiling, 1)
         if name == "topdown":
             headline_fps, headline_vs = fps, fps / base_fps
+    extra["tunnel_ceiling_fps"] = tunnel_ceilings
 
     # North-star target (BASELINE.md): >2,000 frames/sec/chip top-down at
-    # 1024 px. Chained-loop device timing, bf16 forward (reference's own
-    # fp16-autocast comparison row; keypoint drift <= 0.001 px per its docs).
+    # 1024 px. First the fixture-checkpoint row (continuity with r01/r02),
+    # then the production-scale proofs with MFU.
     ns_predictor = Predictor.from_model_paths(
         [str(CKPTS / "minimal_instance_centroid"),
          str(CKPTS / "minimal_instance_centered_instance")],
         batch_size=BATCH_SIZE, max_instances=6, use_bf16=True,
     )
+    ns_px = 256 if on_cpu else 1024
     ns_in = np.random.default_rng(0).integers(
-        0, 255, (BATCH_SIZE, 1024, 1024, 1), dtype=np.uint8
+        0, 255, (BATCH_SIZE, ns_px, ns_px, 1), dtype=np.uint8
     )
-    ns_ms = bench_forward(ns_predictor, ns_in, batch=BATCH_SIZE, n_iters=20)
+    ns_ms = bench_forward(ns_predictor, ns_in, batch=BATCH_SIZE,
+                          n_iters=3 if on_cpu else 20)
     extra["north_star"] = {
-        "topdown_1024px_fps_per_chip": round(BATCH_SIZE / ns_ms * 1000, 1),
+        f"topdown_{ns_px}px_fps_per_chip": round(BATCH_SIZE / ns_ms * 1000, 1),
         "target": 2000.0,
         "vs_target": round(BATCH_SIZE / ns_ms * 1000 / 2000.0, 2),
+        "model_scale": "fixture (18k-param UNet)",
     }
 
-    import jax
+    # Production scale: shrink shapes on CPU so the script stays runnable in
+    # dev; the driver's TPU run reports the full 1024 px numbers.
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
+    img = (128 if smoke else 256) if on_cpu else 1024
+    crop = (64 if smoke else 128) if on_cpu else 256
+    pbatch = (1 if smoke else 2) if on_cpu else BATCH_SIZE
+    n_iters = (2 if smoke else 3) if on_cpu else 10
+    extra["production"] = {
+        "unet_medium_rf": production_row(
+            "unet_medium_rf", img, crop, pbatch, n_iters, peak
+        ),
+    }
+    if (not on_cpu and not smoke) or os.environ.get("BENCH_CONVNEXT"):
+        extra["production"]["convnext_tiny"] = production_row(
+            "convnext_tiny", img, crop, pbatch, max(n_iters // 2, 2), peak
+        )
+    prod = extra["production"]["unet_medium_rf"]
+    extra["mfu"] = prod["mfu"]
+    extra["model_scale"] = (
+        f"unet_medium_rf topdown ({prod['params_m']}M params, "
+        f"{img}px, crop {crop}, bf16, B={pbatch})"
+    )
+    extra["peak_tflops_assumed"] = round(peak / 1e12, 1)
 
-    device = jax.devices()[0].platform
+    device = platform
     print(
         json.dumps(
             {

@@ -28,6 +28,7 @@ from sleap_nn_tpu.config.model_config import (
     CentroidConfig,
     ConvNextConfig,
     HeadConfig,
+    PretrainedConfig,
     ModelConfig,
     SemanticSegmentationConfig,
     SingleInstanceConfig,
@@ -53,6 +54,7 @@ _BACKBONE_PRESETS = {
     "swint_tiny": lambda **kw: SwinTConfig(model_type="tiny", **kw),
     "swint_small": lambda **kw: SwinTConfig(model_type="small", **kw),
     "swint_base": lambda **kw: SwinTConfig(model_type="base", **kw),
+    "pretrained": PretrainedConfig,
 }
 
 _HEAD_WRAPPERS = {
@@ -123,10 +125,15 @@ def get_backbone_config(backbone: Union[str, Dict] = "unet", **overrides) -> Bac
     out = BackboneConfig()
     if isinstance(backbone, dict):
         name = next(iter(backbone))
-        leaf = from_dict(
-            {"unet": UNetConfig, "convnext": ConvNextConfig, "swint": SwinTConfig}[name],
-            backbone[name],
-        )
+        leaf_types = {
+            "unet": UNetConfig, "convnext": ConvNextConfig,
+            "swint": SwinTConfig, "pretrained": PretrainedConfig,
+        }
+        if name not in leaf_types:
+            raise ValueError(
+                f"Unknown backbone: {name}; one of {sorted(leaf_types)}"
+            )
+        leaf = from_dict(leaf_types[name], backbone[name])
         setattr(out, name, leaf)
         return out
     if backbone not in _BACKBONE_PRESETS:

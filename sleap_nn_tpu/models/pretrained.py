@@ -51,6 +51,12 @@ _BUILTIN_CONFIGS = {
     "convnextv2-tiny": {"model_type": "convnextv2", "depths": [3, 3, 9, 3], "hidden_sizes": [96, 192, 384, 768]},
     "resnet-18": {"model_type": "resnet", "depths": [2, 2, 2, 2], "hidden_sizes": [64, 128, 256, 512], "embedding_size": 64, "layer_type": "basic"},
     "resnet-50": {"model_type": "resnet", "depths": [3, 4, 6, 3], "hidden_sizes": [256, 512, 1024, 2048], "embedding_size": 64, "layer_type": "bottleneck"},
+    "swinv2-tiny": {"model_type": "swinv2", "embed_dim": 96, "depths": [2, 2, 6, 2], "num_heads": [3, 6, 12, 24], "window_size": 8, "image_size": 256},
+    "swinv2-small": {"model_type": "swinv2", "embed_dim": 96, "depths": [2, 2, 18, 2], "num_heads": [3, 6, 12, 24], "window_size": 8, "image_size": 256},
+    "swinv2-base": {"model_type": "swinv2", "embed_dim": 128, "depths": [2, 2, 18, 2], "num_heads": [4, 8, 16, 32], "window_size": 8, "image_size": 256},
+    "dinov2-small": {"model_type": "dinov2", "hidden_size": 384, "num_hidden_layers": 12, "num_attention_heads": 6, "intermediate_size": 1536, "patch_size": 14, "image_size": 518},
+    "dinov2-base": {"model_type": "dinov2", "hidden_size": 768, "num_hidden_layers": 12, "num_attention_heads": 12, "intermediate_size": 3072, "patch_size": 14, "image_size": 518},
+    "vit-base-patch16": {"model_type": "vit", "hidden_size": 768, "num_hidden_layers": 12, "num_attention_heads": 12, "intermediate_size": 3072, "patch_size": 16, "image_size": 224},
 }
 
 
@@ -256,6 +262,29 @@ class ResNetEncoder(nn.Module):
 # ── Wrapper ───────────────────────────────────────────────────────────────────
 
 
+# Config `model_type` strings that are isotropic (single-scale) ViTs.
+# Case A (hierarchical decoder) cannot be built from these; with
+# mode="auto" they route to Case B (reference pretrained.py:52-68,100-109).
+ISOTROPIC_MODEL_TYPES = {
+    "vit", "deit", "beit", "dinov2", "dinov2_with_registers",
+    "dinov2-with-registers", "dinov3_vit", "dinov3-vit", "ijepa",
+    "vitdet", "vit_det", "vit_mae", "vit_msn",
+}
+
+_VIT_FAMILY = ISOTROPIC_MODEL_TYPES
+
+
+def resolve_mode(arch_cfg: Dict[str, Any], mode: str = "auto") -> str:
+    """Resolve mode='auto' to 'decoder' (Case A) or 'encoder' (Case B)."""
+    if mode in ("decoder", "encoder"):
+        return mode
+    mt = (arch_cfg.get("model_type") or "").lower()
+    is_isotropic = mt in ISOTROPIC_MODEL_TYPES or not arch_cfg.get(
+        "stage_names", arch_cfg.get("depths")
+    )
+    return "encoder" if is_isotropic else "decoder"
+
+
 def build_encoder(arch_cfg: Dict[str, Any]) -> nn.Module:
     mt = arch_cfg.get("model_type", "convnextv2")
     if mt == "convnextv2":
@@ -274,9 +303,18 @@ def build_encoder(arch_cfg: Dict[str, Any]) -> nn.Module:
             downsample_in_bottleneck=bool(arch_cfg.get("downsample_in_bottleneck", False)),
             name="enc",
         )
+    if mt == "swinv2":
+        from sleap_nn_tpu.models.transformer_encoders import build_swinv2_encoder
+
+        return build_swinv2_encoder(arch_cfg)
+    if mt in _VIT_FAMILY:
+        from sleap_nn_tpu.models.transformer_encoders import build_vit_encoder
+
+        return build_vit_encoder(arch_cfg)
     raise ValueError(
         f"Unsupported pretrained backbone model_type {mt!r} "
-        f"(supported: convnextv2, resnet)."
+        f"(supported: convnextv2, resnet, swinv2, "
+        f"{', '.join(sorted(_VIT_FAMILY))})."
     )
 
 
@@ -286,7 +324,7 @@ def probe_pyramid(encoder: nn.Module, in_channels: int = 3) -> Tuple[List[int], 
     Uses ``jax.eval_shape`` — no FLOPs, no device use (reference probes with
     a real dummy forward, pretrained.py:299).
     """
-    size = 256
+    size = 448  # divisible by every supported patch stride (4/14/16/32)
 
     def run():
         variables = encoder.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, in_channels)))
@@ -323,6 +361,11 @@ class PretrainedBackbone(nn.Module):
     normalize: bool = True
     image_mean: Tuple[float, float, float] = IMAGENET_MEAN
     image_std: Tuple[float, float, float] = IMAGENET_STD
+    # 'decoder' (Case A): pyramid -> SLEAP decoder, spatial heads bind to
+    # decoder strides. 'encoder' (Case B, isotropic ViTs): no decoder; the
+    # single bottleneck map is exposed as middle_output and every head
+    # binds there (reference pretrained.py:409 _build_encoder_only).
+    mode: str = "decoder"
 
     @property
     def max_stride(self) -> int:
@@ -355,6 +398,8 @@ class PretrainedBackbone(nn.Module):
 
     @property
     def stride_to_filters(self) -> Dict[int, int]:
+        if self.mode == "encoder":
+            return {}  # no decoder: heads route to middle_output
         out = {self.max_stride: self.pyramid_channels[-1]}
         stride = self.max_stride
         for block in range(self._up_blocks):
@@ -378,7 +423,16 @@ class PretrainedBackbone(nn.Module):
         arch_cfg, _ = resolve_hf_config(config.model_name,
                                         getattr(config, "revision", None))
         encoder = build_encoder(arch_cfg)
+        mode = resolve_mode(arch_cfg, getattr(config, "mode", "auto") or "auto")
         strides, channels = probe_pyramid(encoder)
+        if mode == "decoder" and len(strides) < 2:
+            raise ValueError(
+                f"Backbone {config.model_name!r} produced a single-scale "
+                f"feature map (strides={strides}); it is isotropic and "
+                f"cannot feed a spatial decoder. Use a hierarchical "
+                f"backbone (ConvNeXtV2/ResNet/Swinv2) for spatial heads, "
+                f"or mode='encoder' for a pooled head."
+            )
         # out_indices (reference pretrained.py out_indices): restrict which
         # encoder stages feed the pyramid — the deepest selected stage
         # becomes the bottleneck, earlier ones the skips.
@@ -408,6 +462,7 @@ class PretrainedBackbone(nn.Module):
             normalize=bool(getattr(config, "normalize", True)),
             image_mean=mean,
             image_std=std,
+            mode=mode,
         )
 
     @nn.compact
@@ -418,6 +473,15 @@ class PretrainedBackbone(nn.Module):
             x = (x - mean) / std
         feats = self.encoder(x)
         bottleneck = feats[-1]
+        if self.mode == "encoder":
+            # Case B: single spatial bottleneck; Model routes every head
+            # (incl. class-vectors) through middle_output/intermediate_feat.
+            return {
+                "outputs": [],
+                "strides": [],
+                "middle_output": bottleneck,
+                "intermediate_feat": bottleneck,
+            }
         skips = feats[:-1][::-1]  # deepest-first, paired with decoder blocks
         result = self._decoder_def()(bottleneck, skips)
         result["middle_output"] = bottleneck
@@ -580,26 +644,36 @@ def load_hf_encoder_params(model_name: str, variables, backbone_scope: str = "ba
     import flax
 
     variables = flax.core.unfreeze(variables) if hasattr(flax.core, "unfreeze") else variables
-    mapper = _map_convnextv2_key if arch_cfg.get("model_type") == "convnextv2" else None
+    mt = arch_cfg.get("model_type", "convnextv2")
+    if mt == "convnextv2":
+        mapper, has_coll = _map_convnextv2_key, False
+    elif mt == "resnet":
+        mapper, has_coll = _map_resnet_key, True
+    elif mt == "swinv2":
+        from sleap_nn_tpu.models.transformer_encoders import map_swinv2_key
+
+        mapper, has_coll = map_swinv2_key, False
+    elif mt in _VIT_FAMILY:
+        from sleap_nn_tpu.models.transformer_encoders import map_vit_key
+
+        mapper, has_coll = map_vit_key, False
+    else:
+        raise ValueError(f"No weight mapper for model_type {mt!r}.")
     errors: List[str] = []
     n_loaded = 0
     for key, value in tensors.items():
         value = np.asarray(value)
-        if mapper is not None:
-            got = _map_convnextv2_key(key)
-            if got is None:
-                errors.append(f"unmapped key {key}")
-                continue
+        got = mapper(key)
+        if got is None:
+            errors.append(f"unmapped key {key}")
+            continue
+        if got == "skip":
+            continue
+        if has_coll:
+            path, how, coll = got
+        else:
             path, how = got
             coll = "params"
-        else:
-            got = _map_resnet_key(key)
-            if got is None:
-                errors.append(f"unmapped key {key}")
-                continue
-            if got == "skip":
-                continue
-            path, how, coll = got
         root = variables.get(coll, {})
         scope = root.get(backbone_scope, root)
         enc = scope.get("enc") or scope.get("encoder")

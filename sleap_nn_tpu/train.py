@@ -97,17 +97,49 @@ def train(
     overrides: Optional[Dict] = None,
     **kwargs,
 ) -> ModelTrainer:
-    """Python-API train entry (reference: train.py:535)."""
+    """Python-API train entry (reference: train.py:535).
+
+    Without ``config_path``, keyword arguments are routed through the
+    kwargs->config builders (``get_config``, reference get_config.py:506-712)
+    so the full reference surface works: ``backbone_config`` (preset name or
+    ``{"unet"|"convnext"|"swint"|"pretrained": {...}}`` dict),
+    ``head_configs``, preprocessing (scale/max_height/...), augmentation,
+    and every trainer knob. With ``config_path``, kwargs are applied as
+    trainer-config attribute overrides on the loaded YAML.
+    """
     if config_path is not None:
         config = TrainingJobConfig.load_yaml(config_path, overrides=overrides)
-    else:
-        config = TrainingJobConfig()
-        if overrides:
-            from sleap_nn_tpu.config import apply_overrides
+        if train_labels_path:
+            config.data_config.train_labels_path = (
+                [train_labels_path] if isinstance(train_labels_path, (str, Path))
+                else list(train_labels_path)
+            )
+        for key, value in kwargs.items():
+            setattr(config.trainer_config, key, value)
+        return run_training(config)
 
-            apply_overrides(config, overrides)
+    from sleap_nn_tpu.config.get_config import get_config
+
+    # Reference kwarg names -> builder arg names.
+    aliases = {
+        "backbone_config": "backbone",
+        "geometry_aug": "geometric_aug",
+        "init_weight": "init_weights",
+    }
+    for ref_name, builder_name in aliases.items():
+        if ref_name in kwargs:
+            kwargs[builder_name] = kwargs.pop(ref_name)
+    use_aug = kwargs.pop("use_augmentations_train", None)
     if train_labels_path:
-        config.data_config.train_labels_path = list(train_labels_path)
-    for key, value in kwargs.items():
-        setattr(config.trainer_config, key, value)
+        kwargs["train_labels_path"] = (
+            [train_labels_path] if isinstance(train_labels_path, (str, Path))
+            else list(train_labels_path)
+        )
+    config = get_config(**kwargs)
+    if use_aug is not None:
+        config.data_config.use_augmentations_train = bool(use_aug)
+    if overrides:
+        from sleap_nn_tpu.config import apply_overrides
+
+        apply_overrides(config, overrides)
     return run_training(config)

@@ -70,3 +70,38 @@ def test_get_config_one_shot_trains(tmp_path):
     verify_training_cfg(cfg)
     trainer = run_training(cfg)
     assert (tmp_path / "kw" / "best.ckpt").exists()
+
+
+def test_train_kwargs_route_through_builders(tmp_path):
+    """Python-API train() maps reference kwargs (backbone_config as dict,
+    scale, use_augmentations_train) into the config builders instead of
+    dumping them on trainer_config (reference train.py:535)."""
+    from sleap_nn_tpu.train import train
+
+    train(
+        train_labels_path=FIXTURE,
+        use_same_data_for_val=True,
+        backbone_config={"unet": {"filters": 8, "filters_rate": 2.0,
+                                  "max_stride": 8, "output_stride": 2}},
+        head_configs={"single_instance": {"confmaps": {"output_stride": 2}}},
+        scale=0.25,
+        use_augmentations_train=False,
+        max_epochs=1, min_train_steps_per_epoch=1, batch_size=1,
+        save_ckpt=True, ckpt_dir=str(tmp_path), run_name="kwargs_route",
+        enable_progress_bar=False,
+    )
+    md = tmp_path / "kwargs_route"
+    assert (md / "best.ckpt").exists()
+    import yaml
+
+    saved = yaml.safe_load((md / "training_config.yaml").read_text())
+    assert saved["data_config"]["preprocessing"]["scale"] == 0.25
+    assert saved["model_config"]["backbone_config"]["unet"]["filters"] == 8
+
+
+def test_get_backbone_config_pretrained():
+    c = get_backbone_config({"pretrained": {"model_name": "/x", "freeze": True}})
+    assert c.pretrained.model_name == "/x" and c.pretrained.freeze
+    assert get_backbone_config("pretrained").pretrained is not None
+    with pytest.raises(ValueError, match="Unknown backbone"):
+        get_backbone_config({"resnext": {}})

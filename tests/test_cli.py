@@ -513,3 +513,50 @@ def test_tracking_flow_without_overlap_filter(trained_model, tmp_path):
         "--frames", "0-2", "--peak-threshold", "0.05", "--use-kalman",
     ], catch_exceptions=False)
     assert r2.exit_code == 0, r2.output
+
+
+def test_info_command_sections(trained_model, tmp_path):
+    """`info` renders the reference's six sections (ref model_info.py:162)."""
+    from sleap_nn_tpu.evaluation import save_metrics_npz
+
+    # Deterministic metrics npz so Table 5 always renders.
+    save_metrics_npz(
+        {
+            "mOKS": {"mOKS": 0.91},
+            "voc_metrics": {"oks_voc.mAP": 0.5, "oks_voc.mAR": 0.6},
+            "distance_metrics": {"avg": 2.5, "p50": 2.0, "p95": 5.0},
+            "pck_metrics": {"mPCK": 0.8},
+            "visibility_metrics": {"precision": 1.0, "recall": 0.9},
+        },
+        Path(trained_model) / "metrics.val_0.npz",
+    )
+    runner = CliRunner()
+    result = runner.invoke(cli, ["info", trained_model], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    out = result.output
+    for section in ("Model Info", "Data", "Training", "Training Results",
+                    "Evaluation Metrics", "Files"):
+        assert section in out, f"missing section {section}"
+    assert "UNet" in out and "8 filters" in out
+    assert "Single Instance" in out
+    assert "A" in out and "B" in out  # skeleton node names
+    assert "0.91" in out  # mOKS row
+    assert "best.ckpt" in out  # files table
+    assert "Epochs trained" in out
+
+
+def test_info_yaml_config_only(trained_model):
+    """`info <config.yaml>` shows config sections but no dir-only tables."""
+    cfg = str(Path(trained_model) / "training_config.yaml")
+    runner = CliRunner()
+    result = runner.invoke(cli, ["info", cfg], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "Model Info" in result.output
+    assert "Training" in result.output
+    assert "Files" not in result.output
+
+
+def test_info_missing_path_errors():
+    runner = CliRunner()
+    result = runner.invoke(cli, ["info", "/nonexistent/dir"])
+    assert result.exit_code != 0
