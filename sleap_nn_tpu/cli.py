@@ -171,8 +171,10 @@ def _inference_options(f):
         click.option("--gui", is_flag=True, default=False,
                      help="Emit JSON-lines progress for GUI integration."),
         click.option("--queue-maxsize", "--queue_maxsize", "queue_maxsize",
-                     type=int, default=32, hidden=True,
-                     help="[no-op] Retained for CLI compatibility."),
+                     type=int, default=32, show_default=True,
+                     help="Max decoded frames buffered ahead of the device "
+                          "(provider prefetch bound, reference VideoReader "
+                          "queue knob)."),
         # -- runtime / device ---------------------------------------------------
         click.option("--device", "-d", default=None,
                      type=click.Choice(["auto", "tpu", "cpu"]),
@@ -512,11 +514,17 @@ def _inference_options(f):
 
 
 def _parse_frames(frames: Optional[str]):
+    """'n-m' (or the legacy 'n,-m' spelling) -> range; 'a,b,c' -> list.
+
+    Matches reference legacy_predict.frame_list:32-48: any string containing
+    '-' is treated as a range, with a trailing comma stripped from the lower
+    bound — so '1,-200' means frames 1..200, not [1, -200].
+    """
     if not frames:
         return None
-    if "-" in frames and "," not in frames:
-        a, b = frames.split("-")
-        return list(range(int(a), int(b) + 1))
+    if "-" in frames:
+        lo, hi = frames.split("-")
+        return list(range(int(lo.rstrip(",")), int(hi) + 1))
     return [int(x) for x in frames.split(",")]
 
 
@@ -577,7 +585,7 @@ def _run_inference(**kw):
     from sleap_nn_tpu.inference import predict
 
     # Inert/compat flags.
-    kw.pop("queue_maxsize", None)
+    # queue_maxsize flows through to predict() -> provider prefetch depth.
     cpu_workers = kw.pop("cpu_workers", None)
     if cpu_workers is not None:
         click.echo("WARNING: --cpu-workers is deprecated; use --paf-workers.",

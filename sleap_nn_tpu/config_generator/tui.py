@@ -1,23 +1,37 @@
 """Interactive config-generator TUI.
 
 Parity target: reference sleap_nn/config_generator/tui/app.py:449
-(``launch_tui``) — an interactive flow that analyzes a SLEAP file,
-recommends a training config, lets the user adjust the key fields, and
-saves the YAML. The reference builds a 10k-LoC `textual` app; `textual`
-is not available in this environment, so this implementation is a compact
-``curses`` form (arrow keys + enter) with a plain-prompt fallback for
-non-tty sessions. Both paths drive the exact same analyzer/recommender/
-generator engine as ``sleap-nn-tpu config --auto``.
+(``launch_tui``) — the reference is a 10k-LoC `textual` app with
+load / model-select / configure / export screens, sliders and a memory
+gauge; `textual` is not available in this environment, so this is a
+multi-screen ``curses`` flow (with a plain-prompt fallback for non-tty
+sessions) reproducing the same flow depth:
+
+1. **Load** — dataset analysis summary + the recommendation rationale.
+2. **Model select** — pipeline + backbone choice.
+3. **Configure** — every recommendation knob editable (sigma, scale,
+   output/max stride, filters, filters_rate, batch size, epochs, rotation
+   range, augmentation), each with per-field validation, and a LIVE
+   memory-estimate gauge (``config_generator/memory.py``) recomputed on
+   every change.
+4. **Confirm/export** — YAML preview + memory summary, save or go back.
+
+Both front ends drive the exact same analyzer/recommender/generator
+engine as ``sleap-nn-tpu config --auto``.
 """
 
 from __future__ import annotations
 
 import sys
 from pathlib import Path
-from typing import List, Optional
+from typing import Callable, List, Optional
 
-PIPELINES = ["topdown", "bottomup", "single_instance", "centroid"]
+PIPELINES = [
+    "topdown", "bottomup", "single_instance", "centroid",
+    "multi_class_topdown", "multi_class_bottomup",
+]
 BACKBONES = ["unet", "convnext", "swint"]
+DEVICE_BUDGET_GB = 16.0  # one v5e chip's HBM
 
 
 def _analyze(slp_path: str):
@@ -40,57 +54,185 @@ def _stats_lines(stats) -> List[str]:
     ]
 
 
+def _pow2(v) -> bool:
+    v = int(v)
+    return v > 0 and (v & (v - 1)) == 0
+
+
 class _Field:
+    """One editable knob: choices cycle, free fields cast + validate."""
+
     def __init__(self, name: str, value, choices: Optional[List] = None,
-                 caster=str, reason: str = ""):
+                 caster=str, reason: str = "",
+                 validate: Optional[Callable] = None):
         self.name = name
         self.value = value
         self.choices = choices
         self.caster = caster
         self.reason = reason
+        self.validate = validate
+        self.error: Optional[str] = None
 
     def cycle(self, direction: int):
         if self.choices:
             i = self.choices.index(self.value) if self.value in self.choices else 0
             self.value = self.choices[(i + direction) % len(self.choices)]
+            self.error = None
 
     def set_text(self, text: str) -> bool:
         try:
-            self.value = self.caster(text)
-            return True
+            value = self.caster(text)
         except (TypeError, ValueError):
+            self.error = f"not a valid {self.caster.__name__}"
             return False
+        if self.validate is not None:
+            err = self.validate(value)
+            if err:
+                self.error = err
+                return False
+        self.value = value
+        self.error = None
+        return True
 
 
-def _build_fields(slp_path: str, stats, rec) -> List[_Field]:
-    default_out = str(Path(slp_path).parent / f"{Path(slp_path).stem}_config.yaml")
+def _model_fields(rec) -> List[_Field]:
     return [
         _Field("pipeline", rec.pipeline.pipeline, choices=PIPELINES,
                reason=rec.pipeline.reason),
         _Field("backbone", rec.backbone, choices=BACKBONES,
                reason=rec.backbone_reason),
-        _Field("sigma", rec.sigma, caster=float, reason=rec.sigma_reason),
-        _Field("scale", rec.scale, caster=float, reason=rec.scale_reason),
+    ]
+
+
+def _config_fields(slp_path: str, stats, rec) -> List[_Field]:
+    default_out = str(Path(slp_path).parent / f"{Path(slp_path).stem}_config.yaml")
+    return [
+        _Field("sigma", rec.sigma, caster=float, reason=rec.sigma_reason,
+               validate=lambda v: None if 0 < v <= 50 else "must be in (0, 50]"),
+        _Field("scale", rec.scale, caster=float, reason=rec.scale_reason,
+               validate=lambda v: None if 0 < v <= 2 else "must be in (0, 2]"),
+        _Field("output_stride", 2, caster=int,
+               validate=lambda v: None if _pow2(v) and v <= 32
+               else "must be a power of 2 <= 32"),
+        _Field("max_stride", rec.max_stride, caster=int,
+               validate=lambda v: None if _pow2(v) and 4 <= v <= 128
+               else "must be a power of 2 in [4, 128]"),
+        _Field("filters", 32, caster=int,
+               validate=lambda v: None if 4 <= v <= 512 else "must be in [4, 512]"),
+        _Field("filters_rate", 1.5, caster=float,
+               validate=lambda v: None if 1.0 <= v <= 4.0 else "must be in [1, 4]"),
         _Field("batch_size", rec.batch_size, caster=int,
-               reason=rec.batch_size_reason),
-        _Field("max_epochs", 100, caster=int),
+               reason=rec.batch_size_reason,
+               validate=lambda v: None if v >= 1 else "must be >= 1"),
+        _Field("max_epochs", 100, caster=int,
+               validate=lambda v: None if v >= 1 else "must be >= 1"),
+        _Field("rotation", float(rec.rotation[1]), caster=float,
+               reason=rec.rotation_reason,
+               validate=lambda v: None if 0 <= v <= 180 else "must be in [0, 180]"),
+        _Field("augmentation", "on", choices=["on", "off"]),
         _Field("output", default_out),
     ]
 
 
-def _apply_and_save(slp_path: str, stats, rec, fields: List[_Field]) -> str:
+def _memory_gauge(stats, model_fields: List[_Field],
+                  config_fields: List[_Field]) -> str:
+    """One-line live memory gauge from the estimator (reference memory gauge)."""
+    from sleap_nn_tpu.config_generator.memory import estimate_memory
+
+    vals = {f.name: f.value for f in model_fields + config_fields}
+    try:
+        est = estimate_memory(
+            height=stats.max_height, width=stats.max_width,
+            channels=stats.num_channels,
+            batch_size=int(vals["batch_size"]),
+            filters=int(vals["filters"]),
+            filters_rate=float(vals["filters_rate"]),
+            max_stride=int(vals["max_stride"]),
+            output_stride=int(vals["output_stride"]),
+            scale=float(vals["scale"]),
+            n_heads_channels=max(stats.num_nodes, 1),
+        )
+    except Exception:
+        return "memory: n/a"
+    total = est.total_device_gb
+    frac = min(total / DEVICE_BUDGET_GB, 1.0)
+    bar = "#" * int(round(frac * 20))
+    flag = "  OVER BUDGET!" if total > DEVICE_BUDGET_GB else ""
+    return (
+        f"memory [{bar:<20}] {total:.2f}/{DEVICE_BUDGET_GB:.0f} GB "
+        f"(par {est.params_gb:.2f} + act {est.activations_gb:.2f} "
+        f"+ opt {est.optimizer_gb:.2f}){flag}"
+    )
+
+
+def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
+                    config_fields: List[_Field]) -> str:
+    from sleap_nn_tpu.config import apply_overrides
     from sleap_nn_tpu.config_generator import generate_config
 
-    vals = {f.name: f.value for f in fields}
+    vals = {f.name: f.value for f in model_fields + config_fields}
     rec.pipeline.pipeline = vals["pipeline"]
     rec.backbone = vals["backbone"]
     rec.sigma = float(vals["sigma"])
     rec.scale = float(vals["scale"])
     rec.batch_size = int(vals["batch_size"])
+    rec.max_stride = int(vals["max_stride"])
+    rot = abs(float(vals["rotation"]))
+    rec.rotation = (-rot, rot)
     out = str(vals["output"])
-    generate_config(slp_path, output_path=out, stats=stats, recommendation=rec,
-                    max_epochs=int(vals["max_epochs"]))
+    cfg = generate_config(slp_path, output_path=None, stats=stats,
+                          recommendation=rec, max_epochs=int(vals["max_epochs"]))
+    bb = rec.backbone
+    os_ = int(vals["output_stride"])
+    over = {
+        f"model_config.backbone_config.{bb}.output_stride": os_,
+    }
+    if bb == "unet":
+        over[f"model_config.backbone_config.{bb}.filters"] = int(vals["filters"])
+        over[f"model_config.backbone_config.{bb}.filters_rate"] = float(
+            vals["filters_rate"]
+        )
+    apply_overrides(cfg, over)
+    # Keep head strides consistent with the decoder's finest output.
+    hc = cfg.model_config.head_configs
+    wrapper = getattr(hc, hc.which())
+    import dataclasses as _dc
+
+    for f_ in _dc.fields(wrapper):
+        leaf = getattr(wrapper, f_.name)
+        if leaf is not None and hasattr(leaf, "output_stride"):
+            if f_.name == "pafs":
+                leaf.output_stride = max(os_, leaf.output_stride)
+            else:
+                leaf.output_stride = os_
+    if vals["augmentation"] == "off":
+        cfg.data_config.use_augmentations_train = False
+        cfg.data_config.augmentation_config = None
+    cfg.save_yaml(out)
     return out
+
+
+def _yaml_preview(slp_path, stats, rec, model_fields, config_fields,
+                  n_lines: int = 14) -> List[str]:
+    """First lines of the YAML that would be saved (confirm screen)."""
+    import copy
+
+    try:
+        import io
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            tmp_out = str(Path(td) / "preview.yaml")
+            saved_fields = copy.deepcopy(config_fields)
+            for f in saved_fields:
+                if f.name == "output":
+                    f.value = tmp_out
+            _apply_and_save(slp_path, stats, copy.deepcopy(rec),
+                            copy.deepcopy(model_fields), saved_fields)
+            text = Path(tmp_out).read_text().splitlines()
+        return text[:n_lines] + (["..."] if len(text) > n_lines else [])
+    except Exception as e:
+        return [f"(preview unavailable: {e})"]
 
 
 # --------------------------------------------------------------------------- #
@@ -98,78 +240,170 @@ def _apply_and_save(slp_path: str, stats, rec, fields: List[_Field]) -> str:
 # --------------------------------------------------------------------------- #
 
 
-def _curses_form(stdscr, slp_path: str, stats, rec, fields: List[_Field]):
+def _curses_flow(stdscr, slp_path: str, stats, rec):
     import curses
 
     curses.curs_set(0)
-    sel = 0
-    msg = "↑/↓ select · ←/→ cycle · e edit · s save · q quit"
-    while True:
+    model_fields = _model_fields(rec)
+    config_fields = _config_fields(slp_path, stats, rec)
+    screen = 0  # 0 load, 1 model select, 2 configure, 3 confirm
+
+    def header(title, extra=""):
         stdscr.erase()
-        stdscr.addstr(0, 2, f"sleap-nn-tpu config — {Path(slp_path).name}",
-                      curses.A_BOLD)
-        row = 2
-        for line in _stats_lines(stats):
-            stdscr.addstr(row, 4, line)
+        stdscr.addstr(0, 2, f"sleap-nn-tpu config — {Path(slp_path).name}"
+                            f"  [{title}]", curses.A_BOLD)
+        if extra:
+            stdscr.addstr(1, 2, extra, curses.A_DIM)
+
+    def field_form(fields, title, hint):
+        nonlocal screen
+        sel = 0
+        msg = hint
+        while True:
+            header(title, msg)
+            row = 2
+            for line in _stats_lines(stats):
+                stdscr.addstr(row, 4, line)
+                row += 1
             row += 1
-        row += 1
-        for i, f in enumerate(fields):
-            attr = curses.A_REVERSE if i == sel else curses.A_NORMAL
-            stdscr.addstr(row, 4, f"{f.name:<12} {f.value}", attr)
-            if i == sel and f.reason:
-                stdscr.addstr(row, 40, f"({f.reason})"[:38], curses.A_DIM)
-            row += 1
-        stdscr.addstr(row + 1, 2, msg, curses.A_DIM)
-        stdscr.refresh()
+            for i, f in enumerate(fields):
+                attr = curses.A_REVERSE if i == sel else curses.A_NORMAL
+                stdscr.addstr(row, 4, f"{f.name:<14} {f.value}", attr)
+                note = f.error or (f.reason if i == sel else "")
+                if note:
+                    stdscr.addstr(row, 44, f"({note})"[:34],
+                                  curses.A_BOLD if f.error else curses.A_DIM)
+                row += 1
+            if title == "configure":
+                stdscr.addstr(row + 1, 4,
+                              _memory_gauge(stats, model_fields, fields))
+            stdscr.addstr(row + 3, 2,
+                          "↑/↓ select · ←/→ cycle · e edit · n next · "
+                          "b back · q quit", curses.A_DIM)
+            stdscr.refresh()
+            ch = stdscr.getch()
+            if ch in (ord("q"), 27):
+                return "quit"
+            if ch == ord("n"):
+                return "next"
+            if ch == ord("b"):
+                return "back"
+            if ch == curses.KEY_UP:
+                sel = (sel - 1) % len(fields)
+            elif ch == curses.KEY_DOWN:
+                sel = (sel + 1) % len(fields)
+            elif ch in (curses.KEY_LEFT, curses.KEY_RIGHT):
+                fields[sel].cycle(1 if ch == curses.KEY_RIGHT else -1)
+            elif ch in (ord("e"), ord("\n"), curses.KEY_ENTER, 10):
+                if fields[sel].choices:
+                    fields[sel].cycle(1)
+                    continue
+                curses.curs_set(1)
+                stdscr.addstr(row + 2, 2, f"{fields[sel].name}: ")
+                curses.echo()
+                text = stdscr.getstr(row + 2, 4 + len(fields[sel].name)).decode()
+                curses.noecho()
+                curses.curs_set(0)
+                if text:
+                    fields[sel].set_text(text)
 
-        ch = stdscr.getch()
-        if ch in (ord("q"), 27):
-            return None
-        if ch == curses.KEY_UP:
-            sel = (sel - 1) % len(fields)
-        elif ch == curses.KEY_DOWN:
-            sel = (sel + 1) % len(fields)
-        elif ch in (curses.KEY_LEFT, curses.KEY_RIGHT):
-            fields[sel].cycle(1 if ch == curses.KEY_RIGHT else -1)
-        elif ch in (ord("e"), ord("\n"), curses.KEY_ENTER, 10):
-            if fields[sel].choices:
-                fields[sel].cycle(1)
-                continue
-            import curses.textpad
+    while True:
+        if screen == 0:
+            header("load", "n continue · q quit")
+            row = 2
+            for line in _stats_lines(stats):
+                stdscr.addstr(row, 4, line)
+                row += 1
+            stdscr.addstr(row + 1, 4,
+                          f"recommended: {rec.pipeline.pipeline} / {rec.backbone}")
+            stdscr.addstr(row + 2, 6, rec.pipeline.reason[:70], curses.A_DIM)
+            stdscr.refresh()
+            ch = stdscr.getch()
+            if ch in (ord("q"), 27):
+                return None
+            if ch in (ord("n"), ord("\n"), 10):
+                screen = 1
+        elif screen == 1:
+            action = field_form(model_fields, "model select",
+                                "choose pipeline + backbone")
+            if action == "quit":
+                return None
+            screen = 2 if action == "next" else 0
+        elif screen == 2:
+            action = field_form(config_fields, "configure",
+                                "edit knobs; gauge updates live")
+            if action == "quit":
+                return None
+            screen = 3 if action == "next" else 1
+        else:
+            header("confirm", "s save · b back · q quit")
+            row = 2
+            for line in _yaml_preview(slp_path, stats, rec, model_fields,
+                                      config_fields):
+                stdscr.addstr(row, 4, line[:74])
+                row += 1
+            stdscr.addstr(row + 1, 4,
+                          _memory_gauge(stats, model_fields, config_fields))
+            stdscr.refresh()
+            ch = stdscr.getch()
+            if ch in (ord("q"), 27):
+                return None
+            if ch == ord("b"):
+                screen = 2
+            elif ch == ord("s"):
+                return _apply_and_save(slp_path, stats, rec, model_fields,
+                                       config_fields)
 
-            curses.curs_set(1)
-            stdscr.addstr(row + 2, 2, f"{fields[sel].name}: ")
-            curses.echo()
-            text = stdscr.getstr(row + 2, 4 + len(fields[sel].name)).decode()
-            curses.noecho()
-            curses.curs_set(0)
-            if text and not fields[sel].set_text(text):
-                msg = f"invalid value for {fields[sel].name}"
-            else:
-                msg = "↑/↓ select · ←/→ cycle · e edit · s save · q quit"
-        elif ch == ord("s"):
-            return _apply_and_save(slp_path, stats, rec, fields)
 
+def _prompt_flow(slp_path: str, stats, rec) -> Optional[str]:
+    """Plain-prompt fallback when stdin/stdout is not a terminal.
 
-def _prompt_flow(slp_path: str, stats, rec, fields: List[_Field]) -> Optional[str]:
-    """Plain-prompt fallback when stdin/stdout is not a terminal."""
+    Same four-stage flow, linearized; empty input keeps the default, invalid
+    input re-prompts with the validation message.
+    """
+    model_fields = _model_fields(rec)
+    config_fields = _config_fields(slp_path, stats, rec)
     print(f"sleap-nn-tpu config — {Path(slp_path).name}")
     for line in _stats_lines(stats):
         print("  " + line)
-    print()
-    for f in fields:
+    print(f"\n[model select]  recommended: {rec.pipeline.pipeline} / {rec.backbone}")
+
+    def ask(f: _Field):
         suffix = f" [{'/'.join(map(str, f.choices))}]" if f.choices else ""
         reason = f"  ({f.reason})" if f.reason else ""
-        try:
-            raw = input(f"{f.name}{suffix} [{f.value}]{reason}: ").strip()
-        except EOFError:
-            raw = ""
-        if raw:
-            if f.choices and raw not in [str(c) for c in f.choices]:
-                print(f"  keeping {f.value!r} (invalid choice)")
-            elif not f.set_text(raw):
-                print(f"  keeping {f.value!r} (invalid value)")
-    return _apply_and_save(slp_path, stats, rec, fields)
+        while True:
+            try:
+                raw = input(f"{f.name}{suffix} [{f.value}]{reason}: ").strip()
+            except EOFError:
+                return
+            if not raw:
+                return
+            if f.choices:
+                if raw in [str(c) for c in f.choices]:
+                    f.value = raw
+                    return
+                print(f"  invalid choice; keeping {f.value!r}")
+                return
+            if f.set_text(raw):
+                return
+            print(f"  {f.error}; try again or press enter to keep {f.value!r}")
+
+    for f in model_fields:
+        ask(f)
+    print("\n[configure]")
+    for f in config_fields:
+        ask(f)
+        if f.name in ("batch_size", "filters", "scale", "max_stride"):
+            print("  " + _memory_gauge(stats, model_fields, config_fields))
+    print("\n[confirm]")
+    print("  " + _memory_gauge(stats, model_fields, config_fields))
+    try:
+        confirm = input("save? [Y/n]: ").strip().lower()
+    except EOFError:
+        confirm = ""
+    if confirm in ("n", "no"):
+        return None
+    return _apply_and_save(slp_path, stats, rec, model_fields, config_fields)
 
 
 def launch_tui(slp_path: Optional[str]) -> Optional[str]:
@@ -177,13 +411,12 @@ def launch_tui(slp_path: Optional[str]) -> Optional[str]:
     if not slp_path:
         raise SystemExit("config: SLP_PATH is required for interactive mode.")
     stats, rec = _analyze(slp_path)
-    fields = _build_fields(slp_path, stats, rec)
     if sys.stdin.isatty() and sys.stdout.isatty():
         import curses
 
-        out = curses.wrapper(_curses_form, slp_path, stats, rec, fields)
+        out = curses.wrapper(_curses_flow, slp_path, stats, rec)
     else:
-        out = _prompt_flow(slp_path, stats, rec, fields)
+        out = _prompt_flow(slp_path, stats, rec)
     if out:
         print(f"Saved config to: {out}")
     return out

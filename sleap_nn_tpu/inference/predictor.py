@@ -558,6 +558,11 @@ class Predictor:
     def _make_provider(self, data, frames=None):
         needs_gt = getattr(self.layer, "needs_gt_centroids", False)
         provider_kwargs = {"batch_size": self.batch_size}
+        # --queue-maxsize (frames) -> provider prefetch depth (batches); the
+        # reference's legacy VideoReader bounds its decode queue the same way.
+        prefetch = getattr(self, "prefetch_batches", None)
+        if prefetch:
+            provider_kwargs["prefetch"] = int(prefetch)
         if needs_gt:
             provider_kwargs.update(
                 with_centroids=True,
@@ -581,6 +586,7 @@ class Predictor:
             return VideoProvider(
                 p, batch_size=self.batch_size, frames=frames,
                 out_format="gray" if self._host_grayscale else None,
+                **({"prefetch": int(prefetch)} if prefetch else {}),
             )
         if isinstance(data, Video):
             if needs_gt:
@@ -590,6 +596,7 @@ class Predictor:
             return VideoProvider(
                 data, batch_size=self.batch_size, frames=frames,
                 out_format="gray" if self._host_grayscale else None,
+                **({"prefetch": int(prefetch)} if prefetch else {}),
             )
         raise ValueError(f"Unsupported data source: {type(data)}")
 

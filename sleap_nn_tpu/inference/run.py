@@ -81,6 +81,7 @@ def predict(
     headers: Optional[str] = None,
     stream_mode: Optional[str] = None,
     runtime: str = "auto",
+    queue_maxsize: Optional[int] = None,
     progress_callback=None,
     restore_source_videos: bool = False,
     mask_backend: Optional[str] = None,
@@ -311,6 +312,12 @@ def predict(
             head_ckpt_path=head_ckpt_path,
         )
     predictor.centroid_output = centroid_output
+    if queue_maxsize:
+        # --queue-maxsize is specified in FRAMES (reference legacy
+        # run_inference); providers prefetch whole batches.
+        predictor.prefetch_batches = max(
+            1, int(queue_maxsize) // max(1, predictor.batch_size)
+        )
     if progress_callback is not None:
         predictor.progress_callback = progress_callback
     stream_writer = None

@@ -393,7 +393,8 @@ def test_config_tui_prompt_fallback(tmp_path, monkeypatch):
     out = tmp_path / "tui_config.yaml"
     import io as _io
 
-    answers = "\n" * 6 + str(out) + "\n"  # accept defaults, set output path
+    # 2 model-select + 10 configure defaults, output path, confirm save.
+    answers = "\n" * 12 + str(out) + "\n" + "\n"
     monkeypatch.setattr("sys.stdin", _io.StringIO(answers))
     from sleap_nn_tpu.config_generator.tui import launch_tui
 
@@ -560,3 +561,38 @@ def test_info_missing_path_errors():
     runner = CliRunner()
     result = runner.invoke(cli, ["info", "/nonexistent/dir"])
     assert result.exit_code != 0
+
+
+def test_parse_frames_legacy_range_spelling():
+    """Reference frame_list semantics: '1,-200' is a RANGE (1..200), any
+    string with '-' is a range (reference legacy_predict.py:32-48)."""
+    from sleap_nn_tpu.cli import _parse_frames
+
+    assert _parse_frames("1-5") == [1, 2, 3, 4, 5]
+    assert _parse_frames("1,-5") == [1, 2, 3, 4, 5]
+    assert _parse_frames("3,7,9") == [3, 7, 9]
+    assert _parse_frames("") is None
+    assert _parse_frames(None) is None
+
+
+def test_queue_maxsize_bounds_prefetch(trained_model):
+    """--queue-maxsize (frames) maps to provider prefetch depth (batches)."""
+    from sleap_nn_tpu.inference.predictor import Predictor
+    from sleap_nn_tpu.inference.run import predict as api_predict
+    from sleap_nn_tpu.io import load_slp
+
+    labels = load_slp(FIXTURE)
+    captured = {}
+    orig = Predictor._make_provider
+
+    def spy(self, data, frames=None):
+        prov = orig(self, data, frames)
+        captured["prefetch"] = getattr(self, "prefetch_batches", None)
+        return prov
+
+    Predictor._make_provider = spy
+    try:
+        api_predict(labels, [trained_model], batch_size=2, queue_maxsize=8)
+    finally:
+        Predictor._make_provider = orig
+    assert captured["prefetch"] == 4  # 8 frames / batch 2
