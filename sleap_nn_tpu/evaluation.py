@@ -74,10 +74,12 @@ def compute_oks(
     )
 
     missing_pr = np.any(np.isnan(points_pr), axis=-1)
-    distance[:, missing_pr] = np.inf
+    distance = np.where(missing_pr[None, :, :], np.inf, distance)
     ks = np.exp(-(distance / normalization_factor))
     missing_gt = np.any(np.isnan(points_gt), axis=-1)
-    ks[np.expand_dims(missing_gt, axis=1)] = 0
+    # Broadcasted mask, not boolean indexing: with n_pr > 1 a boolean index
+    # of shape (n_gt, 1, n_nodes) does not align with (n_gt, n_pr, n_nodes).
+    ks = np.where(missing_gt[:, None, :], 0.0, ks)
     n_visible_gt = np.sum((~missing_gt).astype("float32"), axis=-1, keepdims=True)
     return np.sum(ks, axis=-1) / n_visible_gt
 

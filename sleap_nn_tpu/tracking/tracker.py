@@ -284,10 +284,18 @@ class Tracker:
                 # Segmentation output: identity lives on LabeledFrame.masks
                 # (SegmentationMask objects; they carry .track like instances).
                 items = [m for m in getattr(lf, "masks", []) or [] if m.area > 0]
-            else:
-                items = lf.predicted_instances
-            if items:
-                self.track(items, lf.frame_idx, img)
+                if items:
+                    self.track(items, lf.frame_idx, img)
+                continue
+            # User-labeled instances take precedence for tracking; untracked
+            # predictions are carried alongside (reference
+            # inference/tracking.py apply_tracking :311-316).
+            items = lf.user_instances if lf.has_user_instances else lf.predicted_instances
+            # Track EVERY frame, including empty ones: the fixed candidate
+            # window is FRAME-based in the reference, so an occlusion gap
+            # longer than the window flushes candidates and re-entry starts
+            # a NEW track rather than silently bridging arbitrary gaps.
+            self.track(items, lf.frame_idx, img)
         labels.tracks = list(self._track_objects.values())
         return labels
 

@@ -191,7 +191,15 @@ class ModelTrainer:
             if not paths:
                 raise ValueError("data_config.train_labels_path must be set.")
             train_labels = [load_slp(p) for p in paths]
-            for labels in train_labels:
+            for p, labels in zip(paths, train_labels):
+                if not labels.labeled_frames:
+                    # Fail with the actual problem, not a downstream
+                    # IndexError from max-size inference (reference
+                    # custom_datasets.py:528 empty-dataset error).
+                    raise ValueError(
+                        f"Training labels file is empty (no labeled "
+                        f"frames): {p}"
+                    )
                 _remap_video_paths(labels, config.data_config)
         if val_labels is None:
             if config.data_config.use_same_data_for_val:
@@ -430,8 +438,13 @@ class ModelTrainer:
             self._warn_on_resume_seed_mismatch(cfg)
             state = self.load_checkpoint_params(cfg.trainer_config.resume_ckpt_path)
             restored = state["params"]
-            want = jax.tree_util.tree_structure(params)
-            got = jax.tree_util.tree_structure(restored)
+            # Compare structure AND leaf shapes: a same-shaped tree with
+            # different layer widths (e.g. filters 8 vs 16) has an identical
+            # tree structure but incompatible parameters.
+            want = jax.tree_util.tree_map(lambda a: tuple(a.shape), params)
+            got = jax.tree_util.tree_map(
+                lambda a: tuple(np.asarray(a).shape), restored
+            )
             if want != got:
                 raise ValueError(
                     f"resume_ckpt_path params do not match the configured "

@@ -133,17 +133,22 @@ def test_tracking_scores_populated_and_bounded():
             assert 0.0 <= inst.tracking_score <= 1.0 + 1e-9
 
 
-def test_tracker_reconnects_across_all_empty_gap():
-    """Empty frames don't advance the candidate window (only processed
-    frames are enqueued), so identity survives an all-empty gap."""
-    lfs = []
-    for t in range(12):
-        insts = [] if 4 <= t < 9 else [make_instance([10.0 + t, 10.0])]
-        lfs.append(LabeledFrame(video=None, frame_idx=t, instances=insts))
-    out = Tracker.from_config(window_size=3).track_labels(Labels(lfs))
-    names = {i.track.name for lf in out.labeled_frames
-             for i in lf.predicted_instances if i.track}
-    assert len(names) == 1
+def test_empty_gap_beyond_window_flushes_candidates():
+    """The fixed candidate window is FRAME-based (reference semantics):
+    empty frames advance it, so an all-empty gap longer than the window
+    flushes candidates and re-entry starts a NEW track. A gap shorter than
+    the window still reconnects."""
+    def run(gap):
+        lfs = []
+        for t in range(12):
+            insts = [] if t in gap else [make_instance([10.0 + t, 10.0])]
+            lfs.append(LabeledFrame(video=None, frame_idx=t, instances=insts))
+        out = Tracker.from_config(window_size=3).track_labels(Labels(lfs))
+        return {i.track.name for lf in out.labeled_frames
+                for i in lf.predicted_instances if i.track}
+
+    assert len(run(range(4, 9))) == 2   # 5-frame gap > window 3 -> new track
+    assert len(run(range(4, 6))) == 1   # 2-frame gap < window 3 -> bridged
 
 
 def test_two_trackers_do_not_share_track_objects():
