@@ -182,6 +182,12 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
 
     layer = predictor.layer
     fn = getattr(layer, "_full", None) or layer._fn
+    # jit_layer wrappers expose the raw body + backends: pass the model
+    # params as ARGUMENTS to the chained program (closure capture would
+    # bake them in as constants — >100 MB of HLO for production backbones,
+    # past the axon remote-compile request limit).
+    raw = getattr(fn, "raw", None)
+    backends = getattr(fn, "backends", [])
     x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
 
     def first_float_leaf(out):
@@ -190,8 +196,7 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
                 return leaf
         return jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)
 
-    @jax.jit
-    def chained(x):
+    def loop_body(call, x):
         def body(i, acc):
             # uint8 inputs can't carry the perturbation; flip one pixel by
             # the running parity instead so iterations stay distinct.
@@ -200,14 +205,36 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
             else:
                 bump = (acc.astype(jnp.int32) % 2).astype(x.dtype)
                 xi = x.at[0, 0, 0, 0].set(x[0, 0, 0, 0] + bump)
-            out = fn(xi)
+            out = call(xi)
             return acc + jnp.nan_to_num(jnp.mean(first_float_leaf(out)))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    r = chained(x0)
+    if raw is not None:
+
+        @jax.jit
+        def chained(params_list, x):
+            prev = [b._bound for b in backends]
+            for b, p in zip(backends, params_list):
+                b._bound = p
+            try:
+                return loop_body(raw, x)
+            finally:
+                for b, pv in zip(backends, prev):
+                    b._bound = pv
+
+        args = ([b.params for b in backends], x0)
+    else:
+
+        @jax.jit
+        def chained(x):
+            return loop_body(fn, x)
+
+        args = (x0,)
+
+    r = chained(*args)
     float(r)  # compile + first run, forced fetch
     t0 = time.perf_counter()
-    float(chained(x0))
+    float(chained(*args))
     return (time.perf_counter() - t0) / n_iters * 1000.0
 
 
@@ -224,7 +251,12 @@ def program_cost(predictor, sample_batch, batch: int) -> tuple:
     fn = getattr(layer, "_full", None) or layer._fn
     x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
     try:
-        cost = fn.lower(x0).compile().cost_analysis()
+        jitted = getattr(fn, "jitted", None)
+        if jitted is not None:
+            params = [b.params for b in fn.backends]
+            cost = jitted.lower(params, x0).compile().cost_analysis()
+        else:
+            cost = fn.lower(x0).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))

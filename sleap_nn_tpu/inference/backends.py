@@ -33,9 +33,19 @@ class JaxBackend:
             out = model.apply(params, x)
             return {k: v.astype(jnp.float32) for k, v in out.items()}
 
+        self.forward = forward  # pure (params, x) -> dict
         self._fn = jax.jit(forward)
+        # Set (to tracer params) while a layer program traces under
+        # jit_layer — so the weights enter the compiled program as
+        # ARGUMENTS, not baked constants. Closure-captured constants bloat
+        # every compile by the full weight size (a 28M-param backbone adds
+        # >100 MB to the serialized HLO, past the axon remote-compile
+        # request limit) and force a recompile on any weight change.
+        self._bound = None
 
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self._bound is not None:
+            return self.forward(self._bound, x)
         return self._fn(self.params, x)
 
     @property

@@ -25,6 +25,45 @@ from sleap_nn_tpu.ops.peaks import find_global_peaks, find_local_peaks
 from sleap_nn_tpu.inference.paf_grouping import PAFScorer
 
 
+def jit_layer(backends, fn):
+    """jit a layer body with every backend's params as PROGRAM ARGUMENTS.
+
+    Layer bodies call ``backend(x)`` (closure style); naive ``jax.jit(fn)``
+    would inline each backend's concrete weights as CONSTANTS into the
+    compiled program — bloating the serialized HLO by the full weight size
+    (past the axon remote-compile request limit for >25M-param models) and
+    forcing recompiles on weight swaps. This wrapper traces the same body
+    with each backend temporarily bound to tracer params, so the weights
+    stay arguments.
+
+    The returned callable keeps the body's call signature. Attributes:
+    ``raw`` (the unjitted body — composite layers call inner layers through
+    it so one outer trace covers everything), ``jitted`` (the underlying
+    ``(params_list, *args)`` jit), ``backends``.
+    """
+    backends = list(backends)
+
+    def wrapped(params_list, *args):
+        prev = [b._bound for b in backends]
+        for b, p in zip(backends, params_list):
+            b._bound = p
+        try:
+            return fn(*args)
+        finally:
+            for b, pv in zip(backends, prev):
+                b._bound = pv
+
+    jitted = jax.jit(wrapped)
+
+    def call(*args):
+        return jitted([b.params for b in backends], *args)
+
+    call.raw = fn
+    call.jitted = jitted
+    call.backends = backends
+    return call
+
+
 @dataclasses.dataclass
 class PreprocessConfig:
     """Static preprocessing params shared by all layers (reference: layers/configs.py:17)."""
@@ -123,7 +162,7 @@ class SingleInstanceLayer(InferenceLayer):
                 out["confmaps"] = cms
             return out
 
-        self._fn = jax.jit(fn)
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -164,7 +203,7 @@ class CentroidLayer(InferenceLayer):
                 out["confmaps"] = cms
             return out
 
-        self._fn = jax.jit(fn)
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -194,7 +233,7 @@ class CenteredInstanceLayer(InferenceLayer):
             )
             return points * self.output_stride, vals
 
-        self._fn = jax.jit(fn)
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_on_crops(self, crops: jnp.ndarray):
         return self._fn(crops)
@@ -225,7 +264,7 @@ class TopDownLayer(InferenceLayer):
             bboxes = make_centered_bboxes(flat_c, crop, crop)
             sample_inds = jnp.repeat(jnp.arange(b), k)
             crops = crop_bboxes(images_scaled, bboxes, sample_inds, crop, crop)
-            peaks, vals = instance_layer._fn(crops)  # crop coords
+            peaks, vals = instance_layer._fn.raw(crops)  # crop coords
             # Integer-floored bbox top-left — must match crop_bboxes' gather
             # (center - (crop-1)/2, then the trunc(x+half)-half legacy floor).
             half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
@@ -245,7 +284,7 @@ class TopDownLayer(InferenceLayer):
         def full(images):
             """Both stages fused into one XLA program (no eager host ops —
             on TPU every eager op would be a dispatch round-trip)."""
-            cres = c._fn(images)
+            cres = c._fn.raw(images)
             cres = {
                 **cres,
                 "centroids_scaled": cres["centroids_scaled"][:, :max_inst],
@@ -268,7 +307,9 @@ class TopDownLayer(InferenceLayer):
                 "instance_valid": cres["centroid_valid"],
             }
 
-        self._full = jax.jit(full)
+        self._full = jit_layer(
+            [self.centroid_layer.backend, instance_layer.backend], full
+        )
 
     def predict_async(self, images):
         return self._full(jnp.asarray(images))
@@ -324,7 +365,7 @@ class BottomUpLayer(InferenceLayer):
                 out["pafs"] = pafs
             return out
 
-        self._fn = jax.jit(fn)
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -401,7 +442,7 @@ class BottomUpMultiClassLayer(InferenceLayer):
             }
             return out
 
-        self._fn = jax.jit(fn)
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -468,7 +509,7 @@ class TopDownMultiClassLayer(TopDownLayer):
             )
             return points * output_stride, vals, preds[class_head]
 
-        self._crop_fn = jax.jit(fn)
+        self._crop_fn = jit_layer([backend], fn)
         super().__init__(centroid_layer, instance_layer, max_instances, crop_size)
 
         max_inst = self.max_instances
@@ -476,7 +517,7 @@ class TopDownMultiClassLayer(TopDownLayer):
         crop = self.crop_size
 
         def full(images):
-            cres = c._fn(images)
+            cres = c._fn.raw(images)
             cres = {
                 **cres,
                 "centroids_scaled": cres["centroids_scaled"][:, :max_inst],
@@ -493,7 +534,7 @@ class TopDownMultiClassLayer(TopDownLayer):
             bboxes = make_centered_bboxes(flat_c, crop, crop)
             sample_inds = jnp.repeat(jnp.arange(b), k)
             crops = crop_bboxes(x2, bboxes, sample_inds, crop, crop)
-            peaks, vals, class_probs = self._crop_fn(crops)
+            peaks, vals, class_probs = self._crop_fn.raw(crops)
             half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
             top_left = jnp.trunc((flat_c - (crop - 1) / 2.0) + half) - half
             peaks = peaks + top_left[:, None, :]
@@ -513,7 +554,9 @@ class TopDownMultiClassLayer(TopDownLayer):
                 "class_probs": class_probs.reshape(b, k, -1),
             }
 
-        self._full = jax.jit(full)
+        self._full = jit_layer(
+            [self.centroid_layer.backend, instance_layer.backend], full
+        )
 
     def finalize(self, device_out):
         from sleap_nn_tpu.inference.identity import get_class_inds_from_vectors
@@ -575,7 +618,7 @@ class TiledLayer(InferenceLayer):
             x = apply_channel_config(x, self.pre.ensure_rgb, self.pre.ensure_grayscale)
             return self.backend(x)[self.head_name]
 
-        self._tile_fn = jax.jit(tile_fn)
+        self._tile_fn = jit_layer([self.backend], tile_fn)
         ts = tile_size // output_stride
         from sleap_nn_tpu.inference.tile_merger import build_importance_window
 
@@ -677,7 +720,7 @@ class GTCentroidTopDownLayer(InferenceLayer):
             bboxes = make_centered_bboxes(flat_c, crop, crop)
             sample_inds = jnp.repeat(jnp.arange(b), k)
             crops = crop_bboxes(x2, bboxes, sample_inds, crop, crop)
-            peaks, vals = instance_layer._fn(crops)
+            peaks, vals = instance_layer._fn.raw(crops)
             half = jnp.array([crop // 2, crop // 2], dtype=flat_c.dtype)
             top_left = jnp.trunc((flat_c - (crop - 1) / 2.0) + half) - half
             peaks = (peaks + top_left[:, None, :]).reshape(b, k, -1, 2) / s
@@ -692,7 +735,7 @@ class GTCentroidTopDownLayer(InferenceLayer):
                 "instance_valid": valid,
             }
 
-        self._full = jax.jit(full)
+        self._full = jit_layer([instance_layer.backend], full)
 
     def predict_async(self, images, centroids=None, valid=None):
         return self._full(jnp.asarray(images), jnp.asarray(centroids), jnp.asarray(valid))

@@ -257,7 +257,9 @@ class BottomUpSegmentationLayer:
                 out["offsets"] = offsets
             return out
 
-        self._fn = jax.jit(fn)
+        from sleap_nn_tpu.inference.layers import jit_layer
+
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -378,7 +380,9 @@ class SemanticSegmentationLayer:
                 "orig_hw": jnp.array(images.shape[1:3], jnp.int32),
             }
 
-        self._fn = jax.jit(fn)
+        from sleap_nn_tpu.inference.layers import jit_layer
+
+        self._fn = jit_layer([self.backend], fn)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
@@ -458,7 +462,7 @@ class TopDownSegmentationLayer:
         c = centroid_layer
 
         def full(images):
-            cres = c._fn(images)
+            cres = c._fn.raw(images)
             cres = {k: (v[:, :max_inst] if k in (
                 "centroids_scaled", "pred_centroids", "centroid_vals", "centroid_valid"
             ) else v) for k, v in cres.items()}
@@ -498,7 +502,9 @@ class TopDownSegmentationLayer:
                 "orig_hw": jnp.array(images.shape[1:3], jnp.int32),
             }
 
-        self._fn = jax.jit(full)
+        from sleap_nn_tpu.inference.layers import jit_layer
+
+        self._fn = jit_layer([centroid_layer.backend, seg_backend], full)
 
     def predict_async(self, images):
         return self._fn(jnp.asarray(images))
