@@ -191,10 +191,16 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
     x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
 
     def first_float_leaf(out):
-        for leaf in jax.tree_util.tree_leaves(out):
+        # raw (unjitted) layer bodies can return Python floats (e.g. a
+        # no-op sizematcher's eff_scale) — skip non-array leaves.
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "dtype")]
+        for leaf in leaves:
             if jnp.issubdtype(leaf.dtype, jnp.floating):
                 return leaf
-        return jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)
+        if leaves:
+            return leaves[0].astype(jnp.float32)
+        return jnp.float32(0.0)
 
     def loop_body(call, x):
         def body(i, acc):
