@@ -449,19 +449,14 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
 def main():
     import jax
 
-    # Persistent compilation cache: each distinct XLA program costs 1-2 min
-    # of remote compile over the axon tunnel; cached executables load in
-    # seconds, so reruns of this bench (~20 programs) drop from ~30 min to
-    # ~3. Harmless elsewhere.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           "/root/.cache/jax_comp_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NOTE: do NOT enable jax's persistent compilation cache here — the
+    # axon remote backend hangs on executable serialization (observed:
+    # first compile succeeds in-process, cache write never completes and
+    # the next compile blocks forever). Opt in via
+    # JAX_COMPILATION_CACHE_DIR only on direct-attached TPU hosts.
+    env_cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env_cache and jax.devices()[0].platform != "tpu":
+        jax.config.update("jax_compilation_cache_dir", env_cache)
 
     from sleap_nn_tpu.inference.predictor import Predictor
 
