@@ -153,7 +153,8 @@ def test_stage_retrack_only(journey_dir, runner):
 def test_stage_info_and_config_inspect(journey_dir, runner, trained):
     r = runner.invoke(cli, ["info", str(trained)])
     assert r.exit_code == 0, r.output
-    assert "single_instance" in r.output
+    # model type renders human-readably (reference _format_model_type)
+    assert "Single Instance" in r.output
     r2 = runner.invoke(cli, [
         "config", str(trained / "training_config.yaml"),
     ])
