@@ -567,20 +567,29 @@ def main():
             "B=32) [cached measurement]"
         )
     else:
-        extra["production"] = {
-            "unet_medium_rf": production_row(
+        extra["production"] = {}
+        try:
+            extra["production"]["unet_medium_rf"] = production_row(
                 "unet_medium_rf", img, crop, pbatch, n_iters, peak
-            ),
-        }
+            )
+        except Exception as e:  # a failed row must not kill the bench
+            extra["production"]["unet_medium_rf"] = {"error": str(e)[:300]}
         if ((not on_cpu and not smoke) or os.environ.get("BENCH_CONVNEXT")) \
                 and not past_deadline():
-            extra["production"]["convnext_tiny"] = production_row(
-                "convnext_tiny", img, crop, pbatch, max(n_iters // 2, 2), peak
-            )
+            try:
+                # ConvNeXt activations at 1024px are ~4x the UNet's (stage-0
+                # runs at stride 2 with 96ch + 4x MLP): cap the batch so the
+                # row fits a single chip's HBM.
+                extra["production"]["convnext_tiny"] = production_row(
+                    "convnext_tiny", img, crop, min(pbatch, 8),
+                    max(n_iters // 2, 2), peak
+                )
+            except Exception as e:
+                extra["production"]["convnext_tiny"] = {"error": str(e)[:300]}
         prod = extra["production"]["unet_medium_rf"]
-        extra["mfu"] = prod["mfu"]
+        extra["mfu"] = prod.get("mfu")
         extra["model_scale"] = (
-            f"unet_medium_rf topdown ({prod['params_m']}M params, "
+            f"unet_medium_rf topdown ({prod.get('params_m')}M params, "
             f"{img}px, crop {crop}, bf16, B={pbatch})"
         )
     extra["peak_tflops_assumed"] = round(peak / 1e12, 1)
