@@ -511,6 +511,10 @@ def main():
                                  n_iters=30)
         compute_fps = BATCH_SIZE / fwd_ms_b * 1000
         ceiling = min(tunnel_ceiling, decode_fps, compute_fps)
+        # On a 1-CPU host decode and the tunnel feed cannot overlap (the
+        # gRPC send burns the same core), so the realistic host bound is the
+        # SERIAL sum of both per-frame costs, not their min.
+        serial_ceiling = 1.0 / (1.0 / decode_fps + payload / tunnel_bw)
         row = {"e2e_fps": round(fps, 2), "e2e_vs_a40": round(fps / base_fps, 3),
                "forward_ms_b4": round(fwd_ms, 3),
                f"compute_fps_b{BATCH_SIZE}": round(compute_fps, 1),
@@ -518,7 +522,9 @@ def main():
                "payload_bytes_per_frame": payload,
                "tunnel_ceiling_fps": round(tunnel_ceiling, 1),
                "host_ceiling_fps": round(ceiling, 1),
-               "e2e_vs_ceiling": round(fps / ceiling, 3)}
+               "e2e_vs_ceiling": round(fps / ceiling, 3),
+               "serial_host_ceiling_fps": round(serial_ceiling, 1),
+               "e2e_vs_serial_ceiling": round(fps / serial_ceiling, 3)}
         if name in FWD_BASELINE_MS:
             row["forward_vs_a40_eager"] = round(FWD_BASELINE_MS[name] / fwd_ms, 3)
         extra[name] = row

@@ -115,7 +115,7 @@ def test_info_command(trained_model):
     runner = CliRunner()
     result = runner.invoke(cli, ["info", trained_model])
     assert result.exit_code == 0, result.output
-    assert "single_instance" in result.output
+    assert "Single Instance" in result.output  # human-readable model type
     assert "total_params" in result.output
 
 
