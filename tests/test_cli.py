@@ -116,7 +116,7 @@ def test_info_command(trained_model):
     result = runner.invoke(cli, ["info", trained_model])
     assert result.exit_code == 0, result.output
     assert "Single Instance" in result.output  # human-readable model type
-    assert "total_params" in result.output
+    assert "Total parameters" in result.output
 
 
 def test_config_command(trained_model, tmp_path):

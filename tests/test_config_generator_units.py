@@ -119,18 +119,21 @@ def test_default_max_stride_scale_interaction():
 
 
 def test_tui_fields_roundtrip(tmp_path):
-    """TUI field editing flows into the saved YAML."""
-    from sleap_nn_tpu.config_generator.tui import _analyze, _apply_and_save, _build_fields
+    """TUI field editing flows into the saved YAML (multi-screen flow)."""
+    from sleap_nn_tpu.config_generator.tui import (
+        _analyze, _apply_and_save, _config_fields, _model_fields,
+    )
 
     stats, rec = _analyze(FIXTURE)
-    fields = _build_fields(FIXTURE, stats, rec)
-    by_name = {f.name: f for f in fields}
+    model_fields = _model_fields(rec)
+    config_fields = _config_fields(FIXTURE, stats, rec)
+    by_name = {f.name: f for f in model_fields + config_fields}
     assert by_name["pipeline"].value in ("topdown", "bottomup",
                                          "single_instance", "centroid")
     by_name["batch_size"].set_text("2")
     by_name["max_epochs"].set_text("7")
     by_name["output"].value = str(tmp_path / "tui.yaml")
-    out = _apply_and_save(FIXTURE, stats, rec, fields)
+    out = _apply_and_save(FIXTURE, stats, rec, model_fields, config_fields)
     import yaml
 
     cfg = yaml.safe_load(open(out))
