@@ -454,9 +454,11 @@ def main():
     # first compile succeeds in-process, cache write never completes and
     # the next compile blocks forever). Opt in via
     # JAX_COMPILATION_CACHE_DIR only on direct-attached TPU hosts.
-    env_cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if env_cache and jax.devices()[0].platform != "tpu":
-        jax.config.update("jax_compilation_cache_dir", env_cache)
+    if jax.devices()[0].platform == "tpu":
+        # Force-disable even when JAX_COMPILATION_CACHE_DIR is exported —
+        # jax reads the env var at import, so an explicit None is the only
+        # way to guarantee the hang cannot happen on the tunnel.
+        jax.config.update("jax_compilation_cache_dir", None)
 
     from sleap_nn_tpu.inference.predictor import Predictor
 

@@ -336,23 +336,29 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                 return None
             screen = 3 if action == "next" else 1
         else:
-            header("confirm", "s save · b back · q quit")
-            row = 2
-            for line in _yaml_preview(slp_path, stats, rec, model_fields,
-                                      config_fields):
-                stdscr.addstr(row, 4, line[:74])
-                row += 1
-            stdscr.addstr(row + 1, 4,
-                          _memory_gauge(stats, model_fields, config_fields))
-            stdscr.refresh()
-            ch = stdscr.getch()
-            if ch in (ord("q"), 27):
-                return None
-            if ch == ord("b"):
-                screen = 2
-            elif ch == ord("s"):
-                return _apply_and_save(slp_path, stats, rec, model_fields,
-                                       config_fields)
+            # Preview computed ONCE per entry into the confirm screen (the
+            # fields are frozen here; recomputing per keypress would re-run
+            # the whole config-generation pipeline on every getch).
+            preview = _yaml_preview(slp_path, stats, rec, model_fields,
+                                    config_fields)
+            gauge = _memory_gauge(stats, model_fields, config_fields)
+            while True:
+                header("confirm", "s save · b back · q quit")
+                row = 2
+                for line in preview:
+                    stdscr.addstr(row, 4, line[:74])
+                    row += 1
+                stdscr.addstr(row + 1, 4, gauge)
+                stdscr.refresh()
+                ch = stdscr.getch()
+                if ch in (ord("q"), 27):
+                    return None
+                if ch == ord("b"):
+                    screen = 2
+                    break
+                if ch == ord("s"):
+                    return _apply_and_save(slp_path, stats, rec, model_fields,
+                                           config_fields)
 
 
 def _prompt_flow(slp_path: str, stats, rec) -> Optional[str]:

@@ -619,6 +619,7 @@ class Predictor:
         # temp .slp — not just an atomic finalize (reference streams during
         # inference, predictor.py predict_to_file :1791).
         writer = getattr(self, "stream_writer", None)
+        stream_frames: List[LabeledFrame] = []
         if writer is not None:
             stream_videos = (
                 provider.labels.videos if isinstance(provider, LabelsProvider)
@@ -669,7 +670,9 @@ class Predictor:
                 n_frames += int(batch.valid.sum())
                 results.append(out)
                 if writer is not None:
-                    writer.add_frames(self._frames_from_out(out, stream_videos))
+                    frames_out = self._frames_from_out(out, stream_videos)
+                    writer.add_frames(frames_out)
+                    stream_frames.extend(frames_out)
                 cb = getattr(self, "progress_callback", None)
                 if cb is not None:
                     cb(n_frames)
@@ -684,7 +687,9 @@ class Predictor:
             n_frames += int(batch.valid.sum())
             results.append(grouped)
             if writer is not None:
-                writer.add_frames(self._frames_from_out(grouped, stream_videos))
+                frames_out = self._frames_from_out(grouped, stream_videos)
+                writer.add_frames(frames_out)
+                stream_frames.extend(frames_out)
             cb = getattr(self, "progress_callback", None)
             if cb is not None:
                 cb(n_frames)
@@ -726,7 +731,13 @@ class Predictor:
             return results
         video = provider.video if isinstance(provider, VideoProvider) else None
         labels_src = provider.labels if isinstance(provider, LabelsProvider) else None
-        return self.to_labels(results, video=video, labels_src=labels_src)
+        return self.to_labels(
+            results, video=video, labels_src=labels_src,
+            # Streaming already converted each batch (filters, masks, class
+            # tracks applied once) — reuse those frames instead of running
+            # the whole host postprocess a second time.
+            precomputed_frames=stream_frames if writer is not None else None,
+        )
 
     # -- conversion -------------------------------------------------------------
     def _apply_mask_output(self, lf, mask_scale: float = 1.0):
@@ -752,12 +763,20 @@ class Predictor:
         if mode == "polygon":
             lf.masks = []
 
-    def to_labels(self, results: List[Dict], video=None, labels_src=None) -> Labels:
-        """Batch outputs -> Labels with PredictedInstances (reference: outputs.py:284)."""
+    def to_labels(self, results: List[Dict], video=None, labels_src=None,
+                  precomputed_frames: Optional[List[LabeledFrame]] = None) -> Labels:
+        """Batch outputs -> Labels with PredictedInstances (reference: outputs.py:284).
+
+        ``precomputed_frames`` skips reconversion when the streaming path
+        already built the LabeledFrames per batch.
+        """
         videos = labels_src.videos if labels_src is not None else ([video] if video else [])
-        lfs = []
-        for out in results:
-            lfs.extend(self._frames_from_out(out, videos))
+        if precomputed_frames is not None:
+            lfs = list(precomputed_frames)
+        else:
+            lfs = []
+            for out in results:
+                lfs.extend(self._frames_from_out(out, videos))
         labels = Labels(labeled_frames=lfs, videos=[v for v in videos if v is not None])
         if getattr(self, "_class_tracks", None):
             labels.tracks = [t for t in self._class_tracks.values()]

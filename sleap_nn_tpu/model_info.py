@@ -406,4 +406,3 @@ def print_model_info(path):
         else:
             files_table.add_row(f.name, _format_file_size(f.stat().st_size))
     console.print(files_table)
-    return get_model_info(model_dir)

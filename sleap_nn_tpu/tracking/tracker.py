@@ -283,9 +283,11 @@ class Tracker:
             if self.features == "masks":
                 # Segmentation output: identity lives on LabeledFrame.masks
                 # (SegmentationMask objects; they carry .track like instances).
+                # Track every frame — including mask-less ones — so the
+                # frame-based candidate window flushes across occlusion gaps
+                # exactly like the keypoint path below.
                 items = [m for m in getattr(lf, "masks", []) or [] if m.area > 0]
-                if items:
-                    self.track(items, lf.frame_idx, img)
+                self.track(items, lf.frame_idx, img)
                 continue
             # User-labeled instances take precedence for tracking; untracked
             # predictions are carried alongside (reference

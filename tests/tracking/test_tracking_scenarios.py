@@ -364,3 +364,27 @@ def test_empty_frames_are_tolerated():
            for t in range(8)]
     out = Tracker.from_config(window_size=4).track_labels(Labels(lfs))
     assert len(track_ids(out)) == 1
+
+
+def test_mask_tracking_gap_beyond_window_flushes():
+    """The frame-based window flush applies to MASK tracking too: an
+    occlusion gap longer than the window starts a new identity."""
+    from sleap_nn_tpu.io.model import SegmentationMask
+
+    def run(gap):
+        lfs = []
+        for t in range(14):
+            lf = LabeledFrame(video=None, frame_idx=t, instances=[])
+            if t not in gap:
+                m = np.zeros((32, 32), bool)
+                m[8:16, 8 + t:16 + t] = True
+                lf.masks = [SegmentationMask(mask=m, score=0.9)]
+            lfs.append(lf)
+        out = Tracker.from_config(window_size=3, features="masks",
+                                  scoring_method="mask_iou").track_labels(
+            Labels(lfs))
+        return {m.track.name for lf in out.labeled_frames
+                for m in getattr(lf, "masks", []) if m.track}
+
+    assert len(run(range(5, 10))) == 2  # 5-frame gap > window 3
+    assert len(run(range(5, 7))) == 1   # 2-frame gap bridged
