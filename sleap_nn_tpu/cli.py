@@ -778,7 +778,7 @@ def track(**kw):
 @cli.command("sam")
 @click.option("--data-path", "-i", required=True, type=click.Path(exists=True),
               help="Pose .slp/.pkg.slp to produce masks for.")
-@click.option("--mask-backend", required=True, type=click.Choice(["sam", "sam3"]),
+@click.option("--mask-backend", required=True, type=click.Choice(["sam", "sam_legacy", "sam3"]),
               help="Explicit mask backend (no default).")
 @click.option("--output-path", "-o", default=None)
 @click.option("--prompt-mode", default="pose", show_default=True,

@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Union
 
 from sleap_nn_tpu.inference.sam.backends import (
     HFSamBackend,
+    SamLegacyBackend,
     MaskBackend,
     Sam3Backend,
     cleanup_speckle,
@@ -57,6 +58,7 @@ __all__ = [
     "MASK_BACKENDS",
     "MaskBackend",
     "HFSamBackend",
+    "SamLegacyBackend",
     "Sam3Backend",
     "SamSegmentationLayer",
     "SamPrompt",
@@ -86,7 +88,7 @@ __all__ = [
 ]
 
 #: Registered explicit backend names — selection has no default.
-MASK_BACKENDS = ("sam", "sam3")
+MASK_BACKENDS = ("sam", "sam_legacy", "sam3")
 
 
 def get_mask_backend(
@@ -109,6 +111,11 @@ def get_mask_backend(
     name = str(mask_backend).lower()
     if name == "sam":
         return HFSamBackend.from_pretrained(model_id=sam_model_id, device=device, **kwargs)
+    if name == "sam_legacy":
+        # The original `segment-anything` package (reference SAM1 backend);
+        # sam_model_id doubles as the local checkpoint path here.
+        return SamLegacyBackend.from_checkpoint(
+            checkpoint_path=sam_model_id, device=device, **kwargs)
     if name == "sam3":
         return Sam3Backend(**kwargs)
     raise ValueError(f"Unknown mask_backend {mask_backend!r}; expected one of {MASK_BACKENDS}.")

@@ -214,6 +214,62 @@ class HFSamBackend(MaskBackend):
         return out_masks, out_scores
 
 
+class SamLegacyBackend(MaskBackend):
+    """SAM1 via the original ``segment-anything`` package (reference
+    backends.py:347 lazily wraps the same predictor).
+
+    The image is encoded ONCE per frame (``SamPredictor.set_image``) and each
+    prompt decodes against the cached embedding — the package's intended
+    batch-of-prompts usage. ``multimask_output`` stays on and
+    :func:`pick_candidate` chooses among the candidates, identical to the HF
+    path, so the two SAM1 backends are drop-in interchangeable.
+    """
+
+    def __init__(self, predictor, clahe: bool = True,
+                 max_box_area_factor: float = 1.5, pred_iou_min: float = 0.88):
+        self.predictor = predictor
+        self.clahe = bool(clahe)
+        self.max_box_area_factor = float(max_box_area_factor)
+        self.pred_iou_min = float(pred_iou_min)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path, model_type: str = "vit_h",
+                        device: str = "cpu", **kwargs) -> "SamLegacyBackend":
+        try:
+            from segment_anything import SamPredictor, sam_model_registry
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "mask_backend='sam_legacy' needs the `segment-anything` "
+                "package (pip install segment-anything) plus a downloaded "
+                "SAM checkpoint; or use mask_backend='sam' (the transformers "
+                "port of the same weights)."
+            ) from e
+        sam = sam_model_registry[model_type](checkpoint=str(checkpoint_path))
+        sam.to(device).eval()
+        return cls(SamPredictor(sam), **kwargs)
+
+    def masks(self, image, prompts):
+        rgb = to_3ch(image, clahe=self.clahe)
+        self.predictor.set_image(rgb)
+        out_masks: List[np.ndarray] = []
+        out_scores: List[float] = []
+        for p in prompts:
+            kw = {"multimask_output": True}
+            if p.point_coords is not None:
+                kw["point_coords"] = np.asarray(p.point_coords, np.float32)
+                kw["point_labels"] = np.asarray(p.point_labels, np.int32)
+            if p.box is not None:
+                kw["box"] = np.asarray(p.box, np.float32)[None]
+            cands, scores, _ = self.predictor.predict(**kw)
+            cands = np.asarray(cands, bool)
+            scores = np.asarray(scores, np.float32).reshape(-1)
+            b = pick_candidate(cands, scores, p.reject_box,
+                               self.max_box_area_factor)
+            out_masks.append(cands[b])
+            out_scores.append(float(scores[b]))
+        return out_masks, out_scores
+
+
 class Sam3Backend(MaskBackend):
     """SAM3 backend placeholder (reference backends.py:495).
 

@@ -208,3 +208,60 @@ def test_offset_grouping_distance_gate_alpha_strips_strays():
     assert loose[0, 0, 14, 14]
     assert not gated[0, 0, 14, 14]
     assert gated[0, 0, 4, 4]
+
+
+def test_sam_legacy_backend_registered_with_actionable_error():
+    """The segment-anything (SAM1 native) backend is registered; without the
+    package it raises guidance, mirroring the reference's lazy wrapper."""
+    from sleap_nn_tpu.inference.sam import MASK_BACKENDS, get_mask_backend
+
+    assert "sam_legacy" in MASK_BACKENDS
+    with pytest.raises(ImportError, match="segment-anything"):
+        get_mask_backend("sam_legacy", sam_model_id="/no/ckpt.pth")
+
+
+def test_sam_legacy_backend_mask_protocol(monkeypatch):
+    """With a stubbed segment_anything module, the backend encodes once per
+    frame and picks candidates like the HF path."""
+    import sys
+    import types
+
+    calls = {"set_image": 0, "predict": 0}
+
+    class StubPredictor:
+        def __init__(self, sam):
+            pass
+
+        def set_image(self, rgb):
+            calls["set_image"] += 1
+
+        def predict(self, multimask_output=True, point_coords=None,
+                    point_labels=None, box=None):
+            calls["predict"] += 1
+            h = w = 32
+            cands = np.zeros((3, h, w), bool)
+            cands[0, 2:6, 2:6] = True     # small, inside reject box
+            cands[1] = True               # whole-frame (rejected by area)
+            cands[2, 20:30, 20:30] = True
+            return cands, np.array([0.9, 0.95, 0.5]), None
+
+    mod = types.ModuleType("segment_anything")
+    mod.SamPredictor = StubPredictor
+    mod.sam_model_registry = {
+        "vit_h": lambda checkpoint: types.SimpleNamespace(
+            to=lambda d: types.SimpleNamespace(eval=lambda: None))}
+    monkeypatch.setitem(sys.modules, "segment_anything", mod)
+
+    from sleap_nn_tpu.inference.sam.backends import SamLegacyBackend
+    from sleap_nn_tpu.inference.sam.prompts import prompt_for_instance
+
+    be = SamLegacyBackend.from_checkpoint("/fake.pth")
+    img = np.zeros((32, 32, 1), np.uint8)
+    p = prompt_for_instance("pose", (32, 32),
+                            keypoints=np.array([[3.0, 3.0], [5.0, 5.0]]))
+    masks, scores = be.masks(img, [p, p])
+    assert calls["set_image"] == 1      # one encode per frame
+    assert calls["predict"] == 2        # one decode per prompt
+    assert len(masks) == 2
+    # the small in-box candidate wins over the higher-scoring whole-frame one
+    assert masks[0][3, 3] and masks[0].sum() < 100
