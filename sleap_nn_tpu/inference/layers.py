@@ -710,8 +710,15 @@ class GTCentroidTopDownLayer(InferenceLayer):
         inst_pre = instance_layer.pre
         crop = crop_size
 
-        def full(images, centroids_orig, valid):
-            """centroids_orig: (B, K, 2) in ORIGINAL image coords (NaN pads)."""
+        def full(images, centroids_orig, valid, centroid_vals):
+            """centroids_orig: (B, K, 2) in ORIGINAL image coords (NaN pads).
+
+            centroid_vals: (B, K) confidences of the source centroids
+            (PredictedInstance scores, or 1.0 for user instances) — carried
+            through as the reported centroid/instance confidence, NaN on
+            invalid slots (reference finding 14: GT-peaks inference reports
+            centroid confidence as the instance score).
+            """
             x2, eff2 = preprocess_images(inst_pre, images)
             s = inst_pre.scale * eff2
             cent2 = jnp.nan_to_num(centroids_orig * s, nan=-1e6)
@@ -727,18 +734,24 @@ class GTCentroidTopDownLayer(InferenceLayer):
             vals = vals.reshape(b, k, -1)
             peaks = jnp.where(valid[..., None, None], peaks, jnp.nan)
             vals = jnp.where(valid[..., None], vals, 0.0)
+            cvals = jnp.where(valid, centroid_vals.astype(jnp.float32), jnp.nan)
             return {
                 "pred_keypoints": peaks,
                 "pred_peak_values": vals,
                 "pred_centroids": centroids_orig,
-                "centroid_vals": valid.astype(jnp.float32),
+                "centroid_vals": cvals,
+                "pred_instance_scores": cvals,
                 "instance_valid": valid,
             }
 
         self._full = jit_layer([instance_layer.backend], full)
 
-    def predict_async(self, images, centroids=None, valid=None):
-        return self._full(jnp.asarray(images), jnp.asarray(centroids), jnp.asarray(valid))
+    def predict_async(self, images, centroids=None, valid=None, centroid_vals=None):
+        valid = jnp.asarray(valid)
+        if centroid_vals is None:
+            centroid_vals = jnp.ones(valid.shape, jnp.float32)
+        return self._full(jnp.asarray(images), jnp.asarray(centroids), valid,
+                          jnp.asarray(centroid_vals))
 
     def finalize(self, device_out):
         return jax.device_get(device_out)

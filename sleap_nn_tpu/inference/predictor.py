@@ -706,7 +706,8 @@ class Predictor:
                     frames, host_f = self._apply_host_resize(frames)
                 if getattr(self.layer, "needs_gt_centroids", False):
                     dev = self.layer.predict_async(
-                        frames, batch.gt_centroids, batch.gt_centroid_valid
+                        frames, batch.gt_centroids, batch.gt_centroid_valid,
+                        batch.gt_centroid_vals,
                     )
                 else:
                     dev = self.layer.predict_async(frames)
@@ -877,10 +878,19 @@ class Predictor:
                 pts = out["pred_keypoints"][i]  # (K, n_nodes, 2)
                 vals = out["pred_peak_values"][i]
                 valid = out["instance_valid"][i]
+                # GT-centroid runs carry the source-centroid confidence as
+                # the instance score (reference finding 14); model-driven
+                # runs fall back to mean peak value inside _make_instance.
+                inst_scores = out.get("pred_instance_scores")
                 for k in range(pts.shape[0]):
                     if not valid[k] or np.all(np.isnan(pts[k])):
                         continue
-                    instances.append(self._make_instance(pts[k], vals[k], skel))
+                    score = (
+                        float(inst_scores[i][k]) if inst_scores is not None else None
+                    )
+                    instances.append(
+                        self._make_instance(pts[k], vals[k], skel, score=score)
+                    )
 
             elif self.model_type == "multi_class_bottomup":
                 pts = out["pred_keypoints"][i]  # (n_classes, n_nodes, 2)

@@ -26,6 +26,7 @@ class Batch:
     valid: np.ndarray  # (B,) bool — False on padded rows
     gt_centroids: np.ndarray = None  # (B, K, 2) original coords, NaN pads
     gt_centroid_valid: np.ndarray = None  # (B, K) bool
+    gt_centroid_vals: np.ndarray = None  # (B, K) source-instance scores (1.0 for user)
 
     def __len__(self):
         return len(self.frame_inds)
@@ -103,10 +104,17 @@ class LabelsProvider:
         self.lfs = lfs
 
     def _frame_centroids(self, lf):
-        """GT centroids: anchor node if set/visible else NaN-mean of visible."""
+        """GT centroids: anchor node if set/visible else NaN-mean of visible.
+
+        Also reports per-slot confidences: a PredictedInstance's score when
+        the centroids come from prior predictions, 1.0 for user instances,
+        NaN for empty/padded slots (reference finding: GT-peaks inference
+        carries centroid confidence as the instance score).
+        """
         k = self.max_instances
         cents = np.full((k, 2), np.nan, np.float32)
         ok = np.zeros(k, bool)
+        vals = np.full(k, np.nan, np.float32)
         for i, inst in enumerate(lf.instances[:k]):
             pts = np.asarray(inst.numpy(), np.float64)
             c = None
@@ -119,7 +127,9 @@ class LabelsProvider:
             if c is not None and np.isfinite(c).all():
                 cents[i] = c
                 ok[i] = True
-        return cents, ok
+                score = getattr(inst, "score", None)
+                vals[i] = float(score) if score is not None else 1.0
+        return cents, ok, vals
 
     def __len__(self):
         return (len(self.lfs) + self.batch_size - 1) // self.batch_size
@@ -139,11 +149,12 @@ class LabelsProvider:
                 for lf in chunk
             ]
             valid = np.ones(bs, dtype=bool)
-            gt_c = gt_v = None
+            gt_c = gt_v = gt_s = None
             if self.with_centroids:
-                pairs = [self._frame_centroids(lf) for lf in chunk]
-                gt_c = [p[0] for p in pairs]
-                gt_v = [p[1] for p in pairs]
+                triples = [self._frame_centroids(lf) for lf in chunk]
+                gt_c = [t[0] for t in triples]
+                gt_v = [t[1] for t in triples]
+                gt_s = [t[2] for t in triples]
             if len(chunk) < bs:
                 pad = bs - len(chunk)
                 imgs += [imgs[-1]] * pad
@@ -154,6 +165,7 @@ class LabelsProvider:
                     empty = np.full_like(gt_c[-1], np.nan)
                     gt_c += [empty] * pad
                     gt_v += [np.zeros_like(gt_v[-1])] * pad
+                    gt_s += [np.full_like(gt_s[-1], np.nan)] * pad
             yield Batch(
                 frames=np.stack(imgs),
                 frame_inds=np.asarray(fidx, dtype=np.int64),
@@ -161,6 +173,7 @@ class LabelsProvider:
                 valid=valid,
                 gt_centroids=np.stack(gt_c) if gt_c is not None else None,
                 gt_centroid_valid=np.stack(gt_v) if gt_v is not None else None,
+                gt_centroid_vals=np.stack(gt_s) if gt_s is not None else None,
             )
 
     def __iter__(self) -> Iterator[Batch]:

@@ -257,3 +257,26 @@ def test_centered_instance_only_gt_centroids(centered_instance_model, gt):
     with pytest.raises(ValueError, match="GROUND-TRUTH"):
         predict("/root/reference/tests/assets/datasets/small_robot.mp4",
                 [centered_instance_model], frames=[0])
+
+
+def test_gt_centroids_carry_source_scores(centered_instance_model, gt):
+    """GT-peaks inference reports the source centroid confidence as the
+    instance score: PredictedInstance scores carry through, user instances
+    report 1.0 (reference finding 14, tests/inference/test_issue_582.py)."""
+    from sleap_nn_tpu.io import LabeledFrame, Labels, PredictedInstance
+
+    src, _ = gt
+    skel = src.skeletons[0]
+    user_inst = src[0].instances[0]
+    pred_inst = PredictedInstance(
+        points=src[0].instances[1].numpy(), skeleton=skel,
+        point_scores=np.ones(2), score=0.37,
+    )
+    labels = Labels(
+        [LabeledFrame(src[0].video, 0, [user_inst, pred_inst])],
+        videos=src.videos, skeletons=[skel],
+    )
+    out = predict(labels, [centered_instance_model], peak_threshold=0.1)
+    scores = sorted(p.score for p in out[0].predicted_instances)
+    assert scores[0] == pytest.approx(0.37, abs=1e-6)
+    assert scores[1] == pytest.approx(1.0, abs=1e-6)

@@ -213,3 +213,31 @@ def test_labels_provider_gt_centroids_padding():
     assert b.gt_centroid_valid.tolist() == [[True, False, False, False]]
     np.testing.assert_allclose(b.gt_centroids[0, 0], [11.0, 11.0])
     assert np.isnan(b.gt_centroids[0, 1:]).all()
+
+
+def test_labels_provider_gt_centroid_vals_carry_scores():
+    """GT centroid confidences: PredictedInstance scores carry through,
+    user instances report 1.0, empty slots NaN (reference finding 14)."""
+    from sleap_nn_tpu.io import (
+        Instance,
+        LabeledFrame,
+        Labels,
+        PredictedInstance,
+        Skeleton,
+    )
+    from sleap_nn_tpu.inference.providers import LabelsProvider
+
+    skel = Skeleton(nodes=["a", "b"])
+    v = flaky_video(n=2)
+    lf = LabeledFrame(v, 0, [
+        PredictedInstance(points=np.array([[5.0, 5.0], [7.0, 7.0]]),
+                          skeleton=skel, point_scores=np.ones(2), score=0.7),
+        Instance(points=np.array([[20.0, 20.0], [22.0, 22.0]]), skeleton=skel),
+    ])
+    labels = Labels([lf], videos=[v], skeletons=[skel])
+    (b,) = list(LabelsProvider(labels, batch_size=1, with_centroids=True,
+                               max_instances=4))
+    assert b.gt_centroid_vals.shape == (1, 4)
+    assert b.gt_centroid_vals[0, 0] == pytest.approx(0.7)
+    assert b.gt_centroid_vals[0, 1] == pytest.approx(1.0)
+    assert np.isnan(b.gt_centroid_vals[0, 2:]).all()
