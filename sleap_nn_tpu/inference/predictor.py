@@ -568,6 +568,9 @@ class Predictor:
                 with_centroids=True,
                 max_instances=getattr(self.layer, "max_instances", 20),
                 anchor_ind=getattr(self.layer, "anchor_ind", None),
+                # --only_labeled_frames: mixed frames contribute only their
+                # user instances as GT centroids (reference finding 43).
+                user_frames_only=getattr(self, "gt_user_instances_only", False),
             )
         if isinstance(data, Labels):
             return LabelsProvider(data, **provider_kwargs)

@@ -100,6 +100,7 @@ class LabelsProvider:
         self.with_centroids = with_centroids
         self.max_instances = max_instances
         self.anchor_ind = anchor_ind
+        self.user_frames_only = user_frames_only
         lfs = labels.user_labeled_frames if user_frames_only else labels.labeled_frames
         self.lfs = lfs
 
@@ -115,7 +116,11 @@ class LabelsProvider:
         cents = np.full((k, 2), np.nan, np.float32)
         ok = np.zeros(k, bool)
         vals = np.full(k, np.nan, np.float32)
-        for i, inst in enumerate(lf.instances[:k]):
+        # In user-frames-only (GT) mode, mixed frames expose only their USER
+        # instances as ground truth — stale predictions on the same frame are
+        # not GT (reference finding 43, tests/inference/test_issue_582.py:696).
+        insts = lf.user_instances if self.user_frames_only else lf.instances
+        for i, inst in enumerate(insts[:k]):
             pts = np.asarray(inst.numpy(), np.float64)
             c = None
             if self.anchor_ind is not None and 0 <= self.anchor_ind < len(pts):

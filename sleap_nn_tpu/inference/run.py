@@ -312,6 +312,9 @@ def predict(
             head_ckpt_path=head_ckpt_path,
         )
     predictor.centroid_output = centroid_output
+    # In --only_labeled_frames (GT) mode, mixed frames expose only their
+    # user instances as ground-truth centroids (reference finding 43).
+    predictor.gt_user_instances_only = bool(only_labeled_frames)
     if queue_maxsize:
         # --queue-maxsize is specified in FRAMES (reference legacy
         # run_inference); providers prefetch whole batches.

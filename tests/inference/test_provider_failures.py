@@ -241,3 +241,44 @@ def test_labels_provider_gt_centroid_vals_carry_scores():
     assert b.gt_centroid_vals[0, 0] == pytest.approx(0.7)
     assert b.gt_centroid_vals[0, 1] == pytest.approx(1.0)
     assert np.isnan(b.gt_centroid_vals[0, 2:]).all()
+
+
+def test_labels_provider_user_frames_only_excludes_predicted_instances():
+    """In user-frames (GT) mode, mixed frames expose only user instances as
+    GT centroids; non-GT mode exposes all (reference finding 43)."""
+    from sleap_nn_tpu.io import (
+        Instance,
+        LabeledFrame,
+        Labels,
+        PredictedInstance,
+        Skeleton,
+    )
+    from sleap_nn_tpu.inference.providers import LabelsProvider
+
+    skel = Skeleton(nodes=["a", "b"])
+    v = flaky_video(n=3)
+    user = Instance(points=np.array([[5.0, 5.0], [7.0, 7.0]]), skeleton=skel)
+    pred = PredictedInstance(points=np.array([[50.0, 50.0], [52.0, 52.0]]),
+                             skeleton=skel, point_scores=np.ones(2), score=0.9)
+    labels = Labels(
+        [
+            LabeledFrame(v, 0, [user]),
+            LabeledFrame(v, 1, [pred]),  # predicted-only: dropped in GT mode
+            LabeledFrame(v, 2, [user, pred]),  # mixed
+        ],
+        videos=[v], skeletons=[skel],
+    )
+
+    gt = LabelsProvider(labels, batch_size=4, with_centroids=True,
+                        max_instances=4, user_frames_only=True)
+    assert [lf.frame_idx for lf in gt.lfs] == [0, 2]
+    (b,) = list(gt)
+    # mixed frame (slot 1 of the batch): only the user centroid
+    assert b.gt_centroid_valid[1].tolist() == [True, False, False, False]
+    np.testing.assert_allclose(b.gt_centroids[1, 0], [6.0, 6.0])
+
+    allmode = LabelsProvider(labels, batch_size=4, with_centroids=True,
+                             max_instances=4)
+    batches = list(allmode)
+    mixed = batches[0].gt_centroid_valid[2]
+    assert mixed.tolist() == [True, True, False, False]
