@@ -143,7 +143,48 @@ class Predictor:
 
     # -- construction ---------------------------------------------------------
     @classmethod
-    def from_model_paths(
+    def from_model_paths(cls, model_paths, **kwargs):
+        """Build a predictor from 1-2 model dirs (see ``_build_from_model_paths``
+        for the full parameter list). Remembers its construction arguments so
+        per-call postprocess overrides (``_scoped_postprocess_layer``,
+        reference predictor.py:2198) can rebuild an independent scoped layer
+        without mutating this predictor."""
+        p = cls._build_from_model_paths(model_paths, **kwargs)
+        p._ctor = (list(model_paths), dict(kwargs))
+        return p
+
+    def _scoped_postprocess_layer(self, **overrides):
+        """An independent layer copy with the given postprocess overrides.
+
+        Parity target: reference predictor.py:2198 — per-call ``return_*``
+        flags apply to a scoped copy so concurrent ``predict`` calls on the
+        same predictor cannot clobber each other; with no overrides the real
+        layer is returned as-is. In this framework the return flags are baked
+        into the traced program, so the scoped copy is built by replaying the
+        construction with the overridden flags (compile cost only when used).
+        """
+        overrides = {k: v for k, v in overrides.items() if v is not None}
+        ctor = getattr(self, "_ctor", None)
+        current = dict(ctor[1]) if ctor else {}
+        overrides = {
+            k: v for k, v in overrides.items()
+            if bool(v) != bool(current.get(k, False))
+        }
+        if not overrides:
+            return self.layer
+        if ctor is None:
+            raise ValueError(
+                "Per-call postprocess overrides need a predictor built via "
+                "from_model_paths (exported predictors bake postprocessing "
+                "into the graph)."
+            )
+        paths, kwargs = ctor
+        return type(self)._build_from_model_paths(
+            paths, **{**kwargs, **overrides}
+        ).layer
+
+    @classmethod
+    def _build_from_model_paths(
         cls,
         model_paths: Sequence[Union[str, Path]],
         peak_threshold: float = 0.2,
@@ -609,12 +650,25 @@ class Predictor:
         frames: Optional[Sequence[int]] = None,
         make_labels: bool = True,
         provider=None,
+        return_confmaps: Optional[bool] = None,
     ):
         """Run inference over a video/labels source.
 
         Returns ``sio``-style ``Labels`` when ``make_labels`` else the raw
-        per-batch output dicts.
+        per-batch output dicts. ``return_confmaps`` overrides the
+        construction-time flag for THIS call only (scoped copy — the shared
+        predictor is never mutated, reference predictor.py:2198).
         """
+        if return_confmaps is not None:
+            scoped_layer = self._scoped_postprocess_layer(
+                return_confmaps=return_confmaps
+            )
+            if scoped_layer is not self.layer:
+                import copy
+
+                scoped = copy.copy(self)
+                scoped.layer = scoped_layer
+                return scoped.predict(data, frames, make_labels, provider)
         provider = provider or self._make_provider(data, frames)
         results = []
         # Streaming writer (set by run.predict for --stream-to-file): frames

@@ -228,3 +228,29 @@ def test_predict_video_index_out_of_range_errors(si_model):
 
     with pytest.raises(ValueError, match="video_index"):
         predict(load_slp(FIXTURE), [si_model], video_index=5)
+
+
+def test_scoped_return_confmaps_does_not_mutate_predictor():
+    """predict(return_confmaps=True) applies to a scoped copy only: the raw
+    outputs carry confmaps for that call, and a subsequent plain call on the
+    SAME predictor does not (reference predictor.py:2198 scoped overrides)."""
+    from sleap_nn_tpu.io import load_slp
+
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_single_instance"],
+        batch_size=2, peak_threshold=0.1,
+    )
+    labels = load_slp(FIXTURE)
+    with_cms = p.predict(labels, make_labels=False, return_confmaps=True)
+    assert any("confmaps" in out for out in with_cms)
+    assert p.layer.post.return_confmaps is False  # untouched
+    plain = p.predict(labels, make_labels=False)
+    assert not any("confmaps" in out for out in plain)
+
+
+def test_scoped_override_noop_returns_same_layer():
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_single_instance"], batch_size=2)
+    assert p._scoped_postprocess_layer() is p.layer
+    assert p._scoped_postprocess_layer(return_confmaps=None) is p.layer
+    assert p._scoped_postprocess_layer(return_confmaps=False) is p.layer
