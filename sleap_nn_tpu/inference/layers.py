@@ -75,6 +75,12 @@ class PreprocessConfig:
     scale: float = 1.0
     max_stride: int = 16
 
+    def __post_init__(self):
+        if self.ensure_rgb and self.ensure_grayscale:
+            raise ValueError(
+                "ensure_rgb and ensure_grayscale cannot both be True"
+            )
+
 
 @dataclasses.dataclass
 class PostprocessConfig:

@@ -254,3 +254,15 @@ def test_scoped_override_noop_returns_same_layer():
     assert p._scoped_postprocess_layer() is p.layer
     assert p._scoped_postprocess_layer(return_confmaps=None) is p.layer
     assert p._scoped_postprocess_layer(return_confmaps=False) is p.layer
+
+
+def test_preprocess_config_rejects_both_rgb_and_grayscale():
+    """ensure_rgb + ensure_grayscale together is a construction-time error
+    (reference finding 9, tests/inference/test_issue_584.py:40)."""
+    from sleap_nn_tpu.inference.layers import PreprocessConfig
+
+    with pytest.raises(ValueError, match="cannot both be True"):
+        PreprocessConfig(ensure_rgb=True, ensure_grayscale=True)
+    PreprocessConfig(ensure_rgb=True)
+    PreprocessConfig(ensure_grayscale=True)
+    PreprocessConfig()
