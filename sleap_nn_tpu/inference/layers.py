@@ -92,6 +92,9 @@ class PostprocessConfig:
     max_instances: Optional[int] = None
     max_peaks: int = 200
     return_confmaps: bool = False
+    # bottomup debug: emit the matched PAF candidate graph per sample as
+    # (peaks, edge_inds, edge_peak_inds, line_scores) under "pred_paf_graph"
+    return_paf_graph: bool = False
     # bottomup only
     k_per_node: int = 20
     n_points: int = 10
@@ -390,7 +393,8 @@ class BottomUpLayer(InferenceLayer):
         from sleap_nn_tpu.inference.streaming import group_batch_host
 
         return group_batch_host(
-            self.device_to_payload(dev), self.paf_scorer, self.post.max_instances
+            self.device_to_payload(dev), self.paf_scorer, self.post.max_instances,
+            return_paf_graph=self.post.return_paf_graph,
         )
 
     def predict(self, images):

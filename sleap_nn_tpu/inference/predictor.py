@@ -198,6 +198,7 @@ class Predictor:
         min_line_scores: float = 0.25,
         crop_size: Optional[int] = None,
         return_confmaps: bool = False,
+        return_paf_graph: bool = False,
         filters=None,
         paf_workers: int = 0,
         merge_fragments: bool = False,
@@ -311,6 +312,7 @@ class Predictor:
                 k_per_node=k_per_node,
                 min_line_scores=min_line_scores,
                 return_confmaps=return_confmaps,
+                return_paf_graph=return_paf_graph,
             )
 
         def backend_for(m: LoadedModel) -> JaxBackend:
@@ -651,17 +653,19 @@ class Predictor:
         make_labels: bool = True,
         provider=None,
         return_confmaps: Optional[bool] = None,
+        return_paf_graph: Optional[bool] = None,
     ):
         """Run inference over a video/labels source.
 
         Returns ``sio``-style ``Labels`` when ``make_labels`` else the raw
-        per-batch output dicts. ``return_confmaps`` overrides the
-        construction-time flag for THIS call only (scoped copy — the shared
-        predictor is never mutated, reference predictor.py:2198).
+        per-batch output dicts. ``return_confmaps`` / ``return_paf_graph``
+        override the construction-time flags for THIS call only (scoped copy
+        — the shared predictor is never mutated, reference predictor.py:2198).
         """
-        if return_confmaps is not None:
+        if return_confmaps is not None or return_paf_graph is not None:
             scoped_layer = self._scoped_postprocess_layer(
-                return_confmaps=return_confmaps
+                return_confmaps=return_confmaps,
+                return_paf_graph=return_paf_graph,
             )
             if scoped_layer is not self.layer:
                 import copy
@@ -707,6 +711,7 @@ class Predictor:
             pool = PafGroupingPool(
                 self.paf_workers, self.layer.paf_scorer,
                 self.layer.post.max_instances,
+                return_paf_graph=self.layer.post.return_paf_graph,
             )
 
         def drain_one():

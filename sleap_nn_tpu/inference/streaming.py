@@ -24,18 +24,27 @@ import numpy as np
 # Per-worker globals installed by the pool initializer.
 _SCORER = None
 _MAX_INSTANCES = None
+_RETURN_PAF_GRAPH = False
 
 
-def group_batch_host(payload: Dict, scorer, max_instances: Optional[int]) -> Dict:
+def group_batch_host(payload: Dict, scorer, max_instances: Optional[int],
+                     return_paf_graph: bool = False) -> Dict:
     """Group one fetched batch into instances (the host half of bottom-up).
 
     ``payload`` carries numpy ``grouped_peaks``/``grouped_vals``/``scores``
     plus the scalar ``lift`` back to original-image coordinates. Used inline
     by ``BottomUpLayer.finalize`` and inside pool workers.
+
+    ``return_paf_graph`` adds the per-sample matched candidate graph
+    (peaks, edge_inds, edge_peak_inds, line_scores) under ``pred_paf_graph``
+    (reference legacy-parity debug output, streaming.py GroupingParams).
     """
+    from sleap_nn_tpu.inference.paf_grouping import match_candidates_dense
+
     gp, gv, sc = payload["grouped_peaks"], payload["grouped_vals"], payload["scores"]
     lift = float(payload["lift"])
     pred_instances, pred_vals, inst_scores = [], [], []
+    paf_graphs = [] if return_paf_graph else None
     for i in range(gp.shape[0]):
         pts, vals, scores = scorer.group_sample(gp[i], gv[i], sc[i])
         if max_instances is not None and pts.shape[0] > max_instances:
@@ -44,21 +53,37 @@ def group_batch_host(payload: Dict, scorer, max_instances: Optional[int]) -> Dic
         pred_instances.append(pts * lift)
         pred_vals.append(vals)
         inst_scores.append(scores)
-    return {
+        if return_paf_graph:
+            matches = match_candidates_dense(
+                np.asarray(sc[i]), scorer.min_line_scores
+            )
+            paf_graphs.append((
+                np.asarray(gp[i]) * lift,
+                np.asarray([m[0] for m in matches], np.int32),
+                np.asarray([[m[1], m[2]] for m in matches], np.int32
+                           ).reshape(-1, 2),
+                np.asarray([m[3] for m in matches], np.float32),
+            ))
+    out = {
         "pred_keypoints": pred_instances,
         "pred_peak_values": pred_vals,
         "pred_instance_scores": inst_scores,
     }
+    if return_paf_graph:
+        out["pred_paf_graph"] = paf_graphs
+    return out
 
 
-def _init_worker(scorer, max_instances) -> None:
-    global _SCORER, _MAX_INSTANCES
+def _init_worker(scorer, max_instances, return_paf_graph=False) -> None:
+    global _SCORER, _MAX_INSTANCES, _RETURN_PAF_GRAPH
     _SCORER = scorer
     _MAX_INSTANCES = max_instances
+    _RETURN_PAF_GRAPH = return_paf_graph
 
 
 def _group_in_worker(payload: Dict) -> Dict:
-    return group_batch_host(payload, _SCORER, _MAX_INSTANCES)
+    return group_batch_host(payload, _SCORER, _MAX_INSTANCES,
+                            return_paf_graph=_RETURN_PAF_GRAPH)
 
 
 class PafGroupingPool:
@@ -76,7 +101,8 @@ class PafGroupingPool:
         max_instances: Optional per-frame instance cap applied in-worker.
     """
 
-    def __init__(self, n_workers: int, scorer, max_instances: Optional[int] = None):
+    def __init__(self, n_workers: int, scorer, max_instances: Optional[int] = None,
+                 return_paf_graph: bool = False):
         if n_workers < 1:
             raise ValueError(
                 f"n_workers must be >= 1, got {n_workers}; use the inline "
@@ -85,6 +111,7 @@ class PafGroupingPool:
         self.n_workers = n_workers
         self.scorer = scorer
         self.max_instances = max_instances
+        self.return_paf_graph = return_paf_graph
         self._executor: Optional[ProcessPoolExecutor] = None
         self._pending: List[Tuple[int, Future]] = []
 
@@ -95,7 +122,7 @@ class PafGroupingPool:
             max_workers=self.n_workers,
             mp_context=multiprocessing.get_context("spawn"),
             initializer=_init_worker,
-            initargs=(self.scorer, self.max_instances),
+            initargs=(self.scorer, self.max_instances, self.return_paf_graph),
         )
         return self
 

@@ -266,3 +266,26 @@ def test_preprocess_config_rejects_both_rgb_and_grayscale():
     PreprocessConfig(ensure_rgb=True)
     PreprocessConfig(ensure_grayscale=True)
     PreprocessConfig()
+
+
+def test_return_paf_graph_emits_matched_candidate_graph():
+    """predict(return_paf_graph=True) on a bottomup model adds the per-sample
+    matched PAF candidate graph (peaks, edge_inds, edge_peak_inds,
+    line_scores) to the raw outputs; plain calls stay graph-free
+    (reference legacy-parity debug output, streaming.py GroupingParams)."""
+    from sleap_nn_tpu.io import load_slp
+
+    p = Predictor.from_model_paths(
+        [CKPTS / "minimal_instance_bottomup"], batch_size=2,
+        peak_threshold=0.1,
+    )
+    labels = load_slp(FIXTURE)
+    out = p.predict(labels, make_labels=False, return_paf_graph=True)
+    assert "pred_paf_graph" in out[0]
+    peaks, edge_inds, edge_peak_inds, line_scores = out[0]["pred_paf_graph"][0]
+    assert peaks.ndim == 3 and peaks.shape[-1] == 2  # (n_nodes, K, 2)
+    assert edge_peak_inds.shape == (len(edge_inds), 2)
+    assert line_scores.shape == (len(edge_inds),)
+    assert p.layer.post.return_paf_graph is False  # scoped, not mutated
+    plain = p.predict(labels, make_labels=False)
+    assert "pred_paf_graph" not in plain[0]
