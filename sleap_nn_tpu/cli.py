@@ -134,11 +134,13 @@ def _inference_options(f):
                      help="Video or .slp path."),
         click.option("--headers", default=None,
                      help="JSON HTTP headers for a remote --data-path URL "
-                          "(remote loading unavailable in this build; "
+                          "(e.g. '{\"Authorization\": \"Bearer ...\"}'; "
                           "ignored for local inputs)."),
         click.option("--stream-mode", "--stream_mode", "stream_mode", default=None,
-                     help="Remote read strategy for a --data-path URL "
-                          "(ignored for local inputs)."),
+                     type=click.Choice(["download", "stream"]),
+                     help="Remote read strategy for a --data-path URL; "
+                          "'stream' falls back to download-first in this "
+                          "build (ignored for local inputs)."),
         click.option("--model-paths", "--model_paths", "-m", "model_paths",
                      multiple=True,
                      help="Model dir(s); pass twice for topdown (centroid + "
@@ -528,6 +530,38 @@ def _parse_frames(frames: Optional[str]):
     return [int(x) for x in frames.split(",")]
 
 
+def _default_predictions_path(data_path) -> str:
+    """Default output .slp path next to the input.
+
+    Remote URLs (reference cli.py ``_default_predictions_path``) must not go
+    through ``Path()`` — ``scheme://`` would collapse — so they derive from
+    the URL basename (query string dropped) in the current directory.
+    """
+    from sleap_nn_tpu.inference.run import is_remote_url
+
+    s = str(data_path)
+    if is_remote_url(s):
+        from urllib.parse import unquote, urlparse
+
+        name = unquote(Path(urlparse(s).path).name) or "remote_data"
+        return str(Path(name).with_suffix("")) + ".predictions.slp"
+    return str(Path(s).with_suffix("")) + ".predictions.slp"
+
+
+def _parse_headers(raw) -> Optional[dict]:
+    """--headers JSON string -> dict for the HTTP request (reference
+    cli.py:1454 ``_build_remote_kwargs``)."""
+    if not raw:
+        return None
+    try:
+        parsed = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise click.UsageError(f"--headers must be a JSON object: {e}")
+    if not isinstance(parsed, dict):
+        raise click.UsageError("--headers must be a JSON object of strings.")
+    return {str(k): str(v) for k, v in parsed.items()}
+
+
 _TRACKER_KNOBS = (
     "tracking_window_size", "min_new_track_points", "candidates_method",
     "min_match_points", "features", "scoring_method", "scoring_reduction",
@@ -711,7 +745,12 @@ def _run_inference(**kw):
     output_path = kw.pop("output_path")
     frames = _parse_frames(kw.pop("frames"))
     if output_path is None:
-        output_path = str(Path(data_path).with_suffix("")) + ".predictions.slp"
+        output_path = _default_predictions_path(data_path)
+
+    # Remote-input options: JSON --headers string -> dict; stream_mode
+    # defaults to download-first.
+    kw["headers"] = _parse_headers(kw.get("headers"))
+    kw["stream_mode"] = kw.get("stream_mode") or "download"
 
     if progress_ui is not None:
         with progress_ui:

@@ -2,11 +2,62 @@
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
-from typing import Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 from sleap_nn_tpu.inference.predictor import Predictor
 from sleap_nn_tpu.io.model import Labels
+
+_URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+def is_remote_url(path: str) -> bool:
+    """True for scheme:// inputs (http/https/s3/gs/file/...), False for
+    plain local paths — including Windows drive letters (``C:\\...`` has no
+    ``//``). Parity: reference cli.py ``_is_remote_url``."""
+    return bool(_URL_RE.match(path)) and "://" in path
+
+
+def fetch_remote_data(
+    url: str,
+    headers: Optional[Dict[str, str]] = None,
+    stream_mode: str = "download",
+) -> str:
+    """Materialize a remote data URL as a local file path.
+
+    ``file://`` resolves in place (no copy); ``http(s)://`` downloads to a
+    temp file whose suffix is preserved from the URL path so downstream
+    ``.slp``/video routing keeps working; cloud schemes (s3/gs/...) need
+    credentialed SDKs this build does not ship, so they raise with guidance.
+    The reference streams via sleap-io 0.8.0's remote loaders; here
+    ``stream_mode="stream"`` falls back to download-first.
+    """
+    from urllib.parse import urlparse, unquote
+    from urllib.request import Request, url2pathname, urlopen
+
+    parsed = urlparse(url)
+    scheme = parsed.scheme.lower()
+    if scheme == "file":
+        return url2pathname(parsed.path)
+    if scheme in ("http", "https"):
+        import shutil
+        import tempfile
+
+        name = unquote(Path(parsed.path).name) or "remote_data"
+        suffix = name[name.index("."):] if "." in name else ""
+        req = Request(url, headers=dict(headers or {}))
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=suffix, prefix="sleap_nn_tpu_remote_", delete=False
+        )
+        with urlopen(req) as resp, tmp:
+            shutil.copyfileobj(resp, tmp)
+        return tmp.name
+    raise ValueError(
+        f"Remote scheme {scheme!r} needs a credentialed client this build "
+        f"does not ship (got {url!r}); download the file and pass a local "
+        "path, or use an http(s):// URL."
+    )
 
 
 def predict(
@@ -78,7 +129,10 @@ def predict(
     write_interval: Optional[int] = None,
     video_dataset: Optional[str] = None,
     video_input_format: str = "channels_last",
-    headers: Optional[str] = None,
+    # Remote-input plumbing (reference cli.py --headers / --stream-mode):
+    # request headers for http(s) data_path URLs; "stream" falls back to
+    # download-first in this build.
+    headers: Optional[Dict[str, str]] = None,
     stream_mode: Optional[str] = None,
     runtime: str = "auto",
     queue_maxsize: Optional[int] = None,
@@ -109,13 +163,14 @@ def predict(
 
         jax.config.update("jax_platforms", "cpu")
 
-    if isinstance(data_path, (str, Path)) and "://" in str(data_path):
-        # Remote URLs (reference --data_path http(s)/s3/gs/...) are loaded
-        # via sleap-io's remote loaders, which this environment lacks.
-        # --headers / --stream-mode are only meaningful for those.
-        raise ValueError(
-            f"Remote data_path URLs are not supported in this build: "
-            f"{data_path!r}. Download the file and pass a local path."
+    if isinstance(data_path, (str, Path)) and is_remote_url(str(data_path)):
+        # Remote URLs (reference cli.py _is_remote_url/_resolve_data_path:
+        # sleap-io 0.8.0 loads .slp/video from http(s)/s3/... directly).
+        # Here remote inputs are fetched to a local temp file first
+        # (stream_mode "download"); file:// resolves in place. --headers
+        # ride the HTTP request.
+        data_path = fetch_remote_data(
+            str(data_path), headers=headers, stream_mode=stream_mode
         )
 
     if video_dataset is not None and isinstance(data_path, (str, Path)):
