@@ -28,6 +28,9 @@ class ExportMetadata:
     artifact: str
     artifact_sha256: str
     format: str = "jax_export_stablehlo"
+    # Centroid-anchor provenance (reference export/metadata.py anchor_part,
+    # finding 29): which node anchored crops/centroids at training time.
+    anchor_part: "Optional[str]" = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=list)
@@ -36,6 +39,17 @@ class ExportMetadata:
     def from_json(cls, text: str) -> "ExportMetadata":
         d = json.loads(text)
         return cls(**{f.name: d[f.name] for f in dataclasses.fields(cls) if f.name in d})
+
+
+def _anchor_part_from_config(config) -> "Optional[str]":
+    """The trained anchor node, if any (centroid / centered-instance heads)."""
+    hc = getattr(getattr(config, "model_config", None), "head_configs", None)
+    for name in ("centroid", "centered_instance"):
+        cm = getattr(getattr(hc, name, None), "confmaps", None)
+        ap = getattr(cm, "anchor_part", None)
+        if ap is not None:
+            return ap
+    return None
 
 
 def _build_wrapper(loaded: LoadedModel, peak_threshold: float, batch_size: int,
@@ -344,6 +358,11 @@ def export_model(
             use_bf16=precision == "bf16",
         )
         model_type = predictor.model_type
+        anchor_part = next(
+            (a for a in (_anchor_part_from_config(m.config)
+                         for m in predictor.models) if a is not None),
+            None,
+        )
         skeleton_nodes = tuple(predictor.skeleton.node_names)
         skeleton_edges = tuple(tuple(e) for e in predictor.skeleton.edge_names)
         # Instance model's config carries the head/skeleton/crop info needed
@@ -372,6 +391,7 @@ def export_model(
             },
         )
         model_type = loaded.model_type
+        anchor_part = _anchor_part_from_config(loaded.config)
         skeleton_nodes = tuple(loaded.skeleton_nodes)
         skeleton_edges = tuple(tuple(e) for e in loaded.skeleton_edges)
         cfg_dir = Path(model_dir)
@@ -407,6 +427,7 @@ def export_model(
         artifact_sha256=blob,
         format="tf_savedmodel" if fmt == "savedmodel"
         else "jax_export_stablehlo",
+        anchor_part=anchor_part,
     )
     (output_dir / "metadata.json").write_text(meta.to_json())
     # Copy the training config for provenance (reference: export/cli.py:854).

@@ -1252,6 +1252,19 @@ def from_export_dir(
             f"export the topdown composite instead)."
         )
     layer = ExportedLayer(call, meta)
+    # Exported centroid models record the node that anchored training-time
+    # centroids (reference finding 29): resolve it so downstream packaging
+    # (e.g. pairing with a crop stage) uses the same anchor; a recorded
+    # anchor absent from the node list is a corrupt export.
+    anchor = getattr(meta, "anchor_part", None)
+    if meta.model_type == "centroid" and anchor is not None:
+        nodes = list(meta.skeleton_nodes)
+        if anchor not in nodes:
+            raise ValueError(
+                f"export metadata anchor_part {anchor!r} not found in "
+                f"skeleton nodes {nodes}."
+            )
+        layer.anchor_ind = nodes.index(anchor)
     p = Predictor(layer, meta.model_type, skel, [], batch_size or layer.batch_size)
     p.filters = None
     return p

@@ -62,3 +62,24 @@ def test_hash_tree_deterministic(tmp_path):
     assert h1 == h2 and len(h1) == 64
     (d / "a.bin").write_bytes(b"hello!")
     assert _hash_tree(d) != h1
+
+
+def test_metadata_anchor_part_roundtrip_and_default():
+    """anchor_part persists through json and defaults to None for old
+    exports (reference finding 29, export/metadata.py anchor_part)."""
+    from sleap_nn_tpu.export import ExportMetadata
+
+    m = ExportMetadata(
+        model_type="centroid", input_shape=(1, 64, 64, 1),
+        input_dtype="uint8", output_names=("pred_centroids",),
+        peak_threshold=0.2, skeleton_nodes=("a", "b"),
+        skeleton_edges=(("a", "b"),), artifact="x", artifact_sha256="0",
+        anchor_part="b",
+    )
+    m2 = ExportMetadata.from_json(m.to_json())
+    assert m2.anchor_part == "b"
+    import json as _json
+    d = _json.loads(m.to_json())
+    del d["anchor_part"]
+    m3 = ExportMetadata.from_json(_json.dumps(d))
+    assert m3.anchor_part is None
