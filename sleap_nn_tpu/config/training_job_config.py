@@ -53,6 +53,9 @@ def verify_training_cfg(cfg: TrainingJobConfig) -> TrainingJobConfig:
     cfg.model_config.head_configs.which()
     if cfg.trainer_config.max_epochs <= 0:
         raise ValueError("trainer_config.max_epochs must be > 0.")
+    if cfg.data_config.negative_loss_weight <= 0:
+        # reference data_config.py:363 — attrs validators.gt(0)
+        raise ValueError("data_config.negative_loss_weight must be > 0.")
     if getattr(cfg.model_config, "pre_trained_weights", None):
         raise ValueError(
             "model_config.pre_trained_weights (torchvision weight names) is "

@@ -380,12 +380,19 @@ class BottomUpLayer(InferenceLayer):
         return self._fn(jnp.asarray(images))
 
     def device_to_payload(self, dev) -> Dict[str, Any]:
-        """Fetch the device scores into a picklable numpy grouping payload."""
+        """Fetch the device scores into a picklable numpy grouping payload.
+
+        One bundled ``jax.device_get`` — separate per-array fetches each cost
+        a full transport round-trip on remote-attached devices.
+        """
+        host = jax.device_get(
+            {k: dev[k] for k in ("grouped_peaks", "grouped_vals", "scores", "eff_scale")}
+        )
         return {
-            "grouped_peaks": np.asarray(dev["grouped_peaks"]),
-            "grouped_vals": np.asarray(dev["grouped_vals"]),
-            "scores": np.asarray(dev["scores"]),
-            "lift": 1.0 / (self.pre.scale * float(np.asarray(dev["eff_scale"]).reshape(-1)[0])),
+            "grouped_peaks": host["grouped_peaks"],
+            "grouped_vals": host["grouped_vals"],
+            "scores": host["scores"],
+            "lift": 1.0 / (self.pre.scale * float(np.reshape(host["eff_scale"], -1)[0])),
         }
 
     def finalize(self, dev):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import math
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -689,11 +690,17 @@ class Predictor:
             )
         t0 = time.perf_counter()
         n_frames = 0
-        # Pipeline: keep up to `depth` batches in flight on the device while
-        # the host decodes / finalizes (JAX dispatch is async; fetching
-        # per-batch would serialize every transfer round-trip).
-        depth = int(os.environ.get("SLEAP_NN_TPU_PIPELINE_DEPTH", 2))
-        in_flight = []
+        # Pipeline: decode/dispatch on the main thread, device->host fetch +
+        # host postprocess on a dedicated fetcher thread. Each D2H fetch is a
+        # full transport round-trip (~30 ms on remote-attached devices); doing
+        # it inline would stall the H2D stream between batches, so the fetcher
+        # thread absorbs that latency while the main thread keeps the input
+        # pipe full. `depth` bounds in-flight batches (device + host memory).
+        depth = int(os.environ.get("SLEAP_NN_TPU_PIPELINE_DEPTH", 3))
+        import queue as _queue
+
+        fetch_q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+        fetch_err: List[BaseException] = []
 
         # PAF grouping pool: with paf_workers > 0 on a bottom-up layer, the
         # host grouping stage runs in worker processes overlapped with device
@@ -714,9 +721,9 @@ class Predictor:
                 return_paf_graph=self.layer.post.return_paf_graph,
             )
 
-        def drain_one():
+        def drain_one(item):
             nonlocal n_frames
-            dev_out, batch, host_f = in_flight.pop(0)
+            dev_out, batch, host_f = item
             if pool is not None:
                 pool.submit(len(pool_meta), self.layer.device_to_payload(dev_out))
                 pool_meta.append((batch, host_f))
@@ -756,28 +763,53 @@ class Predictor:
             if cb is not None:
                 cb(n_frames)
 
+        def fetcher():
+            # Single consumer: preserves submission order for results/writer.
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                try:
+                    drain_one(item)
+                except BaseException as e:  # propagate to the main thread
+                    fetch_err.append(e)
+                    # Keep draining so the producer never blocks on a full
+                    # queue after a failure; items are dropped unprocessed.
+                    while True:
+                        nxt = fetch_q.get()
+                        if nxt is None:
+                            return
+
+        fetch_thread = threading.Thread(
+            target=fetcher, name="sleap-nn-tpu-fetch", daemon=True
+        )
+        fetch_thread.start()
         try:
             if pool is not None:
                 pool.__enter__()
-            for batch in provider:
-                frames = batch.frames
-                if self._host_grayscale and frames.shape[-1] == 3:
-                    frames = rgb_to_gray_uint8(frames)
-                host_f = 1.0
-                if self._host_transform is not None:
-                    frames, host_f = self._apply_host_resize(frames)
-                if getattr(self.layer, "needs_gt_centroids", False):
-                    dev = self.layer.predict_async(
-                        frames, batch.gt_centroids, batch.gt_centroid_valid,
-                        batch.gt_centroid_vals,
-                    )
-                else:
-                    dev = self.layer.predict_async(frames)
-                in_flight.append((dev, batch, host_f))
-                if len(in_flight) > depth:
-                    drain_one()
-            while in_flight:
-                drain_one()
+            try:
+                for batch in provider:
+                    if fetch_err:
+                        break
+                    frames = batch.frames
+                    if self._host_grayscale and frames.shape[-1] == 3:
+                        frames = rgb_to_gray_uint8(frames)
+                    host_f = 1.0
+                    if self._host_transform is not None:
+                        frames, host_f = self._apply_host_resize(frames)
+                    if getattr(self.layer, "needs_gt_centroids", False):
+                        dev = self.layer.predict_async(
+                            frames, batch.gt_centroids, batch.gt_centroid_valid,
+                            batch.gt_centroid_vals,
+                        )
+                    else:
+                        dev = self.layer.predict_async(frames)
+                    fetch_q.put((dev, batch, host_f))
+            finally:
+                fetch_q.put(None)
+                fetch_thread.join()
+            if fetch_err:
+                raise fetch_err[0]
             if pool is not None:
                 for ordinal, grouped in pool.iter_completed():
                     merge_grouped(ordinal, grouped)

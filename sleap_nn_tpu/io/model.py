@@ -393,6 +393,16 @@ class Labels:
         self.suggestions: List[SuggestionFrame] = list(suggestions or [])
         self._update_from_frames()
 
+    @property
+    def negative_frames(self) -> List[LabeledFrame]:
+        """User-confirmed negative frames: labeled but with no instances.
+
+        Reference custom_datasets._collect_negative_frames reads
+        ``labels.negative_frames``; in .slp an empty LabeledFrame is the
+        persisted form of "user confirmed nothing is here".
+        """
+        return [lf for lf in self.labeled_frames if not lf.instances]
+
     def _update_from_frames(self):
         for lf in self.labeled_frames:
             if lf.video is not None and lf.video not in self.videos:
