@@ -697,6 +697,11 @@ class Predictor:
         # thread absorbs that latency while the main thread keeps the input
         # pipe full. `depth` bounds in-flight batches (device + host memory).
         depth = int(os.environ.get("SLEAP_NN_TPU_PIPELINE_DEPTH", 3))
+        # SLEAP_NN_TPU_FETCH_THREAD=0 falls back to inline draining on the
+        # main thread (dispatch N batches ahead, then fetch the oldest) —
+        # on single-CPU hosts behind a shared-transport tunnel, concurrent
+        # H2D/D2H RPCs can contend and underperform the serialized order.
+        use_fetch_thread = os.environ.get("SLEAP_NN_TPU_FETCH_THREAD", "1") != "0"
         import queue as _queue
 
         fetch_q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
@@ -780,10 +785,13 @@ class Predictor:
                         if nxt is None:
                             return
 
-        fetch_thread = threading.Thread(
-            target=fetcher, name="sleap-nn-tpu-fetch", daemon=True
-        )
-        fetch_thread.start()
+        fetch_thread = None
+        if use_fetch_thread:
+            fetch_thread = threading.Thread(
+                target=fetcher, name="sleap-nn-tpu-fetch", daemon=True
+            )
+            fetch_thread.start()
+        in_flight: List = []
         try:
             if pool is not None:
                 pool.__enter__()
@@ -804,10 +812,18 @@ class Predictor:
                         )
                     else:
                         dev = self.layer.predict_async(frames)
-                    fetch_q.put((dev, batch, host_f))
+                    if fetch_thread is not None:
+                        fetch_q.put((dev, batch, host_f))
+                    else:
+                        in_flight.append((dev, batch, host_f))
+                        if len(in_flight) > depth:
+                            drain_one(in_flight.pop(0))
             finally:
-                fetch_q.put(None)
-                fetch_thread.join()
+                if fetch_thread is not None:
+                    fetch_q.put(None)
+                    fetch_thread.join()
+            while in_flight:
+                drain_one(in_flight.pop(0))
             if fetch_err:
                 raise fetch_err[0]
             if pool is not None:
