@@ -338,11 +338,13 @@ class BaseDataset:
                     track_index=tindex,
                 )
                 if sample is None:
+                    from sleap_nn_tpu.io.model import is_negative_frame
+
                     # Only a truly empty labeled frame is a user-confirmed
                     # negative (reference custom_datasets._collect_negative_frames
                     # reads labels.negative_frames); frames whose instances are
                     # all empty/OOB are annotation errors and just skipped.
-                    if self.use_negative_frames and not list(lf.instances):
+                    if self.use_negative_frames and is_negative_frame(lf):
                         neg = self._make_negative_sample(lf, video_idx)
                         if neg is not None:
                             self.samples.append(neg)

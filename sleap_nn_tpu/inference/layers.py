@@ -385,15 +385,21 @@ class BottomUpLayer(InferenceLayer):
         One bundled ``jax.device_get`` — separate per-array fetches each cost
         a full transport round-trip on remote-attached devices.
         """
-        host = jax.device_get(
-            {k: dev[k] for k in ("grouped_peaks", "grouped_vals", "scores", "eff_scale")}
-        )
-        return {
+        keys = ["grouped_peaks", "grouped_vals", "scores", "eff_scale"]
+        # return_confmaps: the device program emitted confmaps/pafs too;
+        # carry them through grouping into the output batch dicts.
+        keys += [k for k in ("confmaps", "pafs") if k in dev]
+        host = jax.device_get({k: dev[k] for k in keys})
+        payload = {
             "grouped_peaks": host["grouped_peaks"],
             "grouped_vals": host["grouped_vals"],
             "scores": host["scores"],
             "lift": 1.0 / (self.pre.scale * float(np.reshape(host["eff_scale"], -1)[0])),
         }
+        for k in ("confmaps", "pafs"):
+            if k in host:
+                payload[k] = host[k]
+        return payload
 
     def finalize(self, dev):
         """Host grouping of fetched device scores (reference CPU boundary)."""

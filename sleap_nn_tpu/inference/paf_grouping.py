@@ -355,13 +355,19 @@ class PAFScorer:
         return int(mp)
 
     # -- host -------------------------------------------------------------------
-    def group_sample(self, grouped_peaks, grouped_vals, scores):
+    def group_sample(self, grouped_peaks, grouped_vals, scores,
+                     return_matches: bool = False):
         """Host: dense scores of one sample -> predicted instance arrays.
 
         Routed through the C++ grouping library (per-edge Hungarian + greedy
         union in one native call, sleap_nn_tpu/native/paf_group.cpp) when
         it is buildable; otherwise the scipy/numpy path below. Both produce
         the same instance partition (tests assert equality).
+
+        With ``return_matches`` also returns the matched candidate edges as
+        ``(edge, src_slot, dst_slot, line_score)`` tuples — the Hungarian
+        result already computed internally, exposed so ``return_paf_graph``
+        debug output never re-runs the matching.
         """
         from sleap_nn_tpu.native import paf_group_sample_native
 
@@ -377,7 +383,7 @@ class PAFScorer:
                 for sl in range(assign.shape[1])
                 if assign[nd, sl] >= 0
             }
-            return make_predicted_instances(
+            inst = make_predicted_instances(
                 np.asarray(grouped_peaks),
                 np.asarray(grouped_vals),
                 connections,
@@ -385,6 +391,11 @@ class PAFScorer:
                 self.edge_inds,
                 self.n_nodes,
             )
+            if return_matches:
+                matches = [(e, s, d, sc) for e, lst in connections.items()
+                           for s, d, sc in lst]
+                return inst + (matches,)
+            return inst
 
         matches = match_candidates_dense(np.asarray(scores), self.min_line_scores)
         connections: Dict[int, List[Tuple[int, int, float]]] = {}
@@ -397,7 +408,7 @@ class PAFScorer:
             min_instance_peaks=self.min_instance_peaks,
             n_nodes=self.n_nodes,
         )
-        return make_predicted_instances(
+        inst = make_predicted_instances(
             np.asarray(grouped_peaks),
             np.asarray(grouped_vals),
             connections,
@@ -405,6 +416,9 @@ class PAFScorer:
             self.edge_inds,
             self.n_nodes,
         )
+        if return_matches:
+            return inst + (matches,)
+        return inst
 
     def predict(self, pafs, peaks, peak_vals, channel_inds, valid):
         """Full pipeline for a batch: device scoring + per-sample host grouping."""

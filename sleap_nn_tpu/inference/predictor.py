@@ -144,12 +144,22 @@ class Predictor:
 
     # -- construction ---------------------------------------------------------
     @classmethod
-    def from_model_paths(cls, model_paths, **kwargs):
+    def from_model_paths(cls, model_paths, *args, **kwargs):
         """Build a predictor from 1-2 model dirs (see ``_build_from_model_paths``
-        for the full parameter list). Remembers its construction arguments so
-        per-call postprocess overrides (``_scoped_postprocess_layer``,
-        reference predictor.py:2198) can rebuild an independent scoped layer
-        without mutating this predictor."""
+        for the full parameter list; positional args keep working). Remembers
+        its construction arguments so per-call postprocess overrides
+        (``_scoped_postprocess_layer``, reference predictor.py:2198) can
+        rebuild an independent scoped layer without mutating this
+        predictor."""
+        if args:
+            # Callers written against the explicit signature may pass
+            # options positionally; map them onto parameter names so the
+            # scoped-replay _ctor record stays keyword-only.
+            import inspect
+
+            names = list(inspect.signature(
+                cls._build_from_model_paths).parameters)[1:]
+            kwargs = {**dict(zip(names, args)), **kwargs}
         p = cls._build_from_model_paths(model_paths, **kwargs)
         p._ctor = (list(model_paths), dict(kwargs))
         return p
@@ -597,6 +607,14 @@ class Predictor:
                 out[key] = [np.asarray(v) / factor for v in val]
             else:
                 out[key] = np.asarray(val) / factor
+        graphs = out.get("pred_paf_graph")
+        if graphs is not None:
+            # Debug graph peaks live in the same coord space as the
+            # instances they explain — lift them identically.
+            out["pred_paf_graph"] = [
+                (np.asarray(peaks) / factor, e, ep, ls)
+                for peaks, e, ep, ls in graphs
+            ]
         return out
 
     def _make_provider(self, data, frames=None):

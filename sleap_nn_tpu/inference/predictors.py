@@ -52,6 +52,10 @@ _FORWARDED = {
     "peak_threshold", "integral_patch_size", "batch_size", "max_instances",
     "return_confmaps", "backbone_ckpt_path", "head_ckpt_path", "anchor_part",
     "max_peaks", "crop_size",
+    # PAF grouping knobs — same names in the new factory (legacy
+    # BottomUpPredictor.from_trained_models, reference predictors.py:2225).
+    "min_line_scores", "k_per_node", "n_points", "max_edge_length_ratio",
+    "dist_penalty_weight", "min_instance_peaks", "return_paf_graph",
 }
 
 

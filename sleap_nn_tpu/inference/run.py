@@ -23,6 +23,7 @@ def fetch_remote_data(
     url: str,
     headers: Optional[Dict[str, str]] = None,
     stream_mode: str = "download",
+    timeout: float = 60.0,
 ) -> str:
     """Materialize a remote data URL as a local file path.
 
@@ -47,11 +48,25 @@ def fetch_remote_data(
         name = unquote(Path(parsed.path).name) or "remote_data"
         suffix = name[name.index("."):] if "." in name else ""
         req = Request(url, headers=dict(headers or {}))
-        tmp = tempfile.NamedTemporaryFile(
-            suffix=suffix, prefix="sleap_nn_tpu_remote_", delete=False
-        )
-        with urlopen(req) as resp, tmp:
-            shutil.copyfileobj(resp, tmp)
+        # Open the connection BEFORE creating the temp file so a failed
+        # request (404/DNS/stall) never leaves an orphaned empty file;
+        # `timeout` bounds both connect and per-read socket waits.
+        with urlopen(req, timeout=timeout) as resp:
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=suffix, prefix="sleap_nn_tpu_remote_", delete=False
+            )
+            try:
+                with tmp:
+                    shutil.copyfileobj(resp, tmp)
+            except BaseException:
+                Path(tmp.name).unlink(missing_ok=True)
+                raise
+        # The download exists only to back this process's prediction run;
+        # remove it at interpreter exit so repeated CLI runs never
+        # accumulate full-size copies in $TMPDIR.
+        import atexit
+
+        atexit.register(lambda p=tmp.name: Path(p).unlink(missing_ok=True))
         return tmp.name
     raise ValueError(
         f"Remote scheme {scheme!r} needs a credentialed client this build "

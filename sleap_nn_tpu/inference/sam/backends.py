@@ -16,6 +16,7 @@ reconciliation) is host-side numpy, same placement as the reference.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
+from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -232,9 +233,28 @@ class SamLegacyBackend(MaskBackend):
         self.max_box_area_factor = float(max_box_area_factor)
         self.pred_iou_min = float(pred_iou_min)
 
+    @staticmethod
+    def _infer_model_type(checkpoint_path) -> str:
+        """vit_b / vit_l / vit_h from the official checkpoint filename."""
+        name = Path(str(checkpoint_path)).name.lower()
+        for mt in ("vit_b", "vit_l", "vit_h"):
+            if mt in name:
+                return mt
+        return "vit_h"
+
     @classmethod
-    def from_checkpoint(cls, checkpoint_path, model_type: str = "vit_h",
+    def from_checkpoint(cls, checkpoint_path, model_type: Optional[str] = None,
                         device: str = "cpu", **kwargs) -> "SamLegacyBackend":
+        if not Path(str(checkpoint_path)).is_file():
+            # A transformers model id (the `sam` backend's default) is not a
+            # checkpoint this package can load — fail with usage guidance
+            # instead of a torch file-not-found deep in sam_model_registry.
+            raise ValueError(
+                f"mask_backend='sam_legacy' needs a LOCAL `segment-anything` "
+                f"checkpoint path (e.g. sam_vit_h_4b8939.pth), got "
+                f"{checkpoint_path!r}. Pass --sam-model-id /path/to/sam_*.pth, "
+                "or use mask_backend='sam' for hub model ids."
+            )
         try:
             from segment_anything import SamPredictor, sam_model_registry
         except ImportError as e:  # pragma: no cover - env-dependent
@@ -244,6 +264,8 @@ class SamLegacyBackend(MaskBackend):
                 "SAM checkpoint; or use mask_backend='sam' (the transformers "
                 "port of the same weights)."
             ) from e
+        if model_type is None:
+            model_type = cls._infer_model_type(checkpoint_path)
         sam = sam_model_registry[model_type](checkpoint=str(checkpoint_path))
         sam.to(device).eval()
         return cls(SamPredictor(sam), **kwargs)

@@ -39,23 +39,15 @@ def group_batch_host(payload: Dict, scorer, max_instances: Optional[int],
     (peaks, edge_inds, edge_peak_inds, line_scores) under ``pred_paf_graph``
     (reference legacy-parity debug output, streaming.py GroupingParams).
     """
-    from sleap_nn_tpu.inference.paf_grouping import match_candidates_dense
-
     gp, gv, sc = payload["grouped_peaks"], payload["grouped_vals"], payload["scores"]
     lift = float(payload["lift"])
     pred_instances, pred_vals, inst_scores = [], [], []
     paf_graphs = [] if return_paf_graph else None
     for i in range(gp.shape[0]):
-        pts, vals, scores = scorer.group_sample(gp[i], gv[i], sc[i])
-        if max_instances is not None and pts.shape[0] > max_instances:
-            order = np.argsort(-scores)[:max_instances]
-            pts, vals, scores = pts[order], vals[order], scores[order]
-        pred_instances.append(pts * lift)
-        pred_vals.append(vals)
-        inst_scores.append(scores)
         if return_paf_graph:
-            matches = match_candidates_dense(
-                np.asarray(sc[i]), scorer.min_line_scores
+            # The matching the grouping just ran, exposed — never recomputed.
+            pts, vals, scores, matches = scorer.group_sample(
+                gp[i], gv[i], sc[i], return_matches=True
             )
             paf_graphs.append((
                 np.asarray(gp[i]) * lift,
@@ -64,6 +56,14 @@ def group_batch_host(payload: Dict, scorer, max_instances: Optional[int],
                            ).reshape(-1, 2),
                 np.asarray([m[3] for m in matches], np.float32),
             ))
+        else:
+            pts, vals, scores = scorer.group_sample(gp[i], gv[i], sc[i])
+        if max_instances is not None and pts.shape[0] > max_instances:
+            order = np.argsort(-scores)[:max_instances]
+            pts, vals, scores = pts[order], vals[order], scores[order]
+        pred_instances.append(pts * lift)
+        pred_vals.append(vals)
+        inst_scores.append(scores)
     out = {
         "pred_keypoints": pred_instances,
         "pred_peak_values": pred_vals,
@@ -71,6 +71,11 @@ def group_batch_host(payload: Dict, scorer, max_instances: Optional[int],
     }
     if return_paf_graph:
         out["pred_paf_graph"] = paf_graphs
+    # return_confmaps: the layer's device program emitted confmaps/pafs and
+    # device_to_payload carried them; pass them through grouping untouched.
+    for k in ("confmaps", "pafs"):
+        if k in payload:
+            out[k] = payload[k]
     return out
 
 

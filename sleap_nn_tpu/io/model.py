@@ -373,6 +373,17 @@ class LabeledFrame:
         return f"LabeledFrame(video={getattr(self.video, 'filename', None)!r}, frame_idx={self.frame_idx}, n_instances={len(self.instances)})"
 
 
+def is_negative_frame(lf: LabeledFrame) -> bool:
+    """User-confirmed negative: a labeled frame with no instances at all.
+
+    The one definition shared by ``Labels.negative_frames`` and the data
+    pipeline's negative-sample collection (reference
+    custom_datasets._collect_negative_frames); frames whose instances are
+    merely empty/out-of-bounds are annotation errors, not negatives.
+    """
+    return not list(lf.instances)
+
+
 class Labels:
     """Top-level labels container."""
 
@@ -399,9 +410,11 @@ class Labels:
 
         Reference custom_datasets._collect_negative_frames reads
         ``labels.negative_frames``; in .slp an empty LabeledFrame is the
-        persisted form of "user confirmed nothing is here".
+        persisted form of "user confirmed nothing is here". The single
+        source of that predicate is :func:`is_negative_frame` — the data
+        pipeline gates on the same function.
         """
-        return [lf for lf in self.labeled_frames if not lf.instances]
+        return [lf for lf in self.labeled_frames if is_negative_frame(lf)]
 
     def _update_from_frames(self):
         for lf in self.labeled_frames:

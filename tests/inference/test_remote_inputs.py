@@ -49,7 +49,7 @@ def test_fetch_http_downloads_with_headers(monkeypatch, tmp_path):
 
     seen = {}
 
-    def fake_urlopen(req):
+    def fake_urlopen(req, timeout=None):
         seen["url"] = req.full_url
         seen["headers"] = dict(req.header_items())
         return io.BytesIO(b"payload-bytes")
