@@ -144,6 +144,44 @@ def measure_tunnel_bw() -> float:
     return (sizes[1] - sizes[0]) / max(times[1] - times[0], 1e-9)
 
 
+def measure_achievable_infra_fps(frame_shape, batch: int, n_batches: int = 6) -> float:
+    """Empirical per-row transport ceiling: the fps of the predict pipeline
+    with the model replaced by a trivial reduction.
+
+    Dispatches ``n_batches`` batches of the row's ACTUAL H2D shape through a
+    jitted per-sample sum, pipelined exactly like ``Predictor.predict``
+    (depth-3 in flight, then fetch the oldest). The theoretical
+    ``bandwidth/payload`` ceiling is NOT attainable through per-batch RPC
+    round-trips on the tunnel — this measures what is. Best of 2 runs
+    (the tunnel occasionally stalls whole seconds; best-of discards those).
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x.astype(jnp.uint32), axis=tuple(range(1, x.ndim)))
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 255, (batch, *frame_shape), dtype=np.uint8)
+    np.asarray(trivial(buf))  # compile + settle the link
+    best = 0.0
+    for _ in range(2):
+        q = collections.deque()
+        t0 = time.perf_counter()
+        for _i in range(n_batches):
+            q.append(trivial(buf))
+            if len(q) > 3:
+                np.asarray(q.popleft())
+        while q:
+            np.asarray(q.popleft())
+        dt = time.perf_counter() - t0
+        best = max(best, batch * n_batches / dt)
+    return best
+
+
 _decode_cache = {}
 
 
@@ -285,8 +323,8 @@ def program_flops(predictor, sample_batch, batch: int) -> float:
     return program_cost(predictor, sample_batch, batch)[0]
 
 
-def _row_payload_bytes(predictor) -> int:
-    """Per-frame bytes actually sent over the host->device link."""
+def _row_payload(predictor):
+    """(bytes, frame_shape) actually sent over the host->device link per frame."""
     from sleap_nn_tpu.io.video import Video
     from sleap_nn_tpu.inference.predictor import rgb_to_gray_uint8
 
@@ -296,7 +334,7 @@ def _row_payload_bytes(predictor) -> int:
         frame = rgb_to_gray_uint8(frame)
     if predictor._host_transform is not None:
         frame, _ = predictor._apply_host_resize(frame)
-    return int(frame.nbytes)
+    return int(frame.nbytes), tuple(frame.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -491,8 +529,12 @@ def main():
             **kwargs,
         )
         fps = bench_e2e(predictor, frames)
-        payload = _row_payload_bytes(predictor)
+        payload, payload_shape = _row_payload(predictor)
         tunnel_ceiling = tunnel_bw / payload
+        # What the transport can ACTUALLY sustain at this row's shape with
+        # the predict pipeline's dispatch pattern (per-batch RPC round trips
+        # make the theoretical bandwidth/payload number unattainable).
+        achievable_fps = measure_achievable_infra_fps(payload_shape, BATCH_SIZE)
         decode_fps = measure_decode_fps(
             "gray" if predictor._host_grayscale else None
         )
@@ -526,7 +568,14 @@ def main():
                "host_ceiling_fps": round(ceiling, 1),
                "e2e_vs_ceiling": round(fps / ceiling, 3),
                "serial_host_ceiling_fps": round(serial_ceiling, 1),
-               "e2e_vs_serial_ceiling": round(fps / serial_ceiling, 3)}
+               "e2e_vs_serial_ceiling": round(fps / serial_ceiling, 3),
+               # Empirical pipeline ceiling (trivial kernel, same shapes,
+               # same dispatch pattern) and the honest attainment ratio:
+               # decode and the infra pipeline share the single host CPU,
+               # so the attainable bound is their serial combination.
+               "achievable_infra_fps": round(achievable_fps, 1),
+               "e2e_vs_achievable": round(
+                   fps / (1.0 / (1.0 / decode_fps + 1.0 / achievable_fps)), 3)}
         if name in FWD_BASELINE_MS:
             row["forward_vs_a40_eager"] = round(FWD_BASELINE_MS[name] / fwd_ms, 3)
         extra[name] = row

@@ -503,11 +503,16 @@ class ModelTrainer:
         val_render = make_render_fn(self.ctx, train=False)
         model = self.model
 
-        def _sample_weights(batch):
+        def _sample_weights(batch, train=True):
             w = batch.get("batch_mask")
             w = None if w is None else w.astype(jnp.float32)
             sw = batch.get("sample_weight")
-            if sw is not None:
+            # negative_loss_weight down-weights negatives in the TRAIN loss
+            # only; validation loss stays unweighted so val/loss (ckpt
+            # selection, early stopping) is comparable across weight settings
+            # (reference negative-frames loss weighting: val stage never
+            # weighted). Padding masks apply in both stages.
+            if train and sw is not None:
                 w = sw if w is None else w * sw
             return w
 
@@ -535,7 +540,9 @@ class ModelTrainer:
         def val_step(params, batch):
             processed = val_render(batch, None)
             preds = model.apply(params, processed["image"])
-            loss, parts = compute_loss(preds, processed, heads, _sample_weights(batch), None)
+            loss, parts = compute_loss(
+                preds, processed, heads, _sample_weights(batch, train=False), None
+            )
             return loss, parts
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))

@@ -210,17 +210,22 @@ def test_offset_grouping_distance_gate_alpha_strips_strays():
     assert gated[0, 0, 4, 4]
 
 
-def test_sam_legacy_backend_registered_with_actionable_error():
+def test_sam_legacy_backend_registered_with_actionable_error(tmp_path):
     """The segment-anything (SAM1 native) backend is registered; without the
-    package it raises guidance, mirroring the reference's lazy wrapper."""
+    package it raises guidance, mirroring the reference's lazy wrapper.
+    A missing/non-local checkpoint errors FIRST with usage guidance."""
     from sleap_nn_tpu.inference.sam import MASK_BACKENDS, get_mask_backend
 
     assert "sam_legacy" in MASK_BACKENDS
-    with pytest.raises(ImportError, match="segment-anything"):
+    with pytest.raises(ValueError, match="LOCAL"):
         get_mask_backend("sam_legacy", sam_model_id="/no/ckpt.pth")
+    ckpt = tmp_path / "sam_vit_h.pth"
+    ckpt.write_bytes(b"stub")
+    with pytest.raises(ImportError, match="segment-anything"):
+        get_mask_backend("sam_legacy", sam_model_id=str(ckpt))
 
 
-def test_sam_legacy_backend_mask_protocol(monkeypatch):
+def test_sam_legacy_backend_mask_protocol(monkeypatch, tmp_path):
     """With a stubbed segment_anything module, the backend encodes once per
     frame and picks candidates like the HF path."""
     import sys
@@ -255,7 +260,9 @@ def test_sam_legacy_backend_mask_protocol(monkeypatch):
     from sleap_nn_tpu.inference.sam.backends import SamLegacyBackend
     from sleap_nn_tpu.inference.sam.prompts import prompt_for_instance
 
-    be = SamLegacyBackend.from_checkpoint("/fake.pth")
+    fake = tmp_path / "sam_vit_h_stub.pth"
+    fake.write_bytes(b"stub")
+    be = SamLegacyBackend.from_checkpoint(str(fake))
     img = np.zeros((32, 32, 1), np.uint8)
     p = prompt_for_instance("pose", (32, 32),
                             keypoints=np.array([[3.0, 3.0], [5.0, 5.0]]))
