@@ -42,6 +42,59 @@ class TrainingJobConfig:
         save_yaml(self, path)
 
 
+def _verify_data_ranges(dc) -> None:
+    """Range checks the reference enforces via attrs validators at
+    construction (data_config.py:16 validate_proportion, :123-141 tiling,
+    :179 validate_scale, :214-269 augmentation probabilities/bounds)."""
+
+    def _prop(obj, name, where):
+        v = getattr(obj, name, None)
+        if v is not None and not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"{where}.{name} must be in [0, 1], got {v}.")
+
+    def _nonneg(obj, name, where):
+        v = getattr(obj, name, None)
+        if v is not None and float(v) < 0:
+            raise ValueError(f"{where}.{name} must be >= 0, got {v}.")
+
+    pre = dc.preprocessing
+    if pre.scale is not None and pre.scale <= 0:
+        raise ValueError(
+            f"data_config.preprocessing.scale must be > 0, got {pre.scale}."
+        )
+    t = pre.tiling
+    for name in ("min_overlap_fraction", "cpu_thresh", "center_jitter",
+                 "tile_fg_fraction"):
+        _prop(t, name, "tiling")
+    if not (0.0 < t.sigma_scale <= 1.0):
+        raise ValueError(
+            f"tiling.sigma_scale must be in (0, 1], got {t.sigma_scale}."
+        )
+    if t.min_visible_keypoints < 0:
+        raise ValueError(
+            f"tiling.min_visible_keypoints must be >= 0, got "
+            f"{t.min_visible_keypoints}."
+        )
+    aug = dc.augmentation_config
+    if aug is not None:
+        inten = getattr(aug, "intensity", None)
+        if inten is not None:
+            for name in ("uniform_noise_p", "gaussian_noise_p", "contrast_p",
+                         "brightness_p"):
+                _prop(inten, name, "intensity")
+            for name in ("uniform_noise_min", "contrast_min", "contrast_max",
+                         "brightness_min", "brightness_max"):
+                _nonneg(inten, name, "intensity")
+        geo = getattr(aug, "geometric", None)
+        if geo is not None:
+            for name in ("rotation_p", "scale_p", "translate_p", "affine_p",
+                         "erase_p", "mixup_p", "flip_p"):
+                _prop(geo, name, "geometric")
+            for name in ("scale_min", "scale_max", "mixup_lambda_min",
+                         "mixup_lambda_max"):
+                _nonneg(geo, name, "geometric")
+
+
 def verify_training_cfg(cfg: TrainingJobConfig) -> TrainingJobConfig:
     """Fail-fast validation (reference: training_job_config.py:113-143).
 
@@ -56,6 +109,7 @@ def verify_training_cfg(cfg: TrainingJobConfig) -> TrainingJobConfig:
     if cfg.data_config.negative_loss_weight <= 0:
         # reference data_config.py:363 — attrs validators.gt(0)
         raise ValueError("data_config.negative_loss_weight must be > 0.")
+    _verify_data_ranges(cfg.data_config)
     if getattr(cfg.model_config, "pre_trained_weights", None):
         raise ValueError(
             "model_config.pre_trained_weights (torchvision weight names) is "

@@ -1,0 +1,110 @@
+"""Data-config range validation matrix.
+
+Reference scenario source: tests/config/test_data_config.py
+(validate_proportion, invalid scale) and test_tiling.py field validators —
+enforced here centrally in verify_training_cfg (reference attrs validators,
+data_config.py:16,123-141,179,214-269).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+from sleap_nn_tpu.config.training_job_config import verify_training_cfg
+
+REF_CFG = ("/root/reference/tests/assets/model_ckpts/"
+           "minimal_instance_single_instance/training_config.yaml")
+
+
+def cfg_with(**overrides):
+    cfg = TrainingJobConfig.load_yaml(REF_CFG)
+    apply_overrides(cfg, {k.replace("__", "."): v for k, v in overrides.items()})
+    return cfg
+
+
+def test_reference_config_passes():
+    verify_training_cfg(cfg_with())
+
+
+@pytest.mark.parametrize("scale", [0.0, -0.5])
+def test_preprocessing_scale_rejects_nonpositive(scale):
+    cfg = cfg_with(**{"data_config__preprocessing__scale": scale})
+    with pytest.raises(ValueError, match="scale must be > 0"):
+        verify_training_cfg(cfg)
+
+
+@pytest.mark.parametrize("field,value", [
+    ("min_overlap_fraction", 1.5),
+    ("min_overlap_fraction", -0.1),
+    ("cpu_thresh", 2.0),
+    ("center_jitter", -0.5),
+    ("tile_fg_fraction", 1.01),
+])
+def test_tiling_proportions_rejected(field, value):
+    cfg = cfg_with(**{f"data_config__preprocessing__tiling__{field}": value})
+    with pytest.raises(ValueError, match=field):
+        verify_training_cfg(cfg)
+
+
+@pytest.mark.parametrize("value", [0.0, 1.5, -0.2])
+def test_tiling_sigma_scale_bounds(value):
+    cfg = cfg_with(**{"data_config__preprocessing__tiling__sigma_scale": value})
+    with pytest.raises(ValueError, match="sigma_scale"):
+        verify_training_cfg(cfg)
+
+
+def test_tiling_min_visible_keypoints_nonnegative():
+    cfg = cfg_with(
+        **{"data_config__preprocessing__tiling__min_visible_keypoints": -1})
+    with pytest.raises(ValueError, match="min_visible_keypoints"):
+        verify_training_cfg(cfg)
+
+
+@pytest.mark.parametrize("field,value", [
+    ("uniform_noise_p", 1.2),
+    ("gaussian_noise_p", -0.1),
+    ("contrast_p", 7.0),
+    ("brightness_p", -1.0),
+])
+def test_intensity_probabilities_rejected(field, value):
+    cfg = cfg_with(
+        **{f"data_config__augmentation_config__intensity__{field}": value})
+    with pytest.raises(ValueError, match=field):
+        verify_training_cfg(cfg)
+
+
+@pytest.mark.parametrize("field,value", [
+    ("rotation_p", 1.5),
+    ("affine_p", -0.5),
+    ("erase_p", 2.0),
+    ("mixup_p", -0.01),
+    ("flip_p", 1.0001),
+])
+def test_geometric_probabilities_rejected(field, value):
+    cfg = cfg_with(
+        **{f"data_config__augmentation_config__geometric__{field}": value})
+    with pytest.raises(ValueError, match=field):
+        verify_training_cfg(cfg)
+
+
+def test_negative_intensity_bounds_rejected():
+    cfg = cfg_with(
+        **{"data_config__augmentation_config__intensity__contrast_min": -0.5})
+    with pytest.raises(ValueError, match="contrast_min"):
+        verify_training_cfg(cfg)
+
+
+def test_valid_probabilities_pass():
+    cfg = cfg_with(**{
+        "data_config__augmentation_config__geometric__rotation_p": 1.0,
+        "data_config__augmentation_config__geometric__flip_p": 0.5,
+        "data_config__augmentation_config__intensity__contrast_p": 0.0,
+    })
+    verify_training_cfg(cfg)
+
+
+def test_no_augmentation_config_is_fine():
+    cfg = cfg_with()
+    cfg.data_config.augmentation_config = None
+    verify_training_cfg(cfg)
