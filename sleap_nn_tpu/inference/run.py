@@ -299,6 +299,15 @@ def predict(
         frames = None
 
     if mask_backend is not None:
+        if model_paths:
+            # Same rule the CLI enforces (reference cli.py SAM short-circuit):
+            # prompted segmentation uses the poses already in the .slp, so a
+            # trained model makes the request ambiguous.
+            raise ValueError(
+                "mask_backend cannot be combined with model_paths: SAM "
+                "prompted segmentation reads poses from the input .slp. "
+                "Drop model_paths, or run predict without mask_backend."
+            )
         from sleap_nn_tpu.inference.sam import run_sam_segmentation
 
         return run_sam_segmentation(
