@@ -190,4 +190,35 @@ def compute_loss(
         weight = 1.0 if head.loss_weight is None else head.loss_weight
         total = total + weight * part
         parts[name] = part
+    _add_confmap_fg_bg_diagnostics(preds, targets, heads, parts)
     return total, parts
+
+
+def _add_confmap_fg_bg_diagnostics(preds, targets, heads, parts,
+                                   threshold: float = 0.5) -> None:
+    """DIAGNOSTIC ONLY: confmap MSE split by GT foreground/background.
+
+    Gaussian targets are ~98% near-zero background, so the plain MSE is
+    dominated by the background term; logging the split (reference
+    lightning_modules.py:684 ``_log_confmap_fg_bg_loss``) shows the
+    imbalance evolving. Keys: ``confmap_loss_fg`` / ``confmap_loss_bg``
+    (mean squared error over each pixel class) and ``confmap_fg_frac``.
+    Values ride the aux dict — they are never added to the optimized loss.
+    """
+    if "confmaps" not in targets:
+        return
+    cm_head = next(
+        (h for h in heads
+         if _HEAD_TARGETS.get(h.name) == "confmaps" and h.name in preds),
+        None,
+    )
+    if cm_head is None:
+        return
+    y = targets["confmaps"]
+    se = (preds[cm_head.name] - y) ** 2
+    fg = (y > threshold).astype(se.dtype)
+    bg = (y < threshold).astype(se.dtype)
+    n_fg, n_bg = fg.sum(), bg.sum()
+    parts["confmap_loss_fg"] = jnp.where(n_fg > 0, (se * fg).sum() / jnp.maximum(n_fg, 1.0), 0.0)
+    parts["confmap_loss_bg"] = jnp.where(n_bg > 0, (se * bg).sum() / jnp.maximum(n_bg, 1.0), 0.0)
+    parts["confmap_fg_frac"] = fg.mean()

@@ -793,10 +793,14 @@ class ModelTrainer:
 
                 # -- val epoch
                 val_losses = []
+                val_part_sums: Dict[str, list] = {}
                 for batch in self.val_loader:
                     dbatch = shard_batch(batch, self.mesh)
-                    loss, _ = self._val_step(self.params, dbatch)
+                    loss, vparts = self._val_step(self.params, dbatch)
                     val_losses.append(loss)
+                    for k, v in vparts.items():
+                        if k.startswith("confmap_"):
+                            val_part_sums.setdefault(k, []).append(v)
                 val_loss = float(np.mean([jax.device_get(l) for l in val_losses]))
 
                 # -- scheduler + logs
@@ -814,7 +818,13 @@ class ModelTrainer:
                     "epoch_time_s": train_time,
                 }
                 for k, vals in part_sums.items():
-                    logs[f"train/{k}_loss"] = float(
+                    # fg/bg diagnostics carry their own full key names
+                    # (reference {stage}/confmap_loss_fg); per-head parts
+                    # get the _loss suffix.
+                    key = f"train/{k}" if k.startswith("confmap_") else f"train/{k}_loss"
+                    logs[key] = float(np.mean([jax.device_get(v) for v in vals]))
+                for k, vals in val_part_sums.items():
+                    logs[f"val/{k}"] = float(
                         np.mean([jax.device_get(v) for v in vals])
                     )
                 self.history.append(logs)
