@@ -482,7 +482,18 @@ def load_exported_model(export_dir, runtime: str = "auto"):
     import jax
 
     export_dir = Path(export_dir)
-    meta = ExportMetadata.from_json((export_dir / "metadata.json").read_text())
+    if runtime not in ("auto", "stablehlo", "savedmodel"):
+        raise ValueError(
+            f"Unknown runtime {runtime!r}; expected 'auto', 'stablehlo' or "
+            "'savedmodel'."
+        )
+    meta_path = export_dir / "metadata.json"
+    if not meta_path.is_file():
+        raise FileNotFoundError(
+            f"{export_dir} is not an export dir: missing metadata.json "
+            "(produce one with `sleap-nn-tpu export`)."
+        )
+    meta = ExportMetadata.from_json(meta_path.read_text())
     want = {"stablehlo": "model.stablehlo", "savedmodel": "savedmodel"}.get(runtime)
     if want is not None and meta.artifact != want:
         raise ValueError(

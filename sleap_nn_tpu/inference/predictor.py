@@ -1311,11 +1311,17 @@ def from_export_dir(
         p.filters = None
         return p
 
-    if meta.model_type not in ("single_instance", "centroid"):
+    if meta.model_type in ("centered_instance", "multi_class_topdown",
+                           "centered_instance_segmentation"):
         raise NotImplementedError(
             f"from_export_dir does not support {meta.model_type!r} "
             f"(centered-instance-style exports run on pre-extracted crops; "
             f"export the topdown composite instead)."
+        )
+    if meta.model_type not in ("single_instance", "centroid"):
+        raise ValueError(
+            f"Unrecognized model_type {meta.model_type!r} in this export "
+            "dir's metadata.json — not a model type this framework exports."
         )
     layer = ExportedLayer(call, meta)
     # Exported centroid models record the node that anchored training-time
