@@ -581,6 +581,21 @@ def _build_tracker_kwargs(kw: dict) -> dict:
     vals = {k: kw.pop(k) for k in _TRACKER_KNOBS}
     if not kw.pop("tracking"):
         return {}
+    # Legacy edge-layer defaulting (reference cli.py:1242 _build_tracker_config,
+    # issue #582): --post_connect_single_breaks with no --max_tracks derives the
+    # track cap from --max_instances, and post_connect / pre_cull / kalman with
+    # no explicit --tracking_target_instance_count derive the target identity
+    # count from --max_instances instead of crashing or silently no-op'ing.
+    max_instances = kw.get("max_instances")
+    if vals["post_connect_single_breaks"] and vals["max_tracks"] is None:
+        vals["max_tracks"] = max_instances
+    needs_target = (
+        vals["post_connect_single_breaks"]
+        or vals["tracking_pre_cull_to_target"]
+        or vals["use_kalman"]
+    )
+    if needs_target and vals["tracking_target_instance_count"] is None:
+        vals["tracking_target_instance_count"] = max_instances
     out = dict(
         tracking=True,
         window_size=vals["tracking_window_size"],

@@ -582,6 +582,16 @@ def run_tracker(
     """
     from sleap_nn_tpu.tracking.utils import cull_instances
 
+    # Fail fast BEFORE tracking (reference inference/tracking.py apply_tracking
+    # gate, issue #582): both the pre-cull and the single-break repair require
+    # an explicit target identity count; silently no-op'ing the cull or raising
+    # only after a long tracking pass were the legacy bugs.
+    if (post_connect_single_breaks or pre_cull_to_target) and not target_instance_count:
+        raise ValueError(
+            "post_connect_single_breaks and pre_cull_to_target require "
+            "target_instance_count to be set (the CLI derives it from "
+            "--max_instances when omitted)."
+        )
     if pre_cull_to_target and target_instance_count:
         cull_instances(labels, target_instance_count, pre_cull_iou_threshold)
     tracker = Tracker.from_config(**config)
@@ -589,9 +599,5 @@ def run_tracker(
     if clean_instance_count:
         cull_instances(labels, clean_instance_count, clean_iou_threshold)
     if post_connect_single_breaks:
-        if not target_instance_count:
-            raise ValueError(
-                "post_connect_single_breaks requires target_instance_count."
-            )
         labels = connect_single_breaks(labels, target_instance_count)
     return labels
