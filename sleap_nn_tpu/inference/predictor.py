@@ -273,7 +273,16 @@ class Predictor:
             if not centroids:
                 raise ValueError("--centroid-only requires a centroid model.")
             loaded = centroids
-        by_type = {m.model_type: m for m in loaded}
+        by_type: Dict[str, LoadedModel] = {}
+        for m in loaded:
+            if m.model_type in by_type:
+                # Reference load_model_assets rejects duplicates (issue #582);
+                # a dict build would silently drop all but the last one.
+                raise ValueError(
+                    f"Duplicate model type {m.model_type!r} in model_paths; "
+                    "pass at most one checkpoint per model type."
+                )
+            by_type[m.model_type] = m
         types = set(by_type)
 
         host_transform = None

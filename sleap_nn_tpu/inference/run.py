@@ -75,6 +75,41 @@ def fetch_remote_data(
     )
 
 
+_ALLOWED_TRACKER_KWARGS: Optional[set] = None
+
+
+def _validate_tracker_kwargs(kwargs: Dict) -> None:
+    """Reject kwargs that are neither predict() params nor tracking knobs.
+
+    ``predict(**tracker_kwargs)`` forwards the trailing kwargs to
+    ``run_tracker``/``Tracker.from_config``; without validation a typo'd
+    parameter (e.g. ``min_instance_scores=...``) would be silently dropped
+    whenever tracking is off. The allowed set is derived from the tracker
+    signatures so new knobs never need registering here.
+    """
+    global _ALLOWED_TRACKER_KWARGS
+    if not kwargs:
+        return
+    if _ALLOWED_TRACKER_KWARGS is None:
+        import inspect
+
+        from sleap_nn_tpu.tracking.tracker import Tracker, run_tracker
+
+        allowed = set()
+        for fn in (run_tracker, Tracker.from_config):
+            for name, p in inspect.signature(fn).parameters.items():
+                if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
+                    allowed.add(name)
+        allowed.discard("labels")
+        _ALLOWED_TRACKER_KWARGS = allowed
+    unknown = sorted(set(kwargs) - _ALLOWED_TRACKER_KWARGS)
+    if unknown:
+        raise TypeError(
+            f"predict() got unexpected keyword arguments {unknown} "
+            "(not recognized as tracking knobs either)."
+        )
+
+
 def predict(
     data_path: Union[str, Path, Labels],
     model_paths: Sequence[Union[str, Path]],
@@ -297,6 +332,18 @@ def predict(
             skeletons=labels.skeletons,
         )
         frames = None
+
+    _validate_tracker_kwargs(tracker_kwargs)
+    if centroid_output != "instance" and (tracking or tracker is not None):
+        # Guard BEFORE any inference work (reference run.py:532, issue #582):
+        # the tracker operates on PredictedInstance records; centroid-record
+        # output would be silently dropped by tracking.
+        raise ValueError(
+            "Tracking is incompatible with centroid_output="
+            f"{centroid_output!r}: tracking operates on PredictedInstance, "
+            "not centroid records. Use centroid_output='instance' (the "
+            "default) for tracking."
+        )
 
     if mask_backend is not None:
         if model_paths:
