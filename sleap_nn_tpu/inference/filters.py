@@ -60,6 +60,10 @@ def suppress_overlapping(
     instances: List[PredictedInstance], method: str, threshold: float
 ) -> List[PredictedInstance]:
     """Greedy NMS over instances by bbox-IoU or OKS (reference: ops/filters.py:224)."""
+    if method not in ("iou", "oks"):
+        raise ValueError(
+            f"Invalid overlap method {method!r}; choose 'iou' or 'oks'."
+        )
     order = np.argsort([-i.score for i in instances])
     keep: List[PredictedInstance] = []
     for idx in order:
