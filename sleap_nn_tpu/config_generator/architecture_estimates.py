@@ -9,52 +9,73 @@ import math
 from typing import Optional, Tuple
 
 
+SUPPORTED_MAX_STRIDES: Tuple[int, ...] = (8, 16, 32, 64, 128)
+
+
 def encoder_blocks(max_stride: int) -> int:
     return int(math.log2(max_stride))
 
 
 def decoder_blocks(max_stride: int, output_stride: int) -> int:
+    if not output_stride:
+        # output_stride=0/None -> full-resolution decoder (reference: :66).
+        return encoder_blocks(max_stride)
     return int(math.log2(max_stride / output_stride))
 
 
 def compute_receptive_field(
     max_stride: int, convs_per_block: int = 2, kernel_size: int = 3
 ) -> int:
-    """Theoretical receptive field of the stride-anchored UNet encoder.
+    """Theoretical receptive field of the deepest UNet encoder layer.
 
-    Each encoder level adds ``convs_per_block`` kxk convs then halves
-    resolution; RF grows by ``convs*(k-1)*stride`` per level
-    (reference: architecture_estimates.py:23).
+    Each encoder level has ``convs_per_block`` kxk stride-1 convs followed
+    by a 2x2 stride-2 pool; the canonical layer-by-layer formula
+    ``RF = 1 + sum((kernel[l]-1) * prod(strides[:l]))`` gives
+    36/76/156/316/636 for max_stride 8/16/32/64/128
+    (reference: architecture_estimates.py:23, the web app's RF_TABLE).
     """
+    down = int(math.log2(max_stride)) if max_stride > 0 else -1
+    if max_stride < 2 or 2**down != max_stride:
+        raise ValueError(
+            f"max_stride must be a power of 2 >= 2, got {max_stride}."
+        )
     rf = 1
     stride = 1
-    for _ in range(encoder_blocks(max_stride)):
-        rf += convs_per_block * (kernel_size - 1) * stride
+    for _ in range(down):
+        rf += convs_per_block * (kernel_size - 1) * stride  # convs
+        rf += stride  # 2x2 stride-2 pool: (2 - 1) * current stride
         stride *= 2
     return rf
 
 
 def compute_max_stride_for_animal_size(
-    animal_size: float, convs_per_block: int = 2, kernel_size: int = 3
+    animal_size: float,
+    candidates: Tuple[int, ...] = SUPPORTED_MAX_STRIDES,
+    convs_per_block: int = 2,
+    kernel_size: int = 3,
 ) -> int:
-    """Smallest max_stride whose receptive field covers the animal (reference: :75)."""
-    for exp in range(2, 8):
-        max_stride = 2**exp
+    """Smallest candidate max_stride whose RF covers the animal (reference: :75).
+
+    Falls back to the largest candidate when none covers it.
+    """
+    for max_stride in sorted(candidates):
         if compute_receptive_field(max_stride, convs_per_block, kernel_size) >= animal_size:
             return max_stride
-    return 128
+    return max(candidates)
 
 
 def recommend_default_max_stride(avg_animal_size: float, scale: float = 1.0) -> int:
-    """Bucketed default max_stride from the scaled animal size (reference: :96)."""
+    """Bucketed default max_stride from the scaled animal size (reference: :96).
+
+    Web-app bucket boundaries: effective size < 40 -> 8, > 100 -> 32,
+    else 16 (reference config-picker ``setDefaultParameters``).
+    """
     size = avg_animal_size * scale
-    if size < 32:
+    if size < 40:
         return 8
-    if size < 64:
-        return 16
-    if size < 128:
+    if size > 100:
         return 32
-    return 64
+    return 16
 
 
 def estimate_unet_params(

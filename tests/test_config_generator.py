@@ -49,10 +49,11 @@ def test_recommend_pipeline_branches():
 
 
 def test_receptive_field_math():
-    # Each doubling adds convs*(k-1)*stride: ms=16 -> 1 + 4*(1+2+4+8) = 61.
-    assert compute_receptive_field(16) == 1 + 4 * (1 + 2 + 4 + 8)
+    # Canonical web-app formula: convs + the 2x2 pool per level
+    # (ms=16 -> 1 + (4+1)*(1+2+4+8) = 76, the reference RF_TABLE value).
+    assert compute_receptive_field(16) == 1 + 5 * (1 + 2 + 4 + 8)
     assert compute_max_stride_for_animal_size(60) == 16
-    assert compute_max_stride_for_animal_size(10) == 4
+    assert compute_max_stride_for_animal_size(10) == 8
     ts = compute_suggested_tile_size(80, 16, 2)
     assert ts % 16 == 0 and ts >= 128
     ov = compute_suggested_tile_overlap(80, 16, tile_size=ts)
