@@ -884,17 +884,33 @@ def track_only(data_path, output_path, window_size, scoring_method, max_tracks,
                target_instance_count, pre_cull_to_target, pre_cull_iou_threshold,
                post_connect_single_breaks):
     """Assign tracks to an existing predictions file (no model inference)."""
+    from datetime import datetime
+
+    from sleap_nn_tpu.inference.provenance import build_tracking_only_provenance
     from sleap_nn_tpu.io import load_slp
     from sleap_nn_tpu.tracking import run_tracker
 
     labels = load_slp(data_path)
-    labels = run_tracker(
-        labels, window_size=window_size, scoring_method=scoring_method,
+    t0 = datetime.now()
+    tracking_params = dict(
+        window_size=window_size, scoring_method=scoring_method,
         max_tracks=max_tracks,
         target_instance_count=target_instance_count,
         pre_cull_to_target=pre_cull_to_target,
         pre_cull_iou_threshold=pre_cull_iou_threshold,
         post_connect_single_breaks=post_connect_single_breaks,
+    )
+    labels = run_tracker(labels, **tracking_params)
+    # Tracking-only provenance (reference provenance.py:186): pipeline type,
+    # input lineage (the file's prior inference provenance is preserved),
+    # tracking params, runtime.
+    labels.provenance = build_tracking_only_provenance(
+        input_labels=labels,
+        input_path=data_path,
+        start_time=t0,
+        end_time=datetime.now(),
+        tracking_params=tracking_params,
+        frames_processed=len(labels.labeled_frames),
     )
     out = output_path or str(Path(data_path).with_suffix("")) + ".tracked.slp"
     labels.save(out)

@@ -505,6 +505,39 @@ def predict(
                 elif feats == "centroids":
                     tracker_kwargs["scoring_method"] = "euclidean_dist"
             result = run_tracker(result, **tracker_kwargs)
+    if make_labels:
+        # Enrich the predictor's base provenance with run-level lineage
+        # (reference provenance.py:18): source file, frame selection,
+        # inference + tracking params. Never fails the run.
+        try:
+            from sleap_nn_tpu.inference.provenance import (
+                build_inference_provenance,
+                merge_provenance,
+            )
+
+            run_prov = build_inference_provenance(
+                model_dirs=None,
+                model_type=predictor.model_type,
+                input_path=None if isinstance(data_path, Labels) else data_path,
+                input_labels=data_path if isinstance(data_path, Labels) else None,
+                frames_processed=len(result.labeled_frames),
+                frame_selection_method="list" if frames else "all",
+                inference_params={
+                    "peak_threshold": peak_threshold,
+                    "batch_size": batch_size,
+                    "refinement": refinement,
+                    "max_instances": max_instances,
+                },
+                tracking_params=tracker_kwargs if (tracking or tracker_kwargs) else None,
+                device=device,
+                include_system_info=False,  # base prov already has versions
+            )
+            result.provenance = merge_provenance(
+                dict(getattr(result, "provenance", {}) or {}), run_prov,
+                overwrite=False,
+            )
+        except Exception:
+            pass
     if make_labels and no_empty_frames:
         # Mirror the reference --no_empty_frames: drop frames with nothing on
         # them (neither instances nor masks) before saving.
