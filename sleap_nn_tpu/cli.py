@@ -746,10 +746,21 @@ def _run_inference(**kw):
             kw["sam_model_id"] = sam_checkpoint
 
     model_paths = list(kw.pop("model_paths") or ())
+    if (
+        mask_backend is None
+        and not model_paths
+        and tracker_kwargs
+        and str(data_path).endswith(".slp")
+    ):
+        # Tracking-only retrack (reference cli.py:1563): --tracking on a
+        # .slp with no model_paths re-tracks the EXISTING predictions —
+        # no inference. Existing track assignments are discarded.
+        return _run_retrack_only(data_path, kw, tracker_kwargs, gui)
     if mask_backend is None and not model_paths:
         raise click.UsageError(
             "Provide --model-paths (trained model dir(s) or an export dir), "
-            "or --mask-backend for SAM prompted masks."
+            "or --mask-backend for SAM prompted masks; or combine "
+            "--tracking with a predictions .slp for tracking-only retrack."
         )
     if mask_backend is not None and model_paths:
         raise click.UsageError(
@@ -767,8 +778,18 @@ def _run_inference(**kw):
     kw["headers"] = _parse_headers(kw.get("headers"))
     kw["stream_mode"] = kw.get("stream_mode") or "download"
 
-    if progress_ui is not None:
-        with progress_ui:
+    try:
+        if progress_ui is not None:
+            with progress_ui:
+                labels = predict(
+                    data_path,
+                    model_paths,
+                    output_path=output_path,
+                    frames=frames,
+                    **kw,
+                    **tracker_kwargs,
+                )
+        else:
             labels = predict(
                 data_path,
                 model_paths,
@@ -777,15 +798,13 @@ def _run_inference(**kw):
                 **kw,
                 **tracker_kwargs,
             )
-    else:
-        labels = predict(
-            data_path,
-            model_paths,
-            output_path=output_path,
-            frames=frames,
-            **kw,
-            **tracker_kwargs,
-        )
+    except Exception as e:
+        # GUI mode (reference cli.py run_guarded): the SLEAP GUI reads
+        # stdout JSON lines — surface the failure as one, then re-raise
+        # so the exit code still reflects the error.
+        if gui:
+            click.echo(json.dumps({"error": str(e)}))
+        raise
     n_inst = sum(len(lf.instances) for lf in labels)
     n_masks = sum(len(lf.masks) for lf in labels)
     msg = f"Predicted {len(labels)} frames, {n_inst} instances"
@@ -796,6 +815,60 @@ def _run_inference(**kw):
         click.echo(json.dumps({
             "done": True, "n_frames": len(labels), "n_instances": n_inst,
             "output_path": str(output_path),
+        }))
+    return labels
+
+
+def _run_retrack_only(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
+    """Tracking-only retrack of an existing predictions ``.slp``
+    (reference cli.py:1799 ``_run_retrack_only``): strip existing track
+    assignments, re-run the tracker, attach tracking-only provenance."""
+    from datetime import datetime
+
+    from sleap_nn_tpu.inference.provenance import build_tracking_only_provenance
+    from sleap_nn_tpu.io import load_slp
+    from sleap_nn_tpu.tracking import run_tracker
+
+    labels = load_slp(str(data_path))
+    frames = _parse_frames(kw.get("frames"))
+    if frames:
+        wanted = set(frames)
+        labels.labeled_frames = [
+            lf for lf in labels.labeled_frames if lf.frame_idx in wanted
+        ]
+    # Discard prior identities — retrack means from scratch.
+    for lf in labels.labeled_frames:
+        for inst in lf.instances:
+            inst.track = None
+    labels.tracks = []
+
+    run_kwargs = dict(tracker_kwargs)
+    run_kwargs.pop("tracking", None)
+    t0 = datetime.now()
+    try:
+        labels = run_tracker(labels, **run_kwargs)
+    except Exception as e:
+        if gui:
+            click.echo(json.dumps({"error": str(e)}))
+        raise
+    labels.provenance = build_tracking_only_provenance(
+        input_labels=labels,
+        input_path=data_path,
+        start_time=t0,
+        end_time=datetime.now(),
+        tracking_params=run_kwargs,
+        frames_processed=len(labels.labeled_frames),
+    )
+    output_path = kw.get("output_path") or _default_predictions_path(data_path)
+    labels.save(str(output_path))
+    click.echo(
+        f"Retracked {len(labels)} frames into {len(labels.tracks)} tracks "
+        f"-> {output_path}"
+    )
+    if gui:
+        click.echo(json.dumps({
+            "done": True, "n_frames": len(labels),
+            "n_tracks": len(labels.tracks), "output_path": str(output_path),
         }))
     return labels
 

@@ -107,7 +107,8 @@ def test_system_command():
     runner = CliRunner()
     result = runner.invoke(cli, ["system"])
     assert result.exit_code == 0, result.output
-    assert "devices" in result.output
+    assert "accelerator" in result.output
+    assert "compatible" in result.output
     assert "OK" in result.output
 
 
