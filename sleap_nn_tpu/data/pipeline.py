@@ -305,10 +305,17 @@ class BaseDataset:
         negative_loss_weight: float = 1.0,
         use_existing_imgs: bool = False,
         cache_workers: int = 0,
+        centroid_from_user: bool = False,
     ):
         self.labels_list = list(labels_list)
         self.ctx = ctx
         self.user_instances_only = user_instances_only
+        # centroid_source='user' (centroid models only): frames carrying
+        # user-annotated centroid records train on THOSE points — encoded as
+        # synthetic instances with every node at the centroid, so the device
+        # render (generate_centroids: anchor or visible-mean) reproduces the
+        # annotated point exactly with zero new device code.
+        self.centroid_from_user = centroid_from_user
         self.cache_mode = cache_mode
         self.cache_dir = cache_dir
         self.use_negative_frames = use_negative_frames
@@ -330,6 +337,11 @@ class BaseDataset:
                 video_idx = (
                     labels.videos.index(lf.video) if lf.video in labels.videos else 0
                 )
+                if self.centroid_from_user and lf.user_centroids:
+                    sample = self._make_user_centroid_sample(lf, video_idx)
+                    if sample is not None:
+                        self.samples.append(sample)
+                    continue
                 sample = process_lf(
                     lf,
                     video_idx=video_idx,
@@ -351,6 +363,31 @@ class BaseDataset:
                     continue
                 sample["sample_weight"] = 1.0
                 self._append_samples(sample)
+
+    def _make_user_centroid_sample(self, lf, video_idx: int):
+        """User-centroid frame -> synthetic instances at the centroid."""
+        try:
+            img = lf.image
+        except Exception:
+            return None
+        if img.ndim == 2:
+            img = img[..., None]
+        cents = lf.user_centroids[: self.ctx.max_instances]
+        pts = np.full(
+            (self.ctx.max_instances, self.ctx.n_nodes, 2), np.nan, np.float32
+        )
+        for i, c in enumerate(cents):
+            pts[i, :, :] = np.asarray(c.point, np.float32)
+        return {
+            "image": np.ascontiguousarray(img),
+            "instances": pts,
+            "num_instances": len(cents),
+            "frame_idx": int(lf.frame_idx),
+            "video_idx": int(video_idx),
+            "orig_size": np.array(img.shape[:2], np.float32),
+            "track_ids": np.full((self.ctx.max_instances,), -1, np.int32),
+            "sample_weight": 1.0,
+        }
 
     def _make_negative_sample(self, lf, video_idx: int):
         """Instance-less frame -> all-NaN keypoints (zero targets)."""

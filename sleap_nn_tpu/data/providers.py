@@ -14,8 +14,18 @@ from sleap_nn_tpu.io.model import Instance, LabeledFrame, Labels, PredictedInsta
 
 
 def get_max_instances(labels: Labels) -> int:
-    """Max number of instances in any labeled frame."""
-    return max((len(lf.instances) for lf in labels.labeled_frames), default=1)
+    """Max number of instances in any labeled frame.
+
+    User-centroid records count too: pure-centroid seeding frames carry
+    no pose instances but each centroid becomes one training instance.
+    """
+    return max(
+        (
+            max(len(lf.instances), len(getattr(lf, "user_centroids", []) or []))
+            for lf in labels.labeled_frames
+        ),
+        default=1,
+    )
 
 
 def get_max_height_width(labels: Labels) -> Tuple[int, int]:

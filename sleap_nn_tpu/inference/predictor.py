@@ -631,6 +631,8 @@ class Predictor:
         provider_kwargs = {"batch_size": self.batch_size}
         # --queue-maxsize (frames) -> provider prefetch depth (batches); the
         # reference's legacy VideoReader bounds its decode queue the same way.
+        # (Providers default to prefetch=2 already — decode runs on a
+        # background thread overlapping device dispatch; this only widens it.)
         prefetch = getattr(self, "prefetch_batches", None)
         if prefetch:
             provider_kwargs["prefetch"] = int(prefetch)

@@ -17,6 +17,7 @@ from sleap_nn_tpu.io.model import (
     Labels,
     Node,
     PredictedCentroid,
+    UserCentroid,
     PredictedInstance,
     PredictedROI,
     Skeleton,
@@ -33,6 +34,7 @@ __all__ = [
     "Labels",
     "Node",
     "PredictedCentroid",
+    "UserCentroid",
     "PredictedInstance",
     "PredictedROI",
     "SegmentationMask",

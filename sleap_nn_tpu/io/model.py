@@ -270,6 +270,15 @@ class PredictedCentroid:
         self.track = track
 
 
+class UserCentroid(PredictedCentroid):
+    """A user-annotated instance center (no pose) — the pure-centroid
+    seeding workflow (reference ``sio.UserCentroid``): centroid models can
+    train directly on these via ``centroid_source='user'``."""
+
+    def __init__(self, point: np.ndarray, track: Optional[Track] = None):
+        super().__init__(point, score=1.0, track=track)
+
+
 class PredictedROI:
     """A predicted polygonal region of interest (simplified mask outline).
 
@@ -341,6 +350,10 @@ class LabeledFrame:
     @property
     def predicted_instances(self) -> List[PredictedInstance]:
         return [i for i in self.instances if isinstance(i, PredictedInstance)]
+
+    @property
+    def user_centroids(self) -> List["UserCentroid"]:
+        return [c for c in self.centroids if isinstance(c, UserCentroid)]
 
     @property
     def has_user_instances(self) -> bool:
@@ -544,7 +557,14 @@ class Labels:
         Mirrors sleap-io's ``Labels.make_training_splits`` semantics used at
         reference: sleap_nn/training/model_trainer.py:330.
         """
-        user = [i for i, lf in enumerate(self.labeled_frames) if lf.has_user_instances]
+        # Frames with only user centroids (pure-centroid seeding, no pose)
+        # are trainable by centroid models and must survive the split
+        # (reference _split_centroid_labels regression,
+        # tests/training/test_model_trainer.py:642).
+        user = [
+            i for i, lf in enumerate(self.labeled_frames)
+            if lf.has_user_instances or lf.user_centroids
+        ]
         rng = np.random.default_rng(seed)
         idxs = rng.permutation(len(user))
 

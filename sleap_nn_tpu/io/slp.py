@@ -340,11 +340,19 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
         if not 0 <= fi < len(labeled_frames):
             continue
         ti = int(meta.get("track", -1))
-        labeled_frames[fi].centroids.append(PredictedCentroid(
-            point=np.asarray(meta["point"], float),
-            score=float(meta.get("score", 0.0)),
-            track=tracks[ti] if 0 <= ti < len(tracks) else None,
-        ))
+        track = tracks[ti] if 0 <= ti < len(tracks) else None
+        if meta.get("kind") == "user":
+            from sleap_nn_tpu.io.model import UserCentroid
+
+            labeled_frames[fi].centroids.append(UserCentroid(
+                point=np.asarray(meta["point"], float), track=track,
+            ))
+        else:
+            labeled_frames[fi].centroids.append(PredictedCentroid(
+                point=np.asarray(meta["point"], float),
+                score=float(meta.get("score", 0.0)),
+                track=track,
+            ))
 
     suggestions = []
     for row in sugg_rows:
@@ -605,11 +613,16 @@ def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
         cent_meta = []
         for fi, lf in enumerate(labels.labeled_frames):
             for c in getattr(lf, "centroids", []) or []:
+                from sleap_nn_tpu.io.model import UserCentroid
+
                 cent_meta.append(json.dumps({
                     "frame": fi,
                     "score": float(c.score),
                     "track": track_idx.get(id(c.track), -1),
                     "point": np.asarray(c.point, float).tolist(),
+                    # user-annotated centroids (pure-centroid seeding) are
+                    # distinguished from predicted ones on reload.
+                    "kind": "user" if isinstance(c, UserCentroid) else "predicted",
                 }).encode())
         if cent_meta:
             f.create_dataset("pred_centroids_json", data=np.array(cent_meta))

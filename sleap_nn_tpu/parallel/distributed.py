@@ -117,6 +117,38 @@ def make_global_batch(host_batch: dict, mesh, axis: str = "data") -> dict:
     return jax.tree_util.tree_map(put, host_batch)
 
 
+def sync_cache_fill_status(local_error: "Exception | None" = None) -> None:
+    """Agree on cache-fill success across processes (reference
+    tests/test_parallel_caching.py DistSyncCacheFill).
+
+    Every process calls this after filling its data cache. If ANY process
+    failed, every process raises — the failing one with its original error,
+    the others with a generic message — instead of the healthy ranks
+    deadlocking at the first collective of the training loop.
+
+    Single-process: re-raises the local error or no-ops.
+    """
+    if jax.process_count() <= 1:
+        if local_error is not None:
+            raise local_error
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([0 if local_error is None else 1], np.int32)
+    ).reshape(-1)
+    if local_error is not None:
+        raise local_error
+    failed = [i for i, f in enumerate(flags.tolist()) if f]
+    if failed:
+        raise RuntimeError(
+            f"Data-cache fill failed on process(es) {failed}; aborting on "
+            "all ranks to avoid a collective deadlock. See the failing "
+            "rank's log for the original error."
+        )
+
+
 def barrier(name: str = "sleap_nn_tpu_barrier"):
     """Block until every process reaches this point (multi-host sync).
 

@@ -218,6 +218,25 @@ class ModelTrainer:
                 train_labels = [s[0] for s in split]
                 val_labels = [s[1] for s in split]
 
+        if get_model_type_from_cfg(config) == "single_instance":
+            # Single-instance training is undefined on multi-animal frames:
+            # the rendered confmap target would blend instances and the model
+            # silently learns garbage. Hard error, matching the reference's
+            # label validation (reference model_trainer.py single-instance
+            # check; tests/training/test_model_trainer.py:561).
+            for split_name, split in (("train", train_labels), ("val", val_labels)):
+                for labels in split:
+                    for lf in labels.labeled_frames:
+                        if len(lf.user_instances) > 1:
+                            raise ValueError(
+                                "single_instance training requires at most "
+                                "one instance per frame; found "
+                                f"{len(lf.user_instances)} user instances on "
+                                f"{split_name} frame {lf.frame_idx}. Use a "
+                                "topdown or bottomup pipeline for "
+                                "multi-animal data."
+                            )
+
         trainer = cls(config, train_labels, val_labels)
         trainer.initial_config = initial
         trainer._infer_config()
@@ -249,14 +268,23 @@ class ModelTrainer:
         src = getattr(cm, "centroid_source", None) if cm is not None else None
         if src == "user":
             # Reference model_config.py:697: 'user' trains on first-class
-            # UserCentroid annotations. This io model has no user-centroid
-            # records, so fail loudly instead of silently training on
-            # computed centroids against the user's explicit choice.
-            raise ValueError(
-                "centroid_source='user' requires user-annotated centroid "
-                "records, which this build's .slp model does not carry; "
-                "use centroid_source='computed' (anchor_part / visible-mean)."
-            )
+            # UserCentroid annotations (pure-centroid seeding). Only the
+            # centroid family consumes them; other families need poses.
+            if self.model_type != "centroid":
+                raise ValueError(
+                    "centroid_source='user' only applies to centroid "
+                    f"models, not {self.model_type!r}."
+                )
+            if not any(
+                lf.user_centroids
+                for labels in self.train_labels
+                for lf in labels.labeled_frames
+            ):
+                raise ValueError(
+                    "centroid_source='user' but the training labels carry "
+                    "no user-annotated centroid records; annotate centroids "
+                    "or use centroid_source='computed'."
+                )
         pafs = getattr(head, "pafs", None)
         if pafs is not None and pafs.edges is None:
             pafs.edges = [list(e) for e in skel.edge_names]
@@ -266,7 +294,11 @@ class ModelTrainer:
                 leaf.classes = [t.name for t in labels.tracks]
 
         merged = Labels(
-            labeled_frames=[lf for L in self.train_labels for lf in L.labeled_frames]
+            labeled_frames=[lf for L in self.train_labels for lf in L.labeled_frames],
+            # Carry skeletons/videos explicitly: pure-centroid seeding frames
+            # have no pose instances for Labels to infer the skeleton from.
+            videos=[v for L in self.train_labels for v in L.videos],
+            skeletons=[s for L in self.train_labels for s in L.skeletons],
         )
         self.ctx = build_pipeline_context(self.config, merged, self.model_type)
         if self.ctx.crop_size is not None:
@@ -295,9 +327,20 @@ class ModelTrainer:
         # which neither jax.distributed.initialize nor a platform switch
         # can take effect).
         # trainer_accelerator (reference Lightning accelerator knob):
-        # "cpu" forces the CPU backend; "auto"/"tpu" keep the default.
-        if (cfg.trainer_config.trainer_accelerator or "auto") == "cpu":
+        # "cpu" forces the CPU backend; "auto"/"tpu"/"gpu" keep the default.
+        # Unrecognized values warn and fall back to auto rather than
+        # crashing mid-setup (reference verify_accelerator_config,
+        # tests/training/test_model_trainer.py:1350).
+        accel = (cfg.trainer_config.trainer_accelerator or "auto").lower()
+        if accel == "cpu":
             jax.config.update("jax_platforms", "cpu")
+        elif accel not in ("auto", "tpu", "gpu"):
+            print(
+                f"WARNING: unrecognized trainer_accelerator "
+                f"{cfg.trainer_config.trainer_accelerator!r}; falling back "
+                "to 'auto'."
+            )
+            cfg.trainer_config.trainer_accelerator = "auto"
         # Multi-host: join the cluster (no-op single-process; env
         # SLEAP_NN_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID mirror
         # torchrun's launch contract). jax.devices() later then spans every
@@ -322,13 +365,33 @@ class ModelTrainer:
                 if cfg.data_config.cache_workers
                 else (4 if cfg.data_config.parallel_caching else 0)
             ),
+            centroid_from_user=(
+                self.model_type == "centroid"
+                and getattr(
+                    getattr(get_head_config(cfg), "confmaps", None),
+                    "centroid_source", None,
+                ) == "user"
+            ),
         )
-        self.train_ds = make_dataset(self.model_type, self.train_labels, self.ctx, **ds_kwargs)
-        val_ctx = dataclasses.replace(self.ctx, use_augmentations=False)
-        self.val_ds = make_dataset(
-            self.model_type, self.val_labels, val_ctx,
-            **{**ds_kwargs, "use_negative_frames": False},
-        )
+        # Cache fill must succeed on EVERY process before anyone enters the
+        # training loop: a rank whose disk cache failed would otherwise
+        # deadlock the healthy ranks at the first collective (reference
+        # parallel-caching dist-sync semantics).
+        from sleap_nn_tpu.parallel.distributed import sync_cache_fill_status
+
+        cache_error: Optional[Exception] = None
+        try:
+            self.train_ds = make_dataset(
+                self.model_type, self.train_labels, self.ctx, **ds_kwargs
+            )
+            val_ctx = dataclasses.replace(self.ctx, use_augmentations=False)
+            self.val_ds = make_dataset(
+                self.model_type, self.val_labels, val_ctx,
+                **{**ds_kwargs, "use_negative_frames": False},
+            )
+        except Exception as e:  # noqa: BLE001 — re-raised by the sync below
+            cache_error = e
+        sync_cache_fill_status(cache_error)
         tiling = cfg.data_config.preprocessing.tiling
         if tiling is not None and tiling.enabled:
             if self.model_type in ("centered_instance", "centered_instance_segmentation",
@@ -642,7 +705,19 @@ class ModelTrainer:
         if not run_name:
             run_name = time.strftime(f"%y%m%d_%H%M%S.{self.model_type}")
             cfg.trainer_config.run_name = run_name
-        self.ckpt_dir = Path(cfg.trainer_config.ckpt_dir or ".") / run_name
+        base = Path(cfg.trainer_config.ckpt_dir or ".") / run_name
+        # Existing non-empty run dir -> auto-suffix -1, -2, ... instead of
+        # silently overwriting a previous run's artifacts (reference
+        # model-ckpt-path duplication behavior,
+        # tests/training/test_model_trainer.py:1459).
+        ckpt_dir = base
+        n = 0
+        while ckpt_dir.exists() and any(ckpt_dir.iterdir()):
+            n += 1
+            ckpt_dir = base.with_name(f"{base.name}-{n}")
+        if n:
+            cfg.trainer_config.run_name = ckpt_dir.name
+        self.ckpt_dir = ckpt_dir
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         if self.initial_config is not None:
             self.initial_config.save_yaml(self.ckpt_dir / "initial_config.yaml")

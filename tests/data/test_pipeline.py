@@ -287,8 +287,9 @@ def test_tiled_training_smoke(labels, tmp_path):
     from sleap_nn_tpu.training import ModelTrainer
 
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [
-        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"]
+    from tests.fixture_utils import single_instance_fixture
+
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     apply_overrides(cfg, {
@@ -360,10 +361,11 @@ def test_delete_cache_imgs_after_training(tmp_path):
     from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
     from sleap_nn_tpu.training import ModelTrainer
 
-    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    from tests.fixture_utils import single_instance_fixture
+
     cache = tmp_path / "cache"
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -19,7 +19,13 @@ FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
 def _train(model_type: str, out_dir, epochs=80, **overrides):
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    if model_type == "single_instance":
+        # single_instance training hard-errors on multi-instance frames.
+        from tests.fixture_utils import single_instance_fixture
+
+        cfg.data_config.train_labels_path = [single_instance_fixture()]
+    else:
+        cfg.data_config.train_labels_path = [FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.5

@@ -69,3 +69,60 @@ def test_sharded_train_math_on_mesh():
     gx = make_global_batch({"x": x}, mesh)["x"]
     got = float(jax.jit(jnp.mean)(gx))
     assert got == pytest.approx(float(x.mean()))
+
+
+def test_sync_cache_fill_single_process_reraises():
+    from sleap_nn_tpu.parallel.distributed import sync_cache_fill_status
+
+    err = RuntimeError("disk full")
+    with pytest.raises(RuntimeError, match="disk full"):
+        sync_cache_fill_status(err)
+    sync_cache_fill_status(None)  # success is a no-op
+
+
+def test_sync_cache_fill_distributed_remote_failure(monkeypatch):
+    """A healthy rank raises a generic error when another rank failed."""
+    import numpy as np
+
+    import sleap_nn_tpu.parallel.distributed as dist_mod
+
+    monkeypatch.setattr(dist_mod.jax, "process_count", lambda: 2)
+
+    class _MH:
+        @staticmethod
+        def process_allgather(x):
+            return np.asarray([[0], [1]], np.int32)  # rank 1 failed
+
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils.process_allgather",
+        _MH.process_allgather,
+    )
+    with pytest.raises(RuntimeError, match=r"process\(es\) \[1\]"):
+        dist_mod.sync_cache_fill_status(None)
+
+
+def test_sync_cache_fill_distributed_local_failure_keeps_original(monkeypatch):
+    import numpy as np
+
+    import sleap_nn_tpu.parallel.distributed as dist_mod
+
+    monkeypatch.setattr(dist_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils.process_allgather",
+        lambda x: np.asarray([[1], [0]], np.int32),
+    )
+    with pytest.raises(OSError, match="cannot write"):
+        dist_mod.sync_cache_fill_status(OSError("cannot write"))
+
+
+def test_sync_cache_fill_distributed_all_succeed_noop(monkeypatch):
+    import numpy as np
+
+    import sleap_nn_tpu.parallel.distributed as dist_mod
+
+    monkeypatch.setattr(dist_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils.process_allgather",
+        lambda x: np.asarray([[0], [0]], np.int32),
+    )
+    dist_mod.sync_cache_fill_status(None)

@@ -41,6 +41,11 @@ def generated_config(journey_dir, runner):
 
     cfg = yaml.safe_load(out.read_text())
     # Shrink the recommended model so the journey trains in seconds.
+    # single_instance training hard-errors on multi-instance frames, so the
+    # journey trains on the single-instance derivation of the fixture.
+    from tests.fixture_utils import single_instance_fixture
+
+    cfg["data_config"]["train_labels_path"] = [single_instance_fixture()]
     cfg["data_config"]["preprocessing"]["scale"] = 0.25
     cfg["data_config"]["use_same_data_for_val"] = True
     cfg["data_config"]["use_augmentations_train"] = False

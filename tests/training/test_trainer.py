@@ -10,11 +10,19 @@ from sleap_nn_tpu.io import load_slp
 from sleap_nn_tpu.training import ModelTrainer
 
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+from tests.fixture_utils import single_instance_fixture as _si
+SI_FIXTURE = _si()  # single-instance derivation: SI training rejects multi-instance frames
 
 
 def make_cfg(model_type: str, tmp_path, **over):
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    if model_type == "single_instance":
+        # single_instance training hard-errors on multi-instance frames.
+        from tests.fixture_utils import single_instance_fixture
+
+        cfg.data_config.train_labels_path = [single_instance_fixture()]
+    else:
+        cfg.data_config.train_labels_path = [FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -211,7 +219,7 @@ def test_resume_from_checkpoint(tmp_path):
 def test_train_nonunet_backbones(backbone, tmp_path):
     """ConvNeXt/SwinT train end to end through the real trainer (1 epoch)."""
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [SI_FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -308,7 +316,7 @@ def test_pretrained_backbone_weights_transfer(tmp_path):
 
     def make_cfg(run, extra=None):
         cfg = TrainingJobConfig()
-        cfg.data_config.train_labels_path = [FIXTURE]
+        cfg.data_config.train_labels_path = [SI_FIXTURE]
         cfg.data_config.use_same_data_for_val = True
         cfg.data_config.use_augmentations_train = False
         cfg.data_config.preprocessing.scale = 0.25
@@ -371,7 +379,7 @@ def test_legacy_pre_trained_weights_errors():
 def test_save_top_k_epoch_checkpoints(tmp_path):
     """save_top_k > 1 keeps epoch-stamped best checkpoints, pruned to k."""
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [SI_FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -407,7 +415,7 @@ def test_post_training_eval_on_test_file(tmp_path):
     from sleap_nn_tpu.train import run_training
 
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [SI_FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -437,7 +445,7 @@ def test_keyboard_interrupt_cleans_run_dir(tmp_path, monkeypatch):
     """Ctrl-C mid-training removes the partial run dir (reference
     model_trainer.py:1896-1940)."""
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [SI_FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -476,7 +484,7 @@ def test_keyboard_interrupt_cleans_run_dir(tmp_path, monkeypatch):
 
 def test_profiler_simple_summary(tmp_path, capsys):
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [SI_FIXTURE]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

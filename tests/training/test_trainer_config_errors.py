@@ -20,8 +20,12 @@ FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
 
 def base_cfg(tmp_path=None, **over):
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    # base_cfg builds a single_instance head; that family now rejects
+    # multi-instance frames, so use the single-instance fixture derivation.
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25
@@ -338,7 +342,7 @@ def test_val_fraction_split_multi_frame_accepted(tmp_path):
     vid = Video.from_filename(pngs)
     clones = Labels(
         labeled_frames=[
-            LabeledFrame(vid, i, list(lf.instances)) for i in range(4)
+            LabeledFrame(vid, i, list(lf.instances)[:1]) for i in range(4)
         ],
         videos=[vid], skeletons=src.skeletons,
     )
@@ -351,3 +355,24 @@ def test_val_fraction_split_multi_frame_accepted(tmp_path):
     t = ModelTrainer.get_model_trainer_from_config(cfg)
     t.setup()
     assert len(t.train_ds) == 3 and len(t.val_ds) == 1
+
+
+def test_single_instance_multi_instance_frames_rejected():
+    """single_instance training errors on multi-animal frames
+    (reference tests/training/test_model_trainer.py:561)."""
+    from tests.training.test_trainer import FIXTURE, make_cfg
+
+    cfg = make_cfg("single_instance", "/tmp/unused")
+    cfg.data_config.train_labels_path = [FIXTURE]  # 2 instances per frame
+    with pytest.raises(ValueError, match="at most.*one instance per frame"):
+        ModelTrainer.get_model_trainer_from_config(cfg)
+
+
+def test_single_instance_single_instance_frames_ok(tmp_path):
+    from tests.fixture_utils import single_instance_fixture
+    from tests.training.test_trainer import make_cfg
+
+    cfg = make_cfg("single_instance", tmp_path)
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
+    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+    assert trainer.model_type == "single_instance"
