@@ -742,6 +742,22 @@ def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineCont
     if aug is not None:
         kw["intensity"] = _aug_kwargs(aug.intensity) if aug.intensity else None
         kw["geometric"] = _aug_kwargs(aug.geometric) if aug.geometric else None
+        if (
+            kw["geometric"]
+            and kw["geometric"].get("flip_p", 0)
+            and not kw["symmetric_inds"]
+            and kw["use_augmentations"]
+        ):
+            # Flip without symmetry metadata silently corrupts left/right
+            # keypoints (the flipped "left ear" stays labeled left). The
+            # aug still runs — mirror-symmetric skeletons are valid — but
+            # the user should hear about it (reference custom_datasets
+            # flip-symmetry warning).
+            print(
+                "WARNING: flip augmentation is enabled but the skeleton "
+                "defines no symmetries; left/right nodes will NOT be "
+                "swapped on flipped frames."
+            )
 
     cm = getattr(head, "confmaps", None)
     if cm is not None:

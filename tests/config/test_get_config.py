@@ -12,6 +12,8 @@ from sleap_nn_tpu.config.get_config import (
 )
 
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+from tests.fixture_utils import single_instance_fixture
+SI_FIXTURE = single_instance_fixture()
 
 
 def test_get_aug_config_shorthands():
@@ -52,7 +54,7 @@ def test_get_config_one_shot_trains(tmp_path):
     from sleap_nn_tpu.train import run_training
 
     cfg = get_config(
-        train_labels_path=[FIXTURE],
+        train_labels_path=[SI_FIXTURE],
         use_same_data_for_val=True,
         scale=0.25,
         backbone="unet",
@@ -79,7 +81,7 @@ def test_train_kwargs_route_through_builders(tmp_path):
     from sleap_nn_tpu.train import train
 
     train(
-        train_labels_path=FIXTURE,
+        train_labels_path=SI_FIXTURE,
         use_same_data_for_val=True,
         backbone_config={"unet": {"filters": 8, "filters_rate": 2.0,
                                   "max_stride": 8, "output_stride": 2}},

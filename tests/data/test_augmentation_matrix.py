@@ -208,3 +208,47 @@ def test_masks_follow_affine_warp():
     m = np.asarray(out[2])
     assert set(np.unique(m)) <= {0.0, 1.0}  # stays binary (nearest warp)
     assert 50 <= m.sum() <= 150  # area roughly preserved under rotation
+
+
+def test_flip_without_symmetries_warns_once(capsys):
+    """build_pipeline_context warns when flip aug is on but the skeleton
+    defines no symmetries (left/right nodes would go unswapped)."""
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import build_pipeline_context
+    from sleap_nn_tpu.io import load_slp
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    labels = load_slp(FIXTURE)  # A-B skeleton, no symmetries
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_augmentations_train = True
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        "data_config.augmentation_config.geometric.flip_p": 1.0,
+    })
+    build_pipeline_context(cfg, labels, "single_instance")
+    assert "defines no symmetries" in capsys.readouterr().out
+
+
+def test_flip_with_symmetries_does_not_warn(capsys):
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from sleap_nn_tpu.data.pipeline import build_pipeline_context
+    from sleap_nn_tpu.io import load_slp
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    labels = load_slp(FIXTURE)
+    labels.skeletons[0].symmetries = [
+        labels.skeletons[0]._as_symmetry(("A", "B"))
+    ]
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.use_augmentations_train = True
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        "data_config.augmentation_config.geometric.flip_p": 1.0,
+    })
+    ctx = build_pipeline_context(cfg, labels, "single_instance")
+    assert "defines no symmetries" not in capsys.readouterr().out
+    assert ctx.symmetric_inds == ((0, 1),)

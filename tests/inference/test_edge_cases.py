@@ -161,9 +161,10 @@ def test_load_model_honors_explicit_ckpt(tmp_path):
     from sleap_nn_tpu.inference.loaders import load_model
     from sleap_nn_tpu.training import ModelTrainer
 
-    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

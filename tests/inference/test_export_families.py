@@ -93,8 +93,12 @@ def test_export_multiclass_topdown_composite_roundtrip(tmp_path):
 
 
 def _train_tiny(model_type: str, head_overrides: dict, tmp_path, epochs=1):
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [
+        single_instance_fixture() if model_type == "single_instance" else FIXTURE
+    ]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -232,8 +232,10 @@ def test_dinov2_encoder_only_mode_and_training(dinov2_snapshot, tmp_path):
     out = jax.jit(model.apply)(variables, x)
     assert out["SingleInstanceConfmapsHead"].shape == (1, 4, 4, 2)
 
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

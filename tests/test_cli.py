@@ -12,6 +12,8 @@ from click.testing import CliRunner
 from sleap_nn_tpu.cli import cli
 
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+from tests.fixture_utils import single_instance_fixture as _si
+SI_FIXTURE = _si()
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +24,7 @@ def trained_model(tmp_path_factory):
     cfg.write_text(
         f"""
 data_config:
-  train_labels_path: [{FIXTURE}]
+  train_labels_path: [{SI_FIXTURE}]
   use_same_data_for_val: true
   use_augmentations_train: false
   preprocessing:
@@ -410,7 +412,7 @@ def test_train_legacy_config_name(tmp_path):
     (cfg_dir / "myrun.yaml").write_text(
         f"""
 data_config:
-  train_labels_path: [{FIXTURE}]
+  train_labels_path: [{SI_FIXTURE}]
   use_same_data_for_val: true
   use_augmentations_train: false
   preprocessing: {{scale: 0.25}}
