@@ -171,8 +171,15 @@ def save_analysis_h5_files(
                 frames_per_video[i] += 1
                 break
 
+    if video_index is not None and not 0 <= video_index < len(labels.videos):
+        # Silent fallback to "all videos" would mislabel the export the
+        # user asked to scope (reference rejects out-of-range --video_index).
+        raise ValueError(
+            f"video_index {video_index} out of range for "
+            f"{len(labels.videos)} video(s)."
+        )
     candidates = (
-        [video_index] if video_index is not None and 0 <= video_index < len(labels.videos)
+        [video_index] if video_index is not None
         else list(range(len(labels.videos)))
     )
     targets = [i for i in candidates if frames_per_video[i] > 0]
