@@ -1070,7 +1070,8 @@ def info(model_dir):
               help="Generate a config non-interactively with smart defaults.")
 @click.option("--pipeline", default=None,
               type=click.Choice(["topdown", "centroid", "bottomup",
-                                 "single_instance"]),
+                                 "single_instance", "multi_class_topdown",
+                                 "multi_class_bottomup"]),
               help="Pipeline override for --auto mode.")
 @click.option("--show-yaml", "--show_yaml", "show_yaml", is_flag=True,
               default=False, help="Print the generated YAML instead of saving.")

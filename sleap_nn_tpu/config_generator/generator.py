@@ -65,6 +65,13 @@ def generate_config(
             "model_config.head_configs.multi_class_bottomup.class_maps.classes": classes,
             "model_config.head_configs.multi_class_bottomup.class_maps.output_stride": 2,
         }
+    elif pipeline == "centroid":
+        # Standalone centroid detector (centroid-only pipeline): one head,
+        # full-resolution frames, no crop model.
+        head_overrides = {
+            "model_config.head_configs.centroid.confmaps.sigma": rec.sigma,
+            "model_config.head_configs.centroid.confmaps.output_stride": 2,
+        }
     elif pipeline == "multi_class_topdown":
         head_overrides = {
             "model_config.head_configs.multi_class_topdown.confmaps.part_names": part_names,

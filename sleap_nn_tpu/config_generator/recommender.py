@@ -53,6 +53,17 @@ def recommend_pipeline(stats: DatasetStats) -> PipelineRecommendation:
             "Only one instance per frame — single-instance confmaps are "
             "simplest and fastest.",
         )
+    if stats.num_nodes == 1:
+        # A 1-node skeleton carries no pose — detection IS the task. A
+        # standalone centroid model localizes every instance without a crop
+        # stage (reference centroid-only pipeline,
+        # tests/test_config_generator_yaml.py:318).
+        return PipelineRecommendation(
+            "centroid",
+            "Single-node skeleton — a standalone centroid detector "
+            "localizes all instances; no pose stage is needed.",
+            confidence=0.9,
+        )
     if stats.has_tracks and stats.num_tracks <= 10:
         if stats.overlap_frequency > 0.3:
             return PipelineRecommendation(

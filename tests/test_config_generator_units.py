@@ -153,3 +153,56 @@ def test_tui_field_invalid_input_rejected():
     assert c.value == "bottomup"
     c.cycle(1)
     assert c.value == "topdown"
+
+
+def test_single_node_skeleton_recommends_centroid_pipeline():
+    """1-node skeletons have no pose to estimate: detection IS the task
+    (reference centroid-only pipeline recommendation)."""
+    from sleap_nn_tpu.config_generator import recommend_pipeline
+    from sleap_nn_tpu.config_generator.analyzer import DatasetStats
+
+    stats = DatasetStats(slp_path="x", num_nodes=1,
+                         max_instances_per_frame=3,
+                         avg_instances_per_frame=3.0)
+    rec = recommend_pipeline(stats)
+    assert rec.pipeline == "centroid"
+    # Multi-node data is unaffected by the single-node rule.
+    multi = DatasetStats(slp_path="x", num_nodes=5,
+                         max_instances_per_frame=3)
+    assert recommend_pipeline(multi).pipeline != "centroid"
+
+
+def test_centroid_pipeline_generates_single_centroid_head(tmp_path):
+    from sleap_nn_tpu.config import get_model_type_from_cfg
+    from sleap_nn_tpu.config_generator import (
+        analyze_slp, generate_config, recommend_config,
+    )
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    rec.pipeline.pipeline = "centroid"
+    cfg = generate_config(FIXTURE, output_path=None, stats=stats,
+                          recommendation=rec)
+    assert get_model_type_from_cfg(cfg) == "centroid"
+    hc = cfg.model_config.head_configs
+    assert hc.centroid is not None
+    assert hc.centered_instance is None
+    # Full-resolution frames: no crop stage.
+    assert not getattr(cfg.data_config.preprocessing, "crop_size", None)
+
+
+def test_cli_config_pipeline_centroid_generates_valid_yaml(tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from sleap_nn_tpu.cli import cli
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    out = tmp_path / "auto.yaml"
+    r = CliRunner().invoke(cli, ["config", FIXTURE, "--auto",
+                                 "-o", str(out), "--pipeline", "centroid"])
+    assert r.exit_code == 0, r.output
+    d = yaml.safe_load(out.read_text())
+    heads = {k: v for k, v in d["model_config"]["head_configs"].items() if v}
+    assert list(heads) == ["centroid"]
