@@ -12,7 +12,8 @@ from sleap_nn_tpu.config.utils import (
     get_model_type_from_cfg,
 )
 
-FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+from tests.fixture_utils import single_instance_fixture
+FIXTURE = single_instance_fixture()
 
 
 def base_cfg(**over):

@@ -23,9 +23,11 @@ REF_CKPTS = Path("/root/reference/tests/assets/model_ckpts")
 
 @pytest.fixture(scope="module")
 def tiny_model(tmp_path_factory):
+    from tests.fixture_utils import single_instance_fixture
+
     out = tmp_path_factory.mktemp("edge_models")
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -63,5 +63,5 @@ def test_system_info_smoke():
     from sleap_nn_tpu.system_info import get_startup_info_string
 
     s = get_startup_info_string()
-    assert "devices" in s
+    assert "accelerator" in s
     assert "jax" in s.lower()

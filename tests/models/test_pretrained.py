@@ -133,10 +133,10 @@ def test_pretrained_training_with_freeze(cnv2_snapshot, tmp_path):
     from sleap_nn_tpu.training import ModelTrainer
 
     _, snap = cnv2_snapshot
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [
-        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
-    ]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -180,8 +180,10 @@ def test_swinv2_decoder_backbone_and_training(swinv2_snapshot, tmp_path):
     assert bb.mode == "decoder"
     assert bb.pyramid_strides == (4, 8, 16, 32)
 
+    from tests.fixture_utils import single_instance_fixture
+
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -234,7 +234,9 @@ def test_amsgrad_optimizer_selection():
     from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
     from sleap_nn_tpu.training import ModelTrainer
 
-    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    from tests.fixture_utils import single_instance_fixture
+
+    FIXTURE = single_instance_fixture()
 
     def cfg_for(opt, amsgrad):
         cfg = TrainingJobConfig()

@@ -118,9 +118,11 @@ def test_live_branch_via_real_training(stub_wandb, tmp_path):
     from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
     from sleap_nn_tpu.training import ModelTrainer
 
+    from tests.fixture_utils import single_instance_fixture
+
     calls, run = stub_wandb
     cfg = TrainingJobConfig()
-    cfg.data_config.train_labels_path = [FIXTURE]
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
     cfg.data_config.use_same_data_for_val = True
     cfg.data_config.use_augmentations_train = False
     cfg.data_config.preprocessing.scale = 0.25

@@ -13,7 +13,8 @@ zmq = pytest.importorskip("zmq")
 from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
 from sleap_nn_tpu.training import ModelTrainer
 
-FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+from tests.fixture_utils import single_instance_fixture
+FIXTURE = single_instance_fixture()
 
 
 def _cfg(controller=None, publish=None, max_epochs=2):
