@@ -400,6 +400,47 @@ class ModelTrainer:
                     f"Tiled training is not supported for crop-based model type "
                     f"{self.model_type!r}."
                 )
+            # Geometry normalization (reference check_tiling): tile_size
+            # rounds UP to the backbone stride (warn), overlap rounds UP to
+            # the output stride and is floored at min_overlap_fraction of
+            # the tile; an overlap >= tile_size cannot advance the grid.
+            import math as _math
+
+            if not tiling.tile_size:
+                raise ValueError("tiling.enabled requires tiling.tile_size.")
+            unit = int(get_backbone_config(cfg).max_stride)
+            rounded = int(_math.ceil(tiling.tile_size / unit) * unit)
+            if rounded != tiling.tile_size:
+                print(
+                    f"WARNING: tiling.tile_size {tiling.tile_size} is not a "
+                    f"multiple of max_stride {unit}; rounded up to {rounded}."
+                )
+                tiling.tile_size = rounded
+            out_stride = int(getattr(self.ctx, "output_stride", 1) or 1)
+            ov = int(tiling.overlap or 0)
+            if ov % out_stride:
+                ov2 = int(_math.ceil(ov / out_stride) * out_stride)
+                print(
+                    f"WARNING: tiling.overlap {ov} is not a multiple of the "
+                    f"output stride {out_stride}; rounded up to {ov2}."
+                )
+                ov = ov2
+            floor = int(_math.ceil(
+                (tiling.min_overlap_fraction or 0) * tiling.tile_size
+            ))
+            if ov < floor:
+                print(
+                    f"WARNING: tiling.overlap {ov} is below the "
+                    f"min_overlap_fraction floor ({floor}); raised."
+                )
+                ov = floor
+            if ov >= tiling.tile_size:
+                raise ValueError(
+                    f"tiling.overlap ({ov}) must be smaller than "
+                    f"tiling.tile_size ({tiling.tile_size})."
+                )
+            tiling.overlap = ov
+
             from sleap_nn_tpu.data.pipeline import TiledDataset
 
             use_halo = bool(

@@ -145,3 +145,86 @@ def test_tile_size_and_overlap_consistent_geometry():
         size = compute_suggested_tile_size(bbox, 16, 2)
         ov = compute_suggested_tile_overlap(bbox, 16, tile_size=size)
         assert 0 < ov < size
+
+
+# ------------------------------------------- trainer geometry normalization
+
+
+def _tiled_cfg(tmp_path, **tiling_over):
+    from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
+    from tests.fixture_utils import single_instance_fixture
+
+    cfg = TrainingJobConfig()
+    cfg.data_config.train_labels_path = [single_instance_fixture()]
+    cfg.data_config.use_same_data_for_val = True
+    cfg.data_config.use_augmentations_train = False
+    cfg.data_config.preprocessing.scale = 0.5
+    apply_overrides(cfg, {
+        "model_config.backbone_config.unet.filters": 8,
+        "model_config.backbone_config.unet.max_stride": 8,
+        "model_config.backbone_config.unet.output_stride": 2,
+        "model_config.head_configs.single_instance.confmaps.output_stride": 2,
+        "data_config.preprocessing.tiling.enabled": True,
+        **{f"data_config.preprocessing.tiling.{k}": v
+           for k, v in tiling_over.items()},
+    })
+    cfg.trainer_config.max_epochs = 1
+    cfg.trainer_config.save_ckpt = False
+    cfg.trainer_config.enable_progress_bar = False
+    return cfg
+
+
+def _setup(cfg):
+    from sleap_nn_tpu.training import ModelTrainer
+
+    t = ModelTrainer.get_model_trainer_from_config(cfg)
+    t.setup()
+    return t
+
+
+def test_tile_size_rounds_up_to_stride_and_warns(tmp_path, capsys):
+    cfg = _tiled_cfg(tmp_path, tile_size=100, overlap=32)
+    _setup(cfg)
+    out = capsys.readouterr().out
+    assert "rounded up to 104" in out
+    assert cfg.data_config.preprocessing.tiling.tile_size == 104
+
+
+def test_overlap_rounds_up_to_output_stride(tmp_path, capsys):
+    cfg = _tiled_cfg(tmp_path, tile_size=128, overlap=33)
+    _setup(cfg)
+    assert cfg.data_config.preprocessing.tiling.overlap == 34
+    assert "rounded up to 34" in capsys.readouterr().out
+
+
+def test_overlap_raised_to_min_fraction_floor(tmp_path, capsys):
+    cfg = _tiled_cfg(tmp_path, tile_size=128, overlap=4,
+                     min_overlap_fraction=0.25)
+    _setup(cfg)
+    assert cfg.data_config.preprocessing.tiling.overlap == 32
+    assert "min_overlap_fraction floor" in capsys.readouterr().out
+
+
+def test_overlap_ge_tile_size_raises(tmp_path):
+    import pytest
+
+    cfg = _tiled_cfg(tmp_path, tile_size=64, overlap=64,
+                     min_overlap_fraction=0.0)
+    with pytest.raises(ValueError, match="smaller than"):
+        _setup(cfg)
+
+
+def test_tile_size_none_raises(tmp_path):
+    import pytest
+
+    cfg = _tiled_cfg(tmp_path, overlap=16)
+    with pytest.raises(ValueError, match="tile_size"):
+        _setup(cfg)
+
+
+def test_valid_geometry_unchanged(tmp_path, capsys):
+    cfg = _tiled_cfg(tmp_path, tile_size=128, overlap=32)
+    _setup(cfg)
+    t = cfg.data_config.preprocessing.tiling
+    assert (t.tile_size, t.overlap) == (128, 32)
+    assert "WARNING" not in capsys.readouterr().out
