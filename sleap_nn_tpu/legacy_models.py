@@ -24,7 +24,16 @@ from sleap_nn_tpu.models import Model
 def load_keras_weights(h5_path) -> Dict[str, Dict[str, np.ndarray]]:
     """Read all layer weights from a Keras ``best_model.h5`` (reference: :129)."""
     weights: Dict[str, Dict[str, np.ndarray]] = {}
+    if not Path(h5_path).exists():
+        raise FileNotFoundError(
+            f"Legacy Keras weights file not found: {h5_path}"
+        )
     with h5py.File(h5_path, "r") as f:
+        if "model_weights" not in f:
+            raise ValueError(
+                f"{h5_path} has no 'model_weights' group — not a Keras "
+                "checkpoint (SLEAP v1 saves best_model.h5 via keras)."
+            )
         mw = f["model_weights"]
 
         def visit(name, obj):
@@ -303,7 +312,12 @@ def load_legacy_model(model_dir):
     )
 
     model_dir = Path(model_dir)
-    legacy = json.loads((model_dir / "training_config.json").read_text())
+    cfg_path = model_dir / "training_config.json"
+    if not cfg_path.exists():
+        raise FileNotFoundError(
+            f"Not a SLEAP v1 model dir (no training_config.json): {model_dir}"
+        )
+    legacy = json.loads(cfg_path.read_text())
     cfg = legacy_config_mapper(legacy)
     weights = load_keras_weights(model_dir / "best_model.h5")
     # Infer input channels from the first conv's kernel (the json's
