@@ -63,6 +63,57 @@ class _LocalRun:
         self._metrics.close()
 
 
+def peaks_to_boxes(
+    peaks,
+    vals=None,
+    box_size: float = 5.0,
+    node_names=None,
+    confmap_threshold: float = 0.1,
+):
+    """Peak points -> a wandb ``boxes`` payload (reference WandBVizCallback
+    peaks_to_boxes): one ``box_size``-pixel box per visible peak.
+
+    Accepts ``(n_nodes, 2)`` or ``(n_instances, n_nodes, 2)``; NaN peaks and
+    peaks whose confidence is below ``confmap_threshold`` are skipped.
+    Returns the ``{"predictions": {"box_data": [...], "class_labels": ...}}``
+    dict wandb.Image expects.
+    """
+    import numpy as np
+
+    pts = np.asarray(peaks, float)
+    if pts.ndim == 2:
+        pts = pts[None]
+    conf = None if vals is None else np.asarray(vals, float).reshape(pts.shape[:2])
+    half = box_size / 2.0
+    n_nodes = pts.shape[1]
+    names = list(node_names) if node_names else [str(i) for i in range(n_nodes)]
+    box_data = []
+    for i in range(pts.shape[0]):
+        for k in range(n_nodes):
+            x, y = pts[i, k]
+            if np.isnan(x) or np.isnan(y):
+                continue
+            score = float(conf[i, k]) if conf is not None else 1.0
+            if conf is not None and score < confmap_threshold:
+                continue
+            box_data.append({
+                "position": {
+                    "minX": float(x - half), "maxX": float(x + half),
+                    "minY": float(y - half), "maxY": float(y + half),
+                },
+                "domain": "pixel",
+                "class_id": k,
+                "box_caption": names[k] if k < len(names) else str(k),
+                "scores": {"confidence": score},
+            })
+    return {
+        "predictions": {
+            "box_data": box_data,
+            "class_labels": {i: n for i, n in enumerate(names)},
+        }
+    }
+
+
 class WandbLoggerCallback(Callback):
     """Log per-epoch metrics to wandb (or a local offline run directory)."""
 
@@ -133,10 +184,88 @@ class WandbLoggerCallback(Callback):
                 # VizCallback writes <viz_dir>/epoch_{epoch:04d}.<fmt>
                 for png in sorted(viz_dir.glob(f"epoch_{epoch:04d}.*")):
                     self.run.save(str(png))
+        if wb.viz_boxes or wb.viz_masks or wb.log_viz_table:
+            try:
+                self._log_viz_overlays(trainer, epoch, wb)
+            except Exception as e:  # viz must never break training
+                print(f"wandb viz overlay failed at epoch {epoch}: {e}")
+
+    def _log_viz_overlays(self, trainer, epoch: int, wb):
+        """Box / mask overlay images + optional table row (reference
+        WandBVizCallback boxes/masks modes + log_table)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sleap_nn_tpu.data.pipeline import make_render_fn
+        from sleap_nn_tpu.ops.peaks import find_local_peaks
+
+        batch = trainer.val_ds.make_batch([0])
+        render = make_render_fn(trainer.ctx, train=False)
+        processed = render({k: jnp.asarray(v) for k, v in batch.items()})
+        preds = trainer.model.apply(trainer.params, processed["image"])
+        img = np.asarray(processed["image"][0])
+        payload = {}
+        if wb.viz_boxes:
+            cm_head = next(
+                (h for h in trainer.model.heads if "Confmaps" in h.name), None
+            )
+            if cm_head is not None:
+                pts, vals, _, valid = find_local_peaks(
+                    preds[cm_head.name][:1],
+                    threshold=wb.viz_confmap_threshold, max_peaks=20,
+                )
+                keep = np.asarray(valid[0])
+                boxes = peaks_to_boxes(
+                    np.asarray(pts[0])[keep] * cm_head.output_stride,
+                    np.asarray(vals[0])[keep],
+                    box_size=wb.viz_box_size,
+                    confmap_threshold=wb.viz_confmap_threshold,
+                )
+                payload["viz/boxes"] = self._wandb_image(img, boxes=boxes)
+        if wb.viz_masks:
+            seg_head = next(
+                (h for h in trainer.model.heads if "Segmentation" in h.name),
+                None,
+            )
+            if seg_head is not None:
+                fg = np.asarray(
+                    jax.nn.sigmoid(preds[seg_head.name][0, ..., 0]) > 0.5
+                ).astype(np.uint8)
+                payload["viz/masks"] = self._wandb_image(
+                    img,
+                    masks={"predictions": {
+                        "mask_data": fg,
+                        "class_labels": {0: "background", 1: "foreground"},
+                    }},
+                )
+        if payload:
+            self.run.log({"epoch": epoch, **payload})
+        if wb.log_viz_table:
+            self._table_rows = getattr(self, "_table_rows", [])
+            self._table_rows.append([epoch, self._wandb_image(img)])
+
+    def _wandb_image(self, img, **kwargs):
+        """wandb.Image when live; the raw payload dict offline/stubbed."""
+        if self._is_wandb:
+            import wandb
+
+            return wandb.Image(img, **kwargs)
+        return {"image_shape": list(getattr(img, "shape", [])), **kwargs}
 
     def on_train_end(self, trainer):
         if self.run is None:
             return
+        rows = getattr(self, "_table_rows", None)
+        if rows:
+            # log_viz_table: one table with every epoch's sample image.
+            if self._is_wandb:
+                import wandb
+
+                self.run.log({"viz/table": wandb.Table(
+                    columns=["epoch", "image"], data=rows)})
+            else:
+                self.run.log({"viz/table_rows": len(rows)})
         summary = {
             "best_val_loss": float(getattr(trainer, "best_val_loss", float("nan"))),
             "epochs": int(getattr(trainer, "current_epoch", -1)) + 1,
