@@ -778,18 +778,11 @@ def _run_inference(**kw):
     kw["headers"] = _parse_headers(kw.get("headers"))
     kw["stream_mode"] = kw.get("stream_mode") or "download"
 
+    import contextlib
+
     try:
-        if progress_ui is not None:
-            with progress_ui:
-                labels = predict(
-                    data_path,
-                    model_paths,
-                    output_path=output_path,
-                    frames=frames,
-                    **kw,
-                    **tracker_kwargs,
-                )
-        else:
+        with (progress_ui if progress_ui is not None
+              else contextlib.nullcontext()):
             labels = predict(
                 data_path,
                 model_paths,
@@ -822,10 +815,41 @@ def _run_inference(**kw):
 def _run_retrack_only(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
     """Tracking-only retrack of an existing predictions ``.slp``
     (reference cli.py:1799 ``_run_retrack_only``): strip existing track
-    assignments, re-run the tracker, attach tracking-only provenance."""
+    assignments, re-run the tracker, attach tracking-only provenance.
+
+    Honors ``--output-format``/``--embed``/``--frames``/``--video-index``;
+    flags that require the inference pipeline (instance filters,
+    ``--only-suggested-frames``) are rejected rather than silently dropped.
+    """
+    # Fail fast on flags the retrack path cannot honor.
+    if kw.get("filters") is not None:
+        raise click.UsageError(
+            "--filter-* options require inference and cannot be combined "
+            "with tracking-only retrack (no --model-paths)."
+        )
+    if kw.get("only_suggested_frames"):
+        raise click.UsageError(
+            "--only-suggested-frames requires inference; tracking-only "
+            "retrack operates on the file's existing predictions."
+        )
+
+    try:
+        return _retrack_inner(data_path, kw, tracker_kwargs, gui)
+    except click.UsageError:
+        raise
+    except Exception as e:
+        # GUI contract: every failure surfaces as an error JSON line
+        # (load/save included, not just the tracker itself).
+        if gui:
+            click.echo(json.dumps({"error": str(e)}))
+        raise
+
+
+def _retrack_inner(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
     from datetime import datetime
 
     from sleap_nn_tpu.inference.provenance import build_tracking_only_provenance
+    from sleap_nn_tpu.inference.run import save_predictions
     from sleap_nn_tpu.io import load_slp
     from sleap_nn_tpu.tracking import run_tracker
 
@@ -836,6 +860,17 @@ def _run_retrack_only(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
         labels.labeled_frames = [
             lf for lf in labels.labeled_frames if lf.frame_idx in wanted
         ]
+    video_index = kw.get("video_index")
+    if video_index is not None:
+        if not 0 <= video_index < len(labels.videos):
+            raise click.UsageError(
+                f"--video-index {video_index} out of range for "
+                f"{len(labels.videos)} video(s)."
+            )
+        vid = labels.videos[video_index]
+        labels.labeled_frames = [
+            lf for lf in labels.labeled_frames if lf.video is vid
+        ]
     # Discard prior identities — retrack means from scratch.
     for lf in labels.labeled_frames:
         for inst in lf.instances:
@@ -845,12 +880,7 @@ def _run_retrack_only(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
     run_kwargs = dict(tracker_kwargs)
     run_kwargs.pop("tracking", None)
     t0 = datetime.now()
-    try:
-        labels = run_tracker(labels, **run_kwargs)
-    except Exception as e:
-        if gui:
-            click.echo(json.dumps({"error": str(e)}))
-        raise
+    labels = run_tracker(labels, **run_kwargs)
     labels.provenance = build_tracking_only_provenance(
         input_labels=labels,
         input_path=data_path,
@@ -860,7 +890,11 @@ def _run_retrack_only(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
         frames_processed=len(labels.labeled_frames),
     )
     output_path = kw.get("output_path") or _default_predictions_path(data_path)
-    labels.save(str(output_path))
+    save_predictions(
+        labels, output_path,
+        output_format=kw.get("output_format") or "slp",
+        embed=bool(kw.get("embed")),
+    )
     click.echo(
         f"Retracked {len(labels)} frames into {len(labels.tracks)} tracks "
         f"-> {output_path}"

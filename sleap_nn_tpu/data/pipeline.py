@@ -727,7 +727,9 @@ def build_pipeline_context(cfg, labels: Labels, model_type: str) -> PipelineCont
     kw: Dict[str, Any] = dict(
         model_type=model_type,
         n_nodes=n_nodes,
-        max_instances=get_max_instances(labels),
+        max_instances=get_max_instances(
+            labels, include_user_centroids=(model_type == "centroid")
+        ),
         ensure_rgb=pre.ensure_rgb,
         ensure_grayscale=pre.ensure_grayscale,
         max_height=pre.max_height,

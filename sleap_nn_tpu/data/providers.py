@@ -13,19 +13,23 @@ import numpy as np
 from sleap_nn_tpu.io.model import Instance, LabeledFrame, Labels, PredictedInstance
 
 
-def get_max_instances(labels: Labels) -> int:
+def get_max_instances(labels: Labels, include_user_centroids: bool = False) -> int:
     """Max number of instances in any labeled frame.
 
-    User-centroid records count too: pure-centroid seeding frames carry
-    no pose instances but each centroid becomes one training instance.
+    ``include_user_centroids`` (centroid models only) also counts
+    user-centroid records: pure-centroid seeding frames carry no pose
+    instances but each centroid becomes one training instance. Other
+    model families never consume centroids, so counting them would just
+    inflate padded array shapes.
     """
-    return max(
-        (
-            max(len(lf.instances), len(getattr(lf, "user_centroids", []) or []))
-            for lf in labels.labeled_frames
-        ),
-        default=1,
-    )
+
+    def count(lf):
+        n = len(lf.instances)
+        if include_user_centroids:
+            n = max(n, len(getattr(lf, "user_centroids", []) or []))
+        return n
+
+    return max((count(lf) for lf in labels.labeled_frames), default=1)
 
 
 def get_max_height_width(labels: Labels) -> Tuple[int, int]:

@@ -310,6 +310,14 @@ def predict(
             suggestions=labels.suggestions,
         )
 
+    # Frame-selection provenance (recorded after prediction): the suggestion
+    # block below CONSUMES `frames`, so resolve the method up front.
+    _frame_selection_method = (
+        "suggested" if only_suggested_frames
+        else "labeled" if only_labeled_frames
+        else "list" if frames
+        else "all"
+    )
     if only_suggested_frames:
         # GUI workflow: predict on the .slp's suggested frames (which may be
         # unlabeled) instead of its labeled frames (reference cli.py:680).
@@ -521,14 +529,16 @@ def predict(
                 input_path=None if isinstance(data_path, Labels) else data_path,
                 input_labels=data_path if isinstance(data_path, Labels) else None,
                 frames_processed=len(result.labeled_frames),
-                frame_selection_method="list" if frames else "all",
+                frame_selection_method=_frame_selection_method,
                 inference_params={
                     "peak_threshold": peak_threshold,
                     "batch_size": batch_size,
                     "refinement": refinement,
                     "max_instances": max_instances,
                 },
-                tracking_params=tracker_kwargs if (tracking or tracker_kwargs) else None,
+                # Record tracking params ONLY when tracking actually ran.
+                tracking_params=tracker_kwargs
+                if (tracking or tracker is not None) else None,
                 device=device,
                 include_system_info=False,  # base prov already has versions
             )

@@ -551,19 +551,21 @@ class Labels:
         n_val: Optional[Union[int, float]] = None,
         n_test: Optional[Union[int, float]] = None,
         seed: Optional[int] = None,
+        include_centroid_only_frames: bool = False,
     ) -> Tuple["Labels", ...]:
         """Split user-labeled frames into train/val(/test) subsets.
 
         Mirrors sleap-io's ``Labels.make_training_splits`` semantics used at
         reference: sleap_nn/training/model_trainer.py:330.
+        ``include_centroid_only_frames`` (centroid models) also keeps frames
+        carrying only user centroids — the pure-centroid seeding case
+        (reference _split_centroid_labels regression); other model families
+        cannot train on them, so they are excluded by default.
         """
-        # Frames with only user centroids (pure-centroid seeding, no pose)
-        # are trainable by centroid models and must survive the split
-        # (reference _split_centroid_labels regression,
-        # tests/training/test_model_trainer.py:642).
         user = [
             i for i, lf in enumerate(self.labeled_frames)
-            if lf.has_user_instances or lf.user_centroids
+            if lf.has_user_instances
+            or (include_centroid_only_frames and lf.user_centroids)
         ]
         rng = np.random.default_rng(seed)
         idxs = rng.permutation(len(user))

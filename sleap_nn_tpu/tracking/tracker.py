@@ -594,6 +594,11 @@ def run_tracker(
         )
     if pre_cull_to_target and target_instance_count:
         cull_instances(labels, target_instance_count, pre_cull_iou_threshold)
+    # The target identity count also informs the tracker itself (per-frame
+    # cull inside tracking, Kalman init) — forward it unless the caller set
+    # the tracker-level knob explicitly.
+    if target_instance_count and "tracking_target_instance_count" not in config:
+        config["tracking_target_instance_count"] = target_instance_count
     tracker = Tracker.from_config(**config)
     labels = tracker.track_labels(labels)
     if clean_instance_count:

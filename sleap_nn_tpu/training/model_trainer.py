@@ -211,8 +211,12 @@ class ModelTrainer:
             else:
                 frac = config.data_config.validation_fraction
                 seed = config.trainer_config.seed
+                keep_cent = get_model_type_from_cfg(config) == "centroid"
                 split = [
-                    labels.make_training_splits(1.0 - frac, frac, seed=seed)
+                    labels.make_training_splits(
+                        1.0 - frac, frac, seed=seed,
+                        include_centroid_only_frames=keep_cent,
+                    )
                     for labels in train_labels
                 ]
                 train_labels = [s[0] for s in split]
@@ -429,6 +433,8 @@ class ModelTrainer:
                 (tiling.min_overlap_fraction or 0) * tiling.tile_size
             ))
             if ov < floor:
+                # Keep the floored value output-stride-aligned too.
+                floor = int(_math.ceil(floor / out_stride) * out_stride)
                 print(
                     f"WARNING: tiling.overlap {ov} is below the "
                     f"min_overlap_fraction floor ({floor}); raised."
@@ -751,22 +757,36 @@ class ModelTrainer:
         # silently overwriting a previous run's artifacts (reference
         # model-ckpt-path duplication behavior,
         # tests/training/test_model_trainer.py:1459).
-        ckpt_dir = base
+        # Multi-host: process 0 alone probes the filesystem and the chosen
+        # suffix is broadcast, so every rank agrees on one dir — an
+        # unsynchronized probe would race (rank 0 creates <base>, rank 1
+        # then sees it non-empty and picks <base>-1).
         n = 0
-        while ckpt_dir.exists() and any(ckpt_dir.iterdir()):
-            n += 1
-            ckpt_dir = base.with_name(f"{base.name}-{n}")
+        if jax.process_index() == 0:
+            probe = base
+            while probe.exists() and any(probe.iterdir()):
+                n += 1
+                probe = base.with_name(f"{base.name}-{n}")
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            n = int(multihost_utils.broadcast_one_to_all(_np.int32(n)))
+        ckpt_dir = base if n == 0 else base.with_name(f"{base.name}-{n}")
         if n:
             cfg.trainer_config.run_name = ckpt_dir.name
         self.ckpt_dir = ckpt_dir
-        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        if self.initial_config is not None:
-            self.initial_config.save_yaml(self.ckpt_dir / "initial_config.yaml")
-        self.config.save_yaml(self.ckpt_dir / "training_config.yaml")
-        for i, labels in enumerate(self.train_labels):
-            labels.save(self.ckpt_dir / f"labels_train_gt_{i}.slp", embed=True)
-        for i, labels in enumerate(self.val_labels):
-            labels.save(self.ckpt_dir / f"labels_val_gt_{i}.slp", embed=True)
+        if jax.process_index() == 0:
+            # Artifact writes are rank-0-only (shared-filesystem safety);
+            # every rank still records the agreed ckpt_dir.
+            self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+            if self.initial_config is not None:
+                self.initial_config.save_yaml(self.ckpt_dir / "initial_config.yaml")
+            self.config.save_yaml(self.ckpt_dir / "training_config.yaml")
+            for i, labels in enumerate(self.train_labels):
+                labels.save(self.ckpt_dir / f"labels_train_gt_{i}.slp", embed=True)
+            for i, labels in enumerate(self.val_labels):
+                labels.save(self.ckpt_dir / f"labels_val_gt_{i}.slp", embed=True)
 
     # -- checkpointing -------------------------------------------------------
     def save_checkpoint(self, name: str = "best.ckpt"):

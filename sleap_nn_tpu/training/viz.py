@@ -213,6 +213,9 @@ class VizCallback(Callback):
         render = make_render_fn(trainer.ctx, train=False)
         processed = render({k: jnp.asarray(v) for k, v in batch.items()})
         preds = trainer.model.apply(trainer.params, processed["image"])
+        # Share this epoch's render+forward with the wandb overlay callback
+        # (it runs after this one) so the sample is computed once per epoch.
+        trainer._viz_cache = (epoch, processed, preds)
 
         cm_head = next(
             (h for h in trainer.model.heads if "Confmaps" in h.name), None

@@ -181,8 +181,9 @@ class WandbLoggerCallback(Callback):
         ):
             viz_dir = trainer.ckpt_dir / "viz"
             if viz_dir.exists():
-                # VizCallback writes <viz_dir>/epoch_{epoch:04d}.<fmt>
-                for png in sorted(viz_dir.glob(f"epoch_{epoch:04d}.*")):
+                # VizCallback writes <viz_dir>/epoch_{epoch:04d}.<fmt> plus
+                # the _pafs/_classmaps panels — upload all of them.
+                for png in sorted(viz_dir.glob(f"epoch_{epoch:04d}*")):
                     self.run.save(str(png))
         if wb.viz_boxes or wb.viz_masks or wb.log_viz_table:
             try:
@@ -197,13 +198,20 @@ class WandbLoggerCallback(Callback):
         import jax.numpy as jnp
         import numpy as np
 
-        from sleap_nn_tpu.data.pipeline import make_render_fn
         from sleap_nn_tpu.ops.peaks import find_local_peaks
 
-        batch = trainer.val_ds.make_batch([0])
-        render = make_render_fn(trainer.ctx, train=False)
-        processed = render({k: jnp.asarray(v) for k, v in batch.items()})
-        preds = trainer.model.apply(trainer.params, processed["image"])
+        # Reuse VizCallback's render+forward for this epoch when available
+        # (it runs first in the callback list) — otherwise compute once here.
+        cache = getattr(trainer, "_viz_cache", None)
+        if cache is not None and cache[0] == epoch:
+            _, processed, preds = cache
+        else:
+            from sleap_nn_tpu.data.pipeline import make_render_fn
+
+            batch = trainer.val_ds.make_batch([0])
+            render = make_render_fn(trainer.ctx, train=False)
+            processed = render({k: jnp.asarray(v) for k, v in batch.items()})
+            preds = trainer.model.apply(trainer.params, processed["image"])
         img = np.asarray(processed["image"][0])
         payload = {}
         if wb.viz_boxes:

@@ -162,3 +162,69 @@ def test_retrack_gui_failure_emits_error_json(tmp_path):
     payloads = [json.loads(l) for l in r.output.splitlines()
                 if l.startswith("{")]
     assert any("error" in p for p in payloads), r.output
+
+
+def test_retrack_honors_output_format_analysis_h5(tmp_path):
+    # Analysis export needs a real video on the frames.
+    base = load_slp(
+        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    )
+    vid = base.videos[0]
+    skel = base.skeletons[0]
+    lfs = [
+        LabeledFrame(video=vid, frame_idx=0, instances=[
+            PredictedInstance(points=np.array([[10.0, 10.0], [15.0, 10.0]]),
+                              skeleton=skel, point_scores=np.ones(2),
+                              score=1.0)
+        ])
+    ]
+    src = tmp_path / "vid_preds.slp"
+    Labels(lfs, videos=[vid], skeletons=[skel]).save(str(src), embed=True)
+    out = tmp_path / "retracked.slp"
+    r = CliRunner().invoke(cli, [
+        "predict", "-i", str(src), "-o", str(out), "--tracking",
+        "--output-format", "slp", "--output-format", "analysis_h5",
+    ])
+    assert r.exit_code == 0, r.output
+    assert out.exists()
+    assert (tmp_path / "retracked.analysis.h5").exists()
+
+
+def test_retrack_rejects_filter_flags(tmp_path):
+    src = _preds_slp(tmp_path)
+    r = CliRunner().invoke(cli, [
+        "predict", "-i", str(src), "--tracking",
+        "--filter-min-instance-score", "0.5",
+    ])
+    assert r.exit_code != 0
+    assert "filter" in r.output
+
+
+def test_retrack_rejects_only_suggested_frames(tmp_path):
+    src = _preds_slp(tmp_path)
+    r = CliRunner().invoke(cli, [
+        "predict", "-i", str(src), "--tracking", "--only-suggested-frames",
+    ])
+    assert r.exit_code != 0
+    assert "suggested" in r.output
+
+
+def test_retrack_video_index_out_of_range_errors(tmp_path):
+    src = _preds_slp(tmp_path)
+    r = CliRunner().invoke(cli, [
+        "predict", "-i", str(src), "--tracking", "--video-index", "7",
+    ])
+    assert r.exit_code != 0
+    assert "out of range" in r.output
+
+
+def test_retrack_gui_load_failure_emits_error_json(tmp_path):
+    bad = tmp_path / "corrupt.slp"
+    bad.write_bytes(b"not an hdf5 file")
+    r = CliRunner().invoke(cli, [
+        "predict", "-i", str(bad), "--tracking", "--gui",
+    ])
+    assert r.exit_code != 0
+    payloads = [json.loads(l) for l in r.output.splitlines()
+                if l.startswith("{")]
+    assert any("error" in p for p in payloads), r.output

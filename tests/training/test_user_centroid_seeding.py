@@ -96,10 +96,28 @@ def test_predicted_centroids_not_misread_as_user(tmp_path):
 
 def test_split_keeps_centroid_only_frames():
     labels = _centroid_only_labels(6)
-    train, val = labels.make_training_splits(0.75, 0.25, seed=0)
+    train, val = labels.make_training_splits(
+        0.75, 0.25, seed=0, include_centroid_only_frames=True
+    )
     n = len(train.labeled_frames) + len(val.labeled_frames)
     assert n == 6, "pure-centroid frames were dropped by the split"
     assert len(train.labeled_frames) >= 1 and len(val.labeled_frames) >= 1
+
+
+def test_split_excludes_centroid_only_frames_by_default():
+    """Non-centroid model families cannot train on centroid-only frames,
+    so the default split excludes them (they'd shrink the effective set)."""
+    labels = _centroid_only_labels(6)
+    train, val = labels.make_training_splits(0.75, 0.25, seed=0)
+    assert len(train.labeled_frames) + len(val.labeled_frames) == 0
+
+
+def test_max_instances_ignores_centroids_for_pose_models():
+    from sleap_nn_tpu.data.providers import get_max_instances
+
+    labels = _centroid_only_labels(2)  # 2 user centroids per frame
+    assert get_max_instances(labels) == 0  # no pose instances counted
+    assert get_max_instances(labels, include_user_centroids=True) == 2
 
 
 def test_dataset_encodes_user_centroids_as_broadcast_instances(tmp_path):
