@@ -484,8 +484,59 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
     return row
 
 
+def _arm_watchdog():
+    """Guarantee the driver ALWAYS gets one JSON line.
+
+    The axon tunnel can go fully unresponsive (observed 2026-08-17: even a
+    trivial jit hangs for hours). If the bench has not printed its result
+    by DEADLINE_S + 10 min, emit a fallback JSON line recording the outage
+    and hard-exit — a hung bench with no artifact is strictly worse than a
+    zero row with an explanation.
+    """
+    import signal
+
+    def on_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "topdown_inference_fps_unavailable",
+            "value": 0.0,
+            "unit": "frames/sec (bench watchdog fired: TPU tunnel "
+                    "unresponsive past the deadline)",
+            "vs_baseline": 0.0,
+            "extra": {"error": "watchdog timeout: device unreachable or "
+                               "remote compiles hung",
+                      "deadline_s": DEADLINE_S},
+        }), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(int(DEADLINE_S) + 600)
+
+
+def batch_sweep(payload_shape) -> dict:
+    """Optional: achievable-infra fps at several batch sizes (the RPC
+    round-trip amortization question). Enabled via BENCH_BATCH_SWEEP=1;
+    deadline-gated like the other optional stages."""
+    out = {}
+    for b in (16, 32, 64, 128):
+        if past_deadline():
+            out["skipped_after"] = b
+            break
+        try:
+            out[f"batch_{b}"] = round(
+                measure_achievable_infra_fps(
+                    payload_shape, b, n_batches=max(6, 256 // b)
+                ), 1,
+            )
+        except Exception as e:
+            out[f"batch_{b}"] = f"error: {str(e)[:120]}"
+            break
+    return out
+
+
 def main():
     import jax
+
+    _arm_watchdog()
 
     # NOTE: do NOT enable jax's persistent compilation cache here — the
     # axon remote backend hangs on executable serialization (observed:
@@ -582,7 +633,13 @@ def main():
         tunnel_ceilings[name] = round(tunnel_ceiling, 1)
         if name == "topdown":
             headline_fps, headline_vs = fps, fps / base_fps
+            topdown_payload_shape = payload_shape
     extra["tunnel_ceiling_fps"] = tunnel_ceilings
+
+    if os.environ.get("BENCH_BATCH_SWEEP") and not past_deadline():
+        # Does a bigger batch amortize per-RPC tunnel overhead? Recorded for
+        # offline analysis; does not change the headline pipeline.
+        extra["batch_sweep"] = batch_sweep(topdown_payload_shape)
 
     # North-star target (BASELINE.md): >2,000 frames/sec/chip top-down at
     # 1024 px. First the fixture-checkpoint row (continuity with r01/r02),
