@@ -20,6 +20,17 @@ import click
 @click.version_option("0.1.0", prog_name="sleap-nn-tpu")
 def cli():
     """sleap-nn-tpu: TPU-native animal pose estimation (train / predict / track / eval)."""
+    # Run-observability lines (#610: spin-up header, filter confirmations,
+    # run summary) go through the library logger; surface them on stderr at
+    # INFO when the embedding app hasn't configured logging itself.
+    import logging
+
+    lib_logger = logging.getLogger("sleap_nn_tpu")
+    if not lib_logger.handlers and not logging.getLogger().handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(levelname)s %(message)s"))
+        lib_logger.addHandler(handler)
+        lib_logger.setLevel(logging.INFO)
 
 
 def _parse_overrides(pairs: Tuple[str, ...]) -> dict:

@@ -8,6 +8,7 @@ model families.
 
 from __future__ import annotations
 
+import logging
 import os
 import math
 import threading
@@ -38,6 +39,11 @@ from sleap_nn_tpu.io.model import (
     Skeleton,
 )
 from sleap_nn_tpu.io.video import Video
+
+# Library-wide logger (reference uses loguru module-wide; stdlib logging keeps
+# the zero-dependency contract). The CLI and any embedding app configure the
+# handler/level; by default lines propagate to the root logger.
+logger = logging.getLogger("sleap_nn_tpu")
 
 
 def rgb_to_gray_uint8(frames: np.ndarray) -> np.ndarray:
@@ -350,6 +356,36 @@ class Predictor:
             p._host_transform = host_transform
             p.mask_output = mask_output
             p.polygon_epsilon = polygon_epsilon
+            # Spin-up header (reference predictor.py:1119, issue #610 PR-B):
+            # one legible line recording WHAT model runs on WHAT, so a run
+            # never starts in silence.
+            import jax
+
+            from sleap_nn_tpu.config.utils import get_backbone_type_from_cfg
+
+            skeleton = args[2] if len(args) > 2 else kwargs_.get("skeleton")
+            n_nodes = len(skeleton.nodes) if skeleton is not None else None
+            spec = [
+                f"type={'+'.join(m.model_type for m in loaded)}",
+                f"backbone={get_backbone_type_from_cfg(loaded[0].config)}",
+                f"nodes={n_nodes}",
+                f"device={jax.default_backend()}",
+                f"batch_size={batch_size}",
+                f"peak_threshold={peak_threshold}",
+                f"max_instances={max_instances}",
+                f"integral_refinement={refinement}",
+                f"paf_workers={paf_workers}",
+            ]
+            seg_types = {m.model_type for m in loaded if "segmentation" in m.model_type}
+            if seg_types:
+                spec += [
+                    f"fg_threshold={fg_threshold}",
+                    f"min_mask_area={min_mask_area}",
+                    f"merge_fragments={merge_fragments}",
+                    f"full_res_masks={full_res_masks}",
+                    f"mask_output={mask_output}",
+                ]
+            logger.info("Loaded inference model | " + " | ".join(spec))
             return p
 
         if types == {"single_instance"}:
@@ -626,6 +662,101 @@ class Predictor:
             ]
         return out
 
+    # -- run logging (reference predictor.py:1282-1359, issue #610 PR-B) -----
+    @staticmethod
+    def _describe_source(source: Any) -> str:
+        """Best-effort human label for a prediction source."""
+        if isinstance(source, (str, Path)):
+            return str(source)
+        filename = getattr(source, "filename", None)
+        if filename:
+            return str(filename)
+        return type(source).__name__
+
+    def _log_inference_start(self, source: Any, provider) -> None:
+        """One-line spin-up record of the source being processed."""
+        n_frames = getattr(provider, "n_frames", None)
+        if n_frames is None:
+            lfs = getattr(provider, "lfs", None)
+            n_frames = len(lfs) if lfs is not None else None
+        videos = (
+            provider.labels.videos if isinstance(provider, LabelsProvider)
+            else [provider.video] if isinstance(provider, VideoProvider)
+            else []
+        )
+        parts = [
+            f"source={self._describe_source(source)}",
+            f"frames={n_frames if n_frames is not None else '?'}",
+            f"videos={len(videos) if videos else 1}",
+        ]
+        vid = videos[0] if videos else None
+        shape = getattr(vid, "shape", None)
+        if shape is not None and len(shape) == 4:
+            parts.append(f"shape={shape[1]}x{shape[2]}x{shape[3]}")
+        fps = getattr(vid, "fps", None)
+        if fps:
+            parts.append(f"fps={fps}")
+        parts.append(f"tracking={bool(getattr(self, 'tracking_active', False))}")
+        logger.info("Starting inference | " + " | ".join(parts))
+
+    def _log_filter_config(self) -> None:
+        """Per-filter confirmation lines (reference predictor.py:1306).
+
+        Confirms each active post-inference filter with its values — silent
+        filter no-ops have bitten the reference before (#715/#716/#717).
+        """
+        cfg = getattr(self, "filters", None)
+        if cfg is None or not cfg.enabled():
+            return
+        if cfg.min_node_count is not None or cfg.min_visible_node_fraction is not None:
+            logger.info(
+                "Filtering instances by node count: "
+                f"min_node_count={cfg.min_node_count}, "
+                f"min_visible_node_fraction={cfg.min_visible_node_fraction}"
+            )
+        if cfg.min_node_confidence is not None or cfg.min_mean_node_score is not None \
+                or cfg.min_instance_score is not None:
+            logger.info(
+                "Filtering instances by confidence: "
+                f"min_node_confidence={cfg.min_node_confidence}, "
+                f"min_mean_node_score={cfg.min_mean_node_score}, "
+                f"min_instance_score={cfg.min_instance_score}"
+            )
+        if cfg.overlap_method is not None:
+            logger.info(
+                "Filtering overlapping instances with "
+                f"{cfg.overlap_method.upper()} threshold: {cfg.overlap_threshold}"
+            )
+        if cfg.max_centroid_distance is not None:
+            logger.info(
+                "Filtering instances by centroid distance: "
+                f"max_centroid_distance={cfg.max_centroid_distance}"
+            )
+
+    def _log_inference_summary(
+        self,
+        *,
+        n_frames: int,
+        elapsed_s: float,
+        output: Optional[str] = None,
+        n_objects: Optional[int] = None,
+        object_label: str = "instances",
+    ) -> None:
+        """One-line post-run summary (frames, objects/frame, throughput)."""
+        fps = n_frames / elapsed_s if elapsed_s > 0 else 0.0
+        parts = [f"frames={n_frames}"]
+        if n_objects is not None:
+            mean = n_objects / n_frames if n_frames > 0 else 0.0
+            parts.append(f"{object_label}={n_objects} ({mean:.2f}/frame)")
+        parts += [
+            f"elapsed={elapsed_s:.1f}s",
+            f"throughput={fps:.1f} fps",
+            f"tracking={bool(getattr(self, 'tracking_active', False))}",
+        ]
+        if output:
+            parts.append(f"output={output}")
+        logger.info("Inference complete | " + " | ".join(parts))
+
     def _make_provider(self, data, frames=None):
         needs_gt = getattr(self.layer, "needs_gt_centroids", False)
         provider_kwargs = {"batch_size": self.batch_size}
@@ -704,6 +835,8 @@ class Predictor:
                 scoped.layer = scoped_layer
                 return scoped.predict(data, frames, make_labels, provider)
         provider = provider or self._make_provider(data, frames)
+        self._log_inference_start(data, provider)
+        self._log_filter_config()
         results = []
         # Streaming writer (set by run.predict for --stream-to-file): frames
         # flush as each batch completes, so a crash mid-run leaves a usable
@@ -868,16 +1001,28 @@ class Predictor:
             "fps": n_frames / elapsed if elapsed > 0 else 0.0,
         }
         if not make_labels:
+            self._log_inference_summary(n_frames=n_frames, elapsed_s=elapsed)
             return results
         video = provider.video if isinstance(provider, VideoProvider) else None
         labels_src = provider.labels if isinstance(provider, LabelsProvider) else None
-        return self.to_labels(
+        labels = self.to_labels(
             results, video=video, labels_src=labels_src,
             # Streaming already converted each batch (filters, masks, class
             # tracks applied once) — reuse those frames instead of running
             # the whole host postprocess a second time.
             precomputed_frames=stream_frames if writer is not None else None,
         )
+        n_objects = sum(len(lf.instances) for lf in labels.labeled_frames)
+        self._log_inference_summary(
+            n_frames=n_frames,
+            elapsed_s=elapsed,
+            n_objects=n_objects,
+            object_label=(
+                "masks" if "segmentation" in (self.model_type or "") else "instances"
+            ),
+            output=getattr(self, "output_path_hint", None),
+        )
+        return labels
 
     # -- conversion -------------------------------------------------------------
     def _apply_mask_output(self, lf, mask_scale: float = 1.0):

@@ -457,6 +457,11 @@ def predict(
         )
     if progress_callback is not None:
         predictor.progress_callback = progress_callback
+    # Run-logging context (#610): the predictor's spin-up/summary lines report
+    # whether tracking will run and where output lands.
+    predictor.tracking_active = bool(tracking or tracker is not None)
+    if output_path is not None:
+        predictor.output_path_hint = str(output_path)
     stream_writer = None
     if make_labels and stream_to_file is not None:
         # --stream-to-file (reference cli.py:2814): frames flush to a temp
