@@ -718,6 +718,14 @@ def _run_inference(**kw):
 
     # --embed tri-state (reference cli.py:2310): auto embeds iff the input
     # was itself an embedded .pkg.slp.
+    if kw.get("device") == "cpu":
+        # Apply --device BEFORE any code can touch jax devices: paths that
+        # short-circuit ahead of run.predict (tracking-only retrack, SAM)
+        # must not let a bystander jax.devices() initialize the pinned
+        # accelerator platform (remote-attached links may be down).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     embed_choice = str(kw.pop("embed")).lower()
     data_path = kw.pop("data_path")
     kw["embed"] = (
@@ -814,7 +822,9 @@ def _run_inference(**kw):
     msg = f"Predicted {len(labels)} frames, {n_inst} instances"
     if n_masks:
         msg += f", {n_masks} masks"
-    click.echo(msg + f" -> {output_path}")
+    # In --gui mode stdout is a JSON-lines protocol; the human line rides
+    # stderr (same contract as the retrack path).
+    click.echo(msg + f" -> {output_path}", err=gui)
     if gui:
         click.echo(json.dumps({
             "done": True, "n_frames": len(labels), "n_instances": n_inst,
@@ -906,9 +916,12 @@ def _retrack_inner(data_path, kw: dict, tracker_kwargs: dict, gui: bool):
         output_format=kw.get("output_format") or "slp",
         embed=bool(kw.get("embed")),
     )
+    # GUI stdout is a JSON-lines protocol — the human result line must ride
+    # stderr there (reference keeps loguru on stderr in --gui mode).
     click.echo(
         f"Retracked {len(labels)} frames into {len(labels.tracks)} tracks "
-        f"-> {output_path}"
+        f"-> {output_path}",
+        err=gui,
     )
     if gui:
         click.echo(json.dumps({

@@ -43,9 +43,17 @@ def _system_info_fields() -> Dict:
         "jax_version": jax.__version__,
     }
     try:
-        devs = jax.devices()
+        # Only report devices when a backend already exists: jax.devices()
+        # INITIALIZES the platform, and on a host whose pinned accelerator
+        # is remote-attached that dials the link — a tracking-only retrack
+        # (no compute) would hang here if the link is down. Provenance is
+        # a bystander; it must never be the first backend touch.
+        from jax._src import xla_bridge as _xb
+
+        initialized = getattr(_xb, "backends_are_initialized", lambda: True)()
+        devs = jax.devices() if initialized else []
         info["accelerator"] = devs[0].platform if devs else None
-        info["device_count"] = len(devs)
+        info["device_count"] = len(devs) if devs else None
     except Exception:
         info["accelerator"] = None
     return info

@@ -228,3 +228,46 @@ def test_retrack_gui_load_failure_emits_error_json(tmp_path):
     payloads = [json.loads(l) for l in r.output.splitlines()
                 if l.startswith("{")]
     assert any("error" in p for p in payloads), r.output
+
+
+def test_gui_stdout_is_pure_json_with_info_logging(tmp_path):
+    """GUI stdout carries ONLY JSON lines; library INFO logs go to stderr.
+
+    Reference contract (tests/cli/test_predict_command.py
+    ``test_predict_gui_redirects_logs_to_stderr``): the GUI parses stdout
+    line-by-line, so the #610 observability lines must never leak there.
+    Subprocess invocation gives true stream separation.
+    """
+    import subprocess
+    import sys
+
+    src = _preds_slp(tmp_path)
+    out = tmp_path / "retracked.slp"
+    r = subprocess.run(
+        [sys.executable, "-m", "sleap_nn_tpu.cli", "predict",
+         "-i", str(src), "-o", str(out), "--tracking", "--gui",
+         "--device", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stderr
+    for line in r.stdout.splitlines():
+        if line.strip():
+            json.loads(line)  # every stdout line must parse
+
+
+def test_non_gui_info_lines_on_stderr_not_stdout(tmp_path):
+    """Without --gui the run summary lands on stderr, keeping stdout for
+    the human-facing result line (reference keeps loguru on stderr)."""
+    import subprocess
+    import sys
+
+    src = _preds_slp(tmp_path)
+    out = tmp_path / "retracked.slp"
+    r = subprocess.run(
+        [sys.executable, "-m", "sleap_nn_tpu.cli", "predict",
+         "-i", str(src), "-o", str(out), "--tracking",
+         "--device", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "INFO" not in r.stdout
