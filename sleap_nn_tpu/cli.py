@@ -318,7 +318,9 @@ def _inference_options(f):
                      help="Foreground probability cutoff (segmentation models)."),
         click.option("--min-mask-area", "--min_mask_area", "min_mask_area",
                      default=16, show_default=True,
-                     help="Drop predicted masks smaller than this (px)."),
+                     help="Drop predicted masks smaller than this "
+                          "(ORIGINAL-image pixels; converted to grid units "
+                          "when masks stay at output-stride resolution)."),
         click.option("--center-nms-kernel", "--center_nms_kernel",
                      "center_nms_kernel", default=3, show_default=True, type=int,
                      help="Odd NMS window for instance-center peaks; larger "

@@ -277,6 +277,31 @@ def _ap_from_pr(scores, matched, n_gt, recall_thresholds) -> Tuple[float, float]
     return float(precision.mean()), recall
 
 
+def _decode_frame_masks(frame) -> list:
+    """A frame's masks decoded to IMAGE resolution (scale-aware, #618).
+
+    Stride-encoded masks (``SegmentationMask.scale != 1``) are nearest-
+    upsampled; plain arrays / scale-1 masks pass through untouched.
+    """
+    out = []
+    for m in getattr(frame, "masks", []) or []:
+        if hasattr(m, "decode"):
+            out.append(m.decode())
+        else:
+            out.append(np.asarray(getattr(m, "mask", m), bool))
+    return out
+
+
+def _pad_mask_to(m: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Zero-pad (bottom/right) to a common canvas; no-op when already there."""
+    if m.shape == (h, w):
+        return m
+    out = np.zeros((h, w), dtype=bool)
+    hh, ww = min(h, m.shape[0]), min(w, m.shape[1])
+    out[:hh, :ww] = m[:hh, :ww]
+    return out
+
+
 def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     """Pixel IoU of two binary masks (reference: :120)."""
     a = np.asarray(a, bool)
@@ -449,8 +474,16 @@ class Evaluator:
         self.semantic_frames = []  # (gt_union, pr_union)
         self._mask_frames = []  # per-frame IoU/score/area payloads
         for frame_gt, frame_pr in self.frame_pairs:
-            gt_masks = [m.mask for m in getattr(frame_gt, "masks", [])]
-            pr_masks = [m.mask for m in getattr(frame_pr, "masks", [])]
+            gt_masks = _decode_frame_masks(frame_gt)
+            pr_masks = _decode_frame_masks(frame_pr)
+            if gt_masks and pr_masks:
+                # Scale-aware decode (#618): after per-mask decode both sides
+                # live in IMAGE pixels; pad to one canvas so a grid-res
+                # prediction never crops the GT to its top-left corner.
+                hh = max(m.shape[0] for m in gt_masks + pr_masks)
+                ww = max(m.shape[1] for m in gt_masks + pr_masks)
+                gt_masks = [_pad_mask_to(m, hh, ww) for m in gt_masks]
+                pr_masks = [_pad_mask_to(m, hh, ww) for m in pr_masks]
             if self.match_method == "semantic":
                 def union(ms, like):
                     if ms:

@@ -1041,7 +1041,10 @@ class Predictor:
         eps = float(getattr(self, "polygon_epsilon", 0.01))
         rois = []
         for sm in lf.masks:
-            poly = mask_to_polygon(sm.mask, epsilon_frac=eps, scale=mask_scale)
+            # Per-mask scale (#618) when the layer stamped one; the batch
+            # mask_scale stays as the fallback for legacy producers.
+            lift = getattr(sm, "scale", None) or mask_scale
+            poly = mask_to_polygon(sm.mask, epsilon_frac=eps, scale=lift)
             if poly is not None:
                 rois.append(PredictedROI(poly, score=sm.score, track=sm.track))
         lf.rois = rois

@@ -271,13 +271,24 @@ class BottomUpSegmentationLayer:
         # survives (otherwise weak heatmap maxima become phantom centroids).
         valid = np.asarray(dev["center_valid"], bool).copy()
         out_masks: List[List[SegmentationMask]] = []
+        # ``min_mask_area`` is an ORIGINAL-image-pixel floor (reference
+        # layers/segmentation.py:228); masks are filtered at grid resolution
+        # where one grid px covers grid_lift^2 image px — ceil keeps the
+        # floor exact-or-conservative (#618 unit invariance).
+        eff_all = float(np.asarray(dev["eff_scale"]).reshape(-1)[0])
+        grid_lift = self.seg_output_stride / (
+            getattr(getattr(self, "pre", None), "scale", 1.0) * eff_all
+        )
+        area_floor = max(
+            1, int(np.ceil(self.min_mask_area / (grid_lift ** 2)))
+        )
         for i in range(b):
             cands = []
             for k in range(dev["instance_masks"].shape[1]):
                 if not valid[i, k]:
                     continue
                 m = np.asarray(dev["instance_masks"][i, k], bool)
-                if m.sum() < self.min_mask_area:
+                if m.sum() < area_floor:
                     valid[i, k] = False
                     continue
                 cands.append(
@@ -304,20 +315,25 @@ class BottomUpSegmentationLayer:
                     thresholds=getattr(self, "merge_thresholds", (0.85, 0.6, 0.4)),
                 )
             frame_masks = []
+            lift = 1.0 if getattr(self, "full_res_masks", False) else grid_lift
             for c in cands:
                 if getattr(self, "do_mask_cleanup", True):
                     m = mask_cleanup(
-                        c["mask"], self.min_mask_area,
+                        c["mask"], area_floor,
                         radius=getattr(self, "mask_cleanup_radius", 0),
                         fill_holes=True,
                     )
                 else:
-                    m = c["mask"] if c["mask"].sum() >= self.min_mask_area else None
+                    m = c["mask"] if c["mask"].sum() >= area_floor else None
                 if m is None or not m.any():
                     continue
                 if getattr(self, "full_res_masks", False):
                     m = BottomUpSegmentationLayer._to_full_res(self, m, dev, i)
-                frame_masks.append(SegmentationMask(m, score=c["score"]))
+                # Stride encoding (#618): grid-res masks carry their
+                # mask-px -> image-px factor so save/eval decode correctly.
+                frame_masks.append(
+                    SegmentationMask(m, score=c["score"], scale=lift)
+                )
             out_masks.append(frame_masks)
         eff = float(np.asarray(dev["eff_scale"]).reshape(-1)[0])
         return {
@@ -409,9 +425,15 @@ class SemanticSegmentationLayer:
                 for f in fg
             ])
         eff = float(np.asarray(dev.get("eff_scale", 1.0)).reshape(-1)[0])
+        sem_lift = (
+            1.0 if getattr(self, "full_res_masks", False)
+            else getattr(self, "seg_output_stride", 1)
+            / (getattr(getattr(self, "pre", None), "scale", 1.0) * eff)
+        )
         return {
             "pred_masks": [
-                [SegmentationMask(fg[i], score=float(dev["fg"][i].mean()))]
+                [SegmentationMask(fg[i], score=float(dev["fg"][i].mean()),
+                                  scale=sem_lift)]
                 if fg[i].any()
                 else []
                 for i in range(fg.shape[0])

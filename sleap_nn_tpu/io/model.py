@@ -310,14 +310,51 @@ class SegmentationMask:
     for segmentation models (reference: SURVEY §2.6 segmentation inference).
     """
 
-    def __init__(self, mask: np.ndarray, score: float = 0.0, track: Optional[Track] = None):
+    def __init__(self, mask: np.ndarray, score: float = 0.0, track: Optional[Track] = None,
+                 scale: float = 1.0):
         self.mask = np.asarray(mask, dtype=bool)
         self.score = float(score)
         self.track = track
+        # mask px -> IMAGE px factor (reference #618 stride encoding): grid-
+        # resolution masks persist at model resolution (~scale^2 smaller
+        # payload) and every consumer (eval, polygon lift, pseudo-label
+        # training) decodes with this factor. 1.0 = already image-res.
+        self.scale = float(scale)
 
     @property
     def area(self) -> int:
         return int(self.mask.sum())
+
+    @property
+    def image_area(self) -> float:
+        """Mask area in IMAGE pixels (scale-aware; reference #618
+        min_mask_area unit invariance)."""
+        return float(self.mask.sum()) * self.scale * self.scale
+
+    def decode(self, out_hw: Optional[tuple] = None) -> np.ndarray:
+        """Nearest-neighbor decode to image resolution.
+
+        ``out_hw`` crops/pads to a target canvas (the known image extent);
+        scale 1.0 with no ``out_hw`` is a zero-copy fast path.
+        """
+        m = self.mask
+        if self.scale != 1.0:
+            import cv2
+
+            m = cv2.resize(
+                m.astype(np.uint8),
+                (max(1, int(round(m.shape[1] * self.scale))),
+                 max(1, int(round(m.shape[0] * self.scale)))),
+                interpolation=cv2.INTER_NEAREST,
+            ).astype(bool)
+        if out_hw is not None:
+            h, w = int(out_hw[0]), int(out_hw[1])
+            if m.shape != (h, w):
+                out = np.zeros((h, w), dtype=bool)
+                hh, ww = min(h, m.shape[0]), min(w, m.shape[1])
+                out[:hh, :ww] = m[:hh, :ww]
+                m = out
+        return m
 
     def centroid(self) -> np.ndarray:
         ys, xs = np.nonzero(self.mask)

@@ -317,6 +317,7 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
                 mask=mask.astype(bool),
                 score=float(meta.get("score", 0.0)),
                 track=tracks[ti] if 0 <= ti < len(tracks) else None,
+                scale=float(meta.get("scale", 1.0)),
             )
         )
 
@@ -583,6 +584,8 @@ def save_slp(path: Union[str, Path], labels: Labels, embed: bool = False):
                             "score": float(sm.score),
                             "track": track_idx.get(id(sm.track), -1),
                             "shape": [int(m.shape[0]), int(m.shape[1])],
+                            # Stride encoding (#618): mask px -> image px.
+                            "scale": float(getattr(sm, "scale", 1.0)),
                         }
                     ).encode()
                 )

@@ -125,7 +125,11 @@ def seg_model(tmp_path_factory):
 def test_bottomup_segmentation_e2e(seg_model):
     labels = load_slp(FIXTURE)
     gt = labels[0].numpy()  # (2, 2, 2)
-    out = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2)
+    # min_mask_area is an ORIGINAL-image-pixel floor (#618); 256 image px
+    # = 16 grid px at lift 4 (stride 2 / scale 0.5) — exercises the unit
+    # conversion end-to-end while still dropping speckle.
+    out = predict(labels, [seg_model], make_labels=True, peak_threshold=0.2,
+                  min_mask_area=256)
     assert len(out) == 1
     lf = out[0]
     assert len(lf.masks) >= 1
@@ -133,6 +137,7 @@ def test_bottomup_segmentation_e2e(seg_model):
     # back: mask is at grid resolution of the scaled image -> x0.25 of orig).
     for m in lf.masks:
         assert m.area > 10
+        assert m.scale == pytest.approx(4.0)  # stride 2 / preprocessing 0.5
     covered = 0
     for inst_pts in gt:
         for m in lf.masks:
@@ -161,7 +166,10 @@ def test_mask_eval_mode(seg_model):
         m = np.zeros(pred_shape, bool)
         for x, y in pts:
             m |= disk_mask(*pred_shape, x, y, 12 * 0.5 / 2 + 2)
-        gt_masks.append(SegmentationMask(m))
+        # GT synthesized at grid resolution must carry the same grid->image
+        # factor as the predictions: the evaluator decodes BOTH sides to
+        # image pixels before matching (#618).
+        gt_masks.append(SegmentationMask(m, scale=out[0].masks[0].scale))
     gt_lf.masks = gt_masks
 
     from sleap_nn_tpu.evaluation import run_evaluation
