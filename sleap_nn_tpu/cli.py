@@ -33,6 +33,33 @@ def cli():
         lib_logger.setLevel(logging.INFO)
 
 
+def make_rolling_fps(window: int = 32, clock=None):
+    """Windowed frames/sec formatter for the progress column.
+
+    Parity target: reference cli.py:1959 ``_make_fps_column`` (issue #610
+    PR-A) — the rate is computed over a trailing window of
+    ``(time, processed_frames)`` samples so it is batch-size-invariant and
+    tracks the CURRENT throughput, not the lifetime mean. Returns a
+    callable ``fps_of(n_done) -> str`` ('' until two samples with a
+    positive time delta exist). ``clock`` is injectable for tests.
+    """
+    import time as _time
+    from collections import deque
+
+    clock = clock or _time.perf_counter
+    samples = deque(maxlen=window)
+
+    def fps_of(n_done: int) -> str:
+        samples.append((clock(), n_done))
+        if len(samples) >= 2:
+            (t0, n0), (t1, n1) = samples[0], samples[-1]
+            if t1 > t0:
+                return f"{(n1 - n0) / (t1 - t0):.1f} fps"
+        return ""
+
+    return fps_of
+
+
 def _parse_overrides(pairs: Tuple[str, ...]) -> dict:
     out = {}
     for pair in pairs:
@@ -667,9 +694,6 @@ def _run_inference(**kw):
     elif sys.stderr.isatty():
         # Interactive: rich progress with a rolling-FPS column (reference
         # cli.py:1959-2077 _make_fps_column/_make_rich_progress).
-        import time as _time
-        from collections import deque
-
         from rich.progress import Progress, SpinnerColumn, TextColumn
 
         progress_ui = Progress(
@@ -679,17 +703,10 @@ def _run_inference(**kw):
             transient=True,
         )
         task_id = progress_ui.add_task("predict", total=None, fps="")
-        window = deque(maxlen=32)  # (t, n) samples for rolling FPS
+        fps_of = make_rolling_fps()
 
         def _rich_progress(n_done):
-            now = _time.perf_counter()
-            window.append((now, n_done))
-            fps = ""
-            if len(window) >= 2:
-                (t0, n0), (t1, n1) = window[0], window[-1]
-                if t1 > t0:
-                    fps = f"{(n1 - n0) / (t1 - t0):.1f} fps"
-            progress_ui.update(task_id, completed=n_done, fps=fps)
+            progress_ui.update(task_id, completed=n_done, fps=fps_of(n_done))
 
         kw["progress_callback"] = _rich_progress
 

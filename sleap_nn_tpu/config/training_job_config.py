@@ -75,6 +75,26 @@ def _verify_data_ranges(dc) -> None:
             f"tiling.min_visible_keypoints must be >= 0, got "
             f"{t.min_visible_keypoints}."
         )
+    # Enum fields fail at config time, not deep inside the tile merger
+    # (reference data_config.py attrs in_ validators).
+    _TILING_ENUMS = {
+        "blend": ("gaussian", "pyramid", "constant"),
+        # 'cuda' accepted for reference-config compatibility; the merge
+        # buffers live device-side here regardless.
+        "accumulator_device": ("auto", "cpu", "cuda", "device"),
+        "sampling": ("foreground", "grid"),
+    }
+    for name, allowed in _TILING_ENUMS.items():
+        v = getattr(t, name, None)
+        if v is not None and v not in allowed:
+            raise ValueError(
+                f"tiling.{name} must be one of {allowed}, got {v!r}."
+            )
+    for name in ("tile_size", "overlap", "tile_batch_size",
+                 "samples_per_frame", "steps_per_epoch"):
+        v = getattr(t, name, None)
+        if v is not None and int(v) <= 0:
+            raise ValueError(f"tiling.{name} must be > 0, got {v}.")
     aug = dc.augmentation_config
     if aug is not None:
         inten = getattr(aug, "intensity", None)

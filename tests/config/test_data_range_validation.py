@@ -108,3 +108,72 @@ def test_no_augmentation_config_is_fine():
     cfg = cfg_with()
     cfg.data_config.augmentation_config = None
     verify_training_cfg(cfg)
+
+
+# ── tiling enum + optional-positive-int validation (reference
+#    tests/config/test_tiling.py blend/sampling/accumulator_device/
+#    optional-positive-int classes) ─────────────────────────────────────────
+
+TP = "data_config.preprocessing.tiling."
+
+
+@pytest.mark.parametrize("value", ["gaussian", "pyramid", "constant"])
+def test_tiling_blend_valid(value):
+    verify_training_cfg(cfg_with(**{f"{TP}blend".replace(".", "__"): value}))
+
+
+@pytest.mark.parametrize("value", ["hann", "linear", "flat", "GAUSSIAN"])
+def test_tiling_blend_invalid(value):
+    with pytest.raises(ValueError, match="tiling.blend"):
+        verify_training_cfg(cfg_with(**{f"{TP}blend".replace(".", "__"): value}))
+
+
+@pytest.mark.parametrize("value", ["foreground", "grid"])
+def test_tiling_sampling_valid(value):
+    verify_training_cfg(cfg_with(**{f"{TP}sampling".replace(".", "__"): value}))
+
+
+@pytest.mark.parametrize("value", ["random", "fg"])
+def test_tiling_sampling_invalid(value):
+    with pytest.raises(ValueError, match="tiling.sampling"):
+        verify_training_cfg(
+            cfg_with(**{f"{TP}sampling".replace(".", "__"): value})
+        )
+
+
+@pytest.mark.parametrize("value", ["auto", "cpu", "cuda", "device"])
+def test_tiling_accumulator_device_valid(value):
+    """'cuda' stays loadable for reference-config compatibility."""
+    verify_training_cfg(
+        cfg_with(**{f"{TP}accumulator_device".replace(".", "__"): value})
+    )
+
+
+def test_tiling_accumulator_device_invalid():
+    with pytest.raises(ValueError, match="tiling.accumulator_device"):
+        verify_training_cfg(
+            cfg_with(**{f"{TP}accumulator_device".replace(".", "__"): "gpu0"})
+        )
+
+
+@pytest.mark.parametrize(
+    "field", ["tile_size", "overlap", "tile_batch_size", "samples_per_frame",
+              "steps_per_epoch"],
+)
+@pytest.mark.parametrize("value", [0, -4])
+def test_tiling_optional_positive_int_invalid(field, value):
+    with pytest.raises(ValueError, match=f"tiling.{field}"):
+        verify_training_cfg(cfg_with(**{f"{TP}{field}".replace(".", "__"): value}))
+
+
+@pytest.mark.parametrize(
+    "field,value",
+    [("tile_size", 256), ("overlap", 32), ("tile_batch_size", 4),
+     ("samples_per_frame", 2), ("steps_per_epoch", 100)],
+)
+def test_tiling_optional_positive_int_valid_and_none(field, value):
+    verify_training_cfg(cfg_with(**{f"{TP}{field}".replace(".", "__"): value}))
+    # None (unset) is always allowed.
+    cfg = cfg_with()
+    setattr(cfg.data_config.preprocessing.tiling, field, None)
+    verify_training_cfg(cfg)
