@@ -536,6 +536,12 @@ def batch_sweep(payload_shape) -> dict:
 def main():
     import jax
 
+    # The axon get_backend hook wins over a plain JAX_PLATFORMS=cpu env
+    # var; only jax.config.update actually switches platform (same rule
+    # as the test conftest). Honor an explicit CPU request for smoke runs.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     _arm_watchdog()
 
     # NOTE: do NOT enable jax's persistent compilation cache here — the

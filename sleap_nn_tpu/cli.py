@@ -344,10 +344,11 @@ def _inference_options(f):
                      default=0.5, show_default=True,
                      help="Foreground probability cutoff (segmentation models)."),
         click.option("--min-mask-area", "--min_mask_area", "min_mask_area",
-                     default=16, show_default=True,
-                     help="Drop predicted masks smaller than this "
-                          "(ORIGINAL-image pixels; converted to grid units "
-                          "when masks stay at output-stride resolution)."),
+                     default=0, show_default=True,
+                     help="Drop predicted masks smaller than this many "
+                          "ORIGINAL-image pixels (converted to grid units "
+                          "when masks stay at output-stride resolution). "
+                          "0 disables (reference default)."),
         click.option("--center-nms-kernel", "--center_nms_kernel",
                      "center_nms_kernel", default=3, show_default=True, type=int,
                      help="Odd NMS window for instance-center peaks; larger "

@@ -90,11 +90,16 @@ def _verify_data_ranges(dc) -> None:
             raise ValueError(
                 f"tiling.{name} must be one of {allowed}, got {v!r}."
             )
-    for name in ("tile_size", "overlap", "tile_batch_size",
+    for name in ("tile_size", "tile_batch_size",
                  "samples_per_frame", "steps_per_epoch"):
         v = getattr(t, name, None)
         if v is not None and int(v) <= 0:
             raise ValueError(f"tiling.{name} must be > 0, got {v}.")
+    # overlap=0 is VALID (abutting tiles): the trainer floors it to the
+    # min_overlap_fraction with a warning and inference accepts an explicit
+    # zero — only negatives are nonsense.
+    if t.overlap is not None and int(t.overlap) < 0:
+        raise ValueError(f"tiling.overlap must be >= 0, got {t.overlap}.")
     aug = dc.augmentation_config
     if aug is not None:
         inten = getattr(aug, "intensity", None)

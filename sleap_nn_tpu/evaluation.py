@@ -474,12 +474,33 @@ class Evaluator:
         self.semantic_frames = []  # (gt_union, pr_union)
         self._mask_frames = []  # per-frame IoU/score/area payloads
         for frame_gt, frame_pr in self.frame_pairs:
-            gt_masks = _decode_frame_masks(frame_gt)
-            pr_masks = _decode_frame_masks(frame_pr)
-            if gt_masks and pr_masks:
-                # Scale-aware decode (#618): after per-mask decode both sides
-                # live in IMAGE pixels; pad to one canvas so a grid-res
-                # prediction never crops the GT to its top-left corner.
+            # Scale-aware compare (#618). Uniform-scale frames (the common
+            # case: full-res GT vs full-res preds, or a stride-encoded
+            # retrack against stride-encoded pseudo-labels) compare at their
+            # NATIVE resolution — nearest upsampling by a common factor
+            # leaves IoU unchanged and costs stride^2 in memory/compute.
+            # Mixed scales decode to image pixels first. Either way, areas
+            # and intersections are reported in IMAGE px^2 (``area_unit``)
+            # so cross-frame size buckets stay consistent.
+            gt_scales = [float(getattr(m, "scale", 1.0) or 1.0)
+                         for m in getattr(frame_gt, "masks", []) or []]
+            pr_scales = [float(getattr(m, "scale", 1.0) or 1.0)
+                         for m in getattr(frame_pr, "masks", []) or []]
+            uniform = len({round(s, 6) for s in gt_scales + pr_scales}) <= 1
+            if uniform:
+                s = (gt_scales + pr_scales + [1.0])[0]
+                area_unit = s * s
+                gt_masks = [np.asarray(m.mask if hasattr(m, "mask") else m, bool)
+                            for m in getattr(frame_gt, "masks", []) or []]
+                pr_masks = [np.asarray(m.mask if hasattr(m, "mask") else m, bool)
+                            for m in getattr(frame_pr, "masks", []) or []]
+            else:
+                area_unit = 1.0
+                gt_masks = _decode_frame_masks(frame_gt)
+                pr_masks = _decode_frame_masks(frame_pr)
+            if gt_masks or pr_masks:
+                # Pad to one canvas so a smaller-extent mask never crops the
+                # other side to its top-left corner.
                 hh = max(m.shape[0] for m in gt_masks + pr_masks)
                 ww = max(m.shape[1] for m in gt_masks + pr_masks)
                 gt_masks = [_pad_mask_to(m, hh, ww) for m in gt_masks]
@@ -518,6 +539,11 @@ class Evaluator:
                     inter_mat[pj, gi] = inter
                     union = pr_areas[pj] + gt_areas_arr[gi] - inter
                     iou_mat[pj, gi] = inter / union if union > 0 else 0.0
+            # Report areas/intersections in IMAGE pixel units regardless of
+            # the resolution compared at (IoU is unit-free).
+            pr_areas = pr_areas * area_unit
+            gt_areas_arr = gt_areas_arr * area_unit
+            inter_mat = inter_mat * area_unit
             self._mask_frames.append(
                 {
                     "iou": iou_mat,

@@ -197,7 +197,7 @@ class Predictor:
             )
         paths, kwargs = ctor
         return type(self)._build_from_model_paths(
-            paths, **{**kwargs, **overrides}
+            paths, **{**kwargs, **overrides}, _spinup_log=False
         ).layer
 
     @classmethod
@@ -220,7 +220,7 @@ class Predictor:
         paf_workers: int = 0,
         merge_fragments: bool = False,
         merge_method: str = "greedy",
-        min_mask_area: int = 16,
+        min_mask_area: int = 0,
         fg_threshold: float = 0.5,
         centroid_peak_threshold: Optional[float] = None,
         anchor_part: Optional[str] = None,
@@ -252,6 +252,9 @@ class Predictor:
         polygon_epsilon: float = 0.01,
         backbone_ckpt_path: Optional[Union[str, Path]] = None,
         head_ckpt_path: Optional[Union[str, Path]] = None,
+        # Internal: scoped-override replays rebuild the layer mid-run and
+        # must not emit a second spin-up header (#610 one-header contract).
+        _spinup_log: bool = True,
     ) -> "Predictor":
         loaded = [load_model(p) for p in model_paths]
         if backbone_ckpt_path or head_ckpt_path:
@@ -363,6 +366,8 @@ class Predictor:
 
             from sleap_nn_tpu.config.utils import get_backbone_type_from_cfg
 
+            if not _spinup_log:
+                return p
             skeleton = args[2] if len(args) > 2 else kwargs_.get("skeleton")
             n_nodes = len(skeleton.nodes) if skeleton is not None else None
             spec = [
@@ -1012,14 +1017,16 @@ class Predictor:
             # the whole host postprocess a second time.
             precomputed_frames=stream_frames if writer is not None else None,
         )
-        n_objects = sum(len(lf.instances) for lf in labels.labeled_frames)
+        seg = "segmentation" in (self.model_type or "")
+        n_objects = sum(
+            len(getattr(lf, "masks", []) or []) if seg else len(lf.instances)
+            for lf in labels.labeled_frames
+        )
         self._log_inference_summary(
             n_frames=n_frames,
             elapsed_s=elapsed,
             n_objects=n_objects,
-            object_label=(
-                "masks" if "segmentation" in (self.model_type or "") else "instances"
-            ),
+            object_label="masks" if seg else "instances",
             output=getattr(self, "output_path_hint", None),
         )
         return labels
@@ -1439,8 +1446,23 @@ def from_export_dir(
     if meta.model_type == "semantic_segmentation":
         from sleap_nn_tpu.inference.segmentation import SemanticSegmentationLayer
 
+        import types as _types
+
+        # The finalize shim must carry the SAME grid->image context the live
+        # layer has (#618): the head's output stride and the baked
+        # preprocessing scale, or exported grid masks would be stamped
+        # scale~1.0 and evaluate as if they were image-resolution.
+        _cfg = _load_cfg()
+        sem_shim = _types.SimpleNamespace(
+            seg_output_stride=get_head_config(_cfg).segmentation.output_stride,
+            pre=_types.SimpleNamespace(
+                scale=_cfg.data_config.preprocessing.scale or 1.0
+            ),
+            full_res_masks=False,
+        )
+
         def finalize_semseg(out):
-            return SemanticSegmentationLayer.finalize(None, out)
+            return SemanticSegmentationLayer.finalize(sem_shim, out)
 
         layer = ExportedLayer(call, meta, finalize_fn=finalize_semseg)
         p = Predictor(layer, "semantic_segmentation", skel, [],
@@ -1453,12 +1475,18 @@ def from_export_dir(
 
         from sleap_nn_tpu.inference.segmentation import BottomUpSegmentationLayer
 
-        head = get_head_config(_load_cfg())
+        _cfg = _load_cfg()
+        head = get_head_config(_cfg)
         shim = _types.SimpleNamespace(
-            min_mask_area=16,
+            min_mask_area=0,
             merge_fragments=False,
             merge_method="greedy",
             seg_output_stride=head.segmentation.output_stride,
+            # Grid->image lift context (#618): same as the live layer.
+            pre=_types.SimpleNamespace(
+                scale=_cfg.data_config.preprocessing.scale or 1.0
+            ),
+            full_res_masks=False,
         )
 
         def finalize_buseg(out):

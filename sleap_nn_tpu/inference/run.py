@@ -127,7 +127,7 @@ def predict(
     merge_fragments: bool = False,
     merge_method: str = "greedy",
     fg_threshold: float = 0.5,
-    min_mask_area: int = 16,
+    min_mask_area: int = 0,
     centroid_only: bool = False,
     embed: bool = False,
     video_path_map: Optional[str] = None,

@@ -194,7 +194,7 @@ class BottomUpSegmentationLayer:
     """fg + centers + offsets -> instance masks (reference: :785)."""
 
     def __init__(self, backend, pre, post, seg_output_stride=2, center_output_stride=2,
-                 offsets_output_stride=2, max_center_dist=64.0, min_mask_area=16,
+                 offsets_output_stride=2, max_center_dist=64.0, min_mask_area=0,
                  max_instances: int = 50, merge_fragments: bool = False,
                  merge_method: str = "greedy", fg_threshold: float = 0.5,
                  center_nms_kernel: int = 3,
@@ -335,17 +335,16 @@ class BottomUpSegmentationLayer:
                     SegmentationMask(m, score=c["score"], scale=lift)
                 )
             out_masks.append(frame_masks)
-        eff = float(np.asarray(dev["eff_scale"]).reshape(-1)[0])
         return {
             "pred_masks": out_masks,
             "pred_centroids": dev["centers"],
             "centroid_vals": dev["center_vals"],
             "centroid_valid": valid,
             # grid px -> ORIGINAL image px factor for downstream consumers
-            # (polygon outlines, analysis tools).
+            # (polygon outlines, analysis tools); same value stamped on each
+            # SegmentationMask above — one formula, one place.
             "mask_scale": 1.0 if getattr(self, "full_res_masks", False)
-            else self.seg_output_stride
-            / (getattr(getattr(self, "pre", None), "scale", 1.0) * eff),
+            else grid_lift,
         }
 
     def _to_full_res(self, mask: np.ndarray, dev, i: int) -> np.ndarray:
@@ -439,9 +438,7 @@ class SemanticSegmentationLayer:
                 for i in range(fg.shape[0])
             ],
             "fg_probs": dev["fg"],
-            "mask_scale": 1.0 if getattr(self, "full_res_masks", False)
-            else getattr(self, "seg_output_stride", 1)
-            / (getattr(getattr(self, "pre", None), "scale", 1.0) * eff),
+            "mask_scale": sem_lift,
         }
 
     def predict(self, images):
@@ -467,7 +464,7 @@ class TopDownSegmentationLayer:
 
     def __init__(self, centroid_layer, seg_backend, seg_pre, seg_output_stride: int = 2,
                  fg_threshold: float = 0.5, max_instances: int = 20,
-                 crop_size: int = 160, min_mask_area: int = 16):
+                 crop_size: int = 160, min_mask_area: int = 0):
         from sleap_nn_tpu.inference.layers import preprocess_images
         from sleap_nn_tpu.ops.crops import crop_bboxes, make_centered_bboxes
 

@@ -157,13 +157,24 @@ def test_tiling_accumulator_device_invalid():
 
 
 @pytest.mark.parametrize(
-    "field", ["tile_size", "overlap", "tile_batch_size", "samples_per_frame",
+    "field", ["tile_size", "tile_batch_size", "samples_per_frame",
               "steps_per_epoch"],
 )
 @pytest.mark.parametrize("value", [0, -4])
 def test_tiling_optional_positive_int_invalid(field, value):
     with pytest.raises(ValueError, match=f"tiling.{field}"):
         verify_training_cfg(cfg_with(**{f"{TP}{field}".replace(".", "__"): value}))
+
+
+def test_tiling_overlap_zero_is_valid_abutting_tiles():
+    """overlap=0 stays loadable: the trainer floors it with a warning and
+    inference tiling accepts abutting tiles (review finding r3)."""
+    verify_training_cfg(cfg_with(**{f"{TP}overlap".replace(".", "__"): 0}))
+
+
+def test_tiling_overlap_negative_invalid():
+    with pytest.raises(ValueError, match="tiling.overlap"):
+        verify_training_cfg(cfg_with(**{f"{TP}overlap".replace(".", "__"): -8}))
 
 
 @pytest.mark.parametrize(

@@ -133,6 +133,11 @@ def test_export_bottomup_segmentation_roundtrip(tmp_path):
     frames = _rand_frames(1, 384, 384)
     res = p.layer.predict(frames)
     assert "pred_masks" in res and "pred_centroids" in res
+    # The finalize shim must carry the same grid->image context as the live
+    # layer (#618): stride 2 / preprocessing 0.25 -> lift 8.
+    assert res["mask_scale"] == pytest.approx(8.0)
+    for sm in (m for fr in res["pred_masks"] for m in fr):
+        assert sm.scale == pytest.approx(8.0)
 
 
 def test_export_semantic_segmentation_roundtrip(tmp_path):
@@ -145,6 +150,9 @@ def test_export_semantic_segmentation_roundtrip(tmp_path):
     frames = _rand_frames(1, 384, 384)
     res = p.layer.predict(frames)
     assert "pred_masks" in res and "fg_probs" in res
+    assert res["mask_scale"] == pytest.approx(8.0)  # stride 2 / scale 0.25
+    for sm in (m for fr in res["pred_masks"] for m in fr):
+        assert sm.scale == pytest.approx(8.0)
 
 
 def test_export_centered_instance_segmentation(tmp_path):

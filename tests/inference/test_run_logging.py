@@ -312,3 +312,20 @@ def test_cli_group_installs_library_log_handler():
             lib.addHandler(h)
         for h in root_before:
             root.addHandler(h)
+
+
+def test_scoped_override_does_not_duplicate_spinup_header(
+    centroid_model, caplog
+):
+    """Per-call return_confmaps replays the builder for a scoped layer; the
+    replay must NOT emit a second 'Loaded inference model' header mid-run
+    (review finding r3; docs promise one header per run)."""
+    labels = load_slp(FIXTURE)
+    from sleap_nn_tpu.inference.predictor import Predictor
+
+    with caplog.at_level(logging.INFO, logger=LOGGER):
+        p = Predictor.from_model_paths([centroid_model], peak_threshold=0.2)
+        p.predict(labels, return_confmaps=True)
+    loaded = [r.message for r in caplog.records
+              if r.message.startswith("Loaded inference model")]
+    assert len(loaded) == 1
