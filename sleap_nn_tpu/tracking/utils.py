@@ -65,27 +65,55 @@ class MaskFeature:
     their bboxes instead of touching full-frame background.
     """
 
-    __slots__ = ("crop", "y0", "x0", "area")
+    __slots__ = ("crop", "y0", "x0", "area", "scale")
 
-    def __init__(self, crop: np.ndarray, y0: int, x0: int, area: int):
+    def __init__(self, crop: np.ndarray, y0: int, x0: int, area: int,
+                 scale: float = 1.0):
         self.crop = crop
         self.y0 = int(y0)
         self.x0 = int(x0)
         self.area = int(area)
+        # Mask px -> image px factor (#618 stride encoding). Same-scale
+        # pairs compare at native resolution (unit-free IoU); mixed-scale
+        # pairs rescale to the finer grid first.
+        self.scale = float(scale)
+
+    def rescaled(self, target_scale: float) -> "MaskFeature":
+        """This feature re-expressed on a finer grid (nearest neighbor)."""
+        if self.scale == target_scale or self.area == 0:
+            return MaskFeature(self.crop, self.y0, self.x0, self.area,
+                               target_scale)
+        f = self.scale / float(target_scale)
+        h = max(1, int(round(self.crop.shape[0] * f)))
+        w = max(1, int(round(self.crop.shape[1] * f)))
+        try:
+            import cv2
+
+            crop = cv2.resize(self.crop.astype(np.uint8), (w, h),
+                              interpolation=cv2.INTER_NEAREST).astype(bool)
+        except ImportError:
+            yi = np.minimum((np.arange(h) / f).astype(int),
+                            self.crop.shape[0] - 1)
+            xi = np.minimum((np.arange(w) / f).astype(int),
+                            self.crop.shape[1] - 1)
+            crop = self.crop[np.ix_(yi, xi)]
+        return MaskFeature(crop, int(round(self.y0 * f)),
+                           int(round(self.x0 * f)),
+                           int(np.count_nonzero(crop)), target_scale)
 
 
-def _mask_feature_from_dense(data: np.ndarray) -> MaskFeature:
+def _mask_feature_from_dense(data: np.ndarray, scale: float = 1.0) -> MaskFeature:
     data = np.ascontiguousarray(data, dtype=bool)
     rows = np.any(data, axis=1)
     if not rows.any():
-        return MaskFeature(np.zeros((0, 0), dtype=bool), 0, 0, 0)
+        return MaskFeature(np.zeros((0, 0), dtype=bool), 0, 0, 0, scale)
     cols = np.any(data, axis=0)
     y0 = int(np.argmax(rows))
     y1 = len(rows) - int(np.argmax(rows[::-1]))
     x0 = int(np.argmax(cols))
     x1 = len(cols) - int(np.argmax(cols[::-1]))
     crop = data[y0:y1, x0:x1]
-    return MaskFeature(crop, y0, x0, int(np.count_nonzero(crop)))
+    return MaskFeature(crop, y0, x0, int(np.count_nonzero(crop)), scale)
 
 
 def get_mask(obj) -> MaskFeature:
@@ -97,7 +125,10 @@ def get_mask(obj) -> MaskFeature:
     data = getattr(obj, "mask", None)
     if data is None:
         raise TypeError(f"Cannot extract a mask feature from {type(obj).__name__}")
-    return _mask_feature_from_dense(np.asarray(data, dtype=bool))
+    return _mask_feature_from_dense(
+        np.asarray(data, dtype=bool),
+        scale=float(getattr(obj, "scale", 1.0) or 1.0),
+    )
 
 
 def is_segmentation_mask(obj) -> bool:
@@ -161,6 +192,11 @@ def compute_mask_iou(a, b) -> float:
     fb = b if isinstance(b, MaskFeature) else get_mask(b)
     if fa.area == 0 or fb.area == 0:
         return 1.0 if fa.area == fb.area else 0.0
+    if fa.scale != fb.scale:
+        # Mixed sources (e.g. image-res SAM masks retracked against
+        # stride-encoded model masks): compare on the finer grid.
+        fine = min(fa.scale, fb.scale)
+        fa, fb = fa.rescaled(fine), fb.rescaled(fine)
     ay1, ax1 = fa.y0 + fa.crop.shape[0], fa.x0 + fa.crop.shape[1]
     by1, bx1 = fb.y0 + fb.crop.shape[0], fb.x0 + fb.crop.shape[1]
     oy0, oy1 = max(fa.y0, fb.y0), min(ay1, by1)

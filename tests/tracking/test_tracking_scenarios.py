@@ -388,3 +388,71 @@ def test_mask_tracking_gap_beyond_window_flushes():
 
     assert len(run(range(5, 10))) == 2  # 5-frame gap > window 3
     assert len(run(range(5, 7))) == 1   # 2-frame gap bridged
+
+
+# ── mixed-scale mask features (#618 stride encoding in mask-IoU tracking) ──
+
+
+def test_mask_iou_same_scale_native_resolution():
+    """Same-scale features compare without rescaling (unit-free IoU)."""
+    from sleap_nn_tpu.io.model import SegmentationMask
+    from sleap_nn_tpu.tracking.utils import compute_mask_iou
+
+    m = np.zeros((32, 32), bool)
+    m[8:24, 8:24] = True
+    a = SegmentationMask(m, scale=4.0)
+    b = SegmentationMask(m.copy(), scale=4.0)
+    assert compute_mask_iou(a, b) == 1.0
+
+
+def test_mask_iou_mixed_scales_compares_in_image_space():
+    """A stride-4 mask and its exact image-res decode must IoU ~1.0; naive
+    native-grid comparison would place the grid mask in the wrong corner."""
+    from sleap_nn_tpu.io.model import SegmentationMask
+    from sleap_nn_tpu.tracking.utils import compute_mask_iou
+
+    full = np.zeros((128, 128), bool)
+    full[32:96, 32:96] = True
+    grid = full[::4, ::4]
+    a = SegmentationMask(full, scale=1.0)
+    b = SegmentationMask(grid, scale=4.0)
+    assert compute_mask_iou(a, b) > 0.95
+    # Control: the same grid mask claiming image resolution is a quarter-
+    # size blob at the wrong place.
+    c = SegmentationMask(grid, scale=1.0)
+    assert compute_mask_iou(a, c) < 0.3
+
+
+def test_mask_retrack_mixed_scales_keeps_identity(tmp_path):
+    """Retracking a labels file whose masks mix image-res and stride-encoded
+    sources keeps per-animal identity across frames."""
+    from sleap_nn_tpu.io.model import LabeledFrame, Labels, SegmentationMask
+    from sleap_nn_tpu.io.video import Video
+    from sleap_nn_tpu.tracking.tracker import run_tracker
+
+    vid = Video(filename="fake.mp4")
+    lfs = []
+    for t in range(4):
+        a_full = np.zeros((128, 128), bool)
+        a_full[10 + t:40 + t, 10:40] = True  # animal A drifting down
+        b_full = np.zeros((128, 128), bool)
+        b_full[80:120, 80 + t:110 + t] = True  # animal B drifting right
+        if t % 2 == 0:  # alternate sources: image-res vs stride-encoded
+            masks = [SegmentationMask(a_full, score=1.0),
+                     SegmentationMask(b_full, score=1.0)]
+        else:
+            masks = [SegmentationMask(a_full[::4, ::4], score=1.0, scale=4.0),
+                     SegmentationMask(b_full[::4, ::4], score=1.0, scale=4.0)]
+        lf = LabeledFrame(video=vid, frame_idx=t, instances=[])
+        lf.masks = masks
+        lfs.append(lf)
+    labels = Labels(lfs, videos=[vid])
+    out = run_tracker(labels, features="masks", scoring_method="mask_iou",
+                      target_instance_count=2)
+    names_per_frame = [
+        tuple(sorted(m.track.name for m in lf.masks))
+        for lf in out.labeled_frames
+    ]
+    assert len(set(names_per_frame)) == 1  # two stable identities
+    a_names = [lf.masks[0].track.name for lf in out.labeled_frames]
+    assert len(set(a_names)) == 1  # animal A keeps ONE track across sources
