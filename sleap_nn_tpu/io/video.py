@@ -390,8 +390,36 @@ class Video:
                 )
             return v
         if isinstance(fn, list):
+            fn = [cls._resolve_media_path(f, slp_path) for f in fn]
             return cls(filename=fn, backend=ImageVideoBackend(fn, bk.get("grayscale")))
+        fn = cls._resolve_media_path(fn, slp_path)
         v = cls(filename=fn, backend_metadata={"grayscale": bk.get("grayscale")})
         if v.exists():
             v.open()
         return v
+
+    @staticmethod
+    def _resolve_media_path(fn: str, slp_path: Optional[str]) -> str:
+        """Recover a stale media path using the .slp file's own directory.
+
+        Labels files routinely move between machines with their videos
+        beside them while the stored path still points at the ORIGINAL
+        layout (the reference's sleap-io resolves this the same way). Try,
+        in order: the path as stored; the path joined to the slp dir; each
+        suffix of the stored path under the slp dir (progressively dropping
+        leading directories, basename last). Returns the stored path
+        untouched when nothing matches — downstream errors then show what
+        the file claimed.
+        """
+        import os
+
+        if not fn or not slp_path or os.path.exists(fn):
+            return fn
+        base = Path(slp_path).parent
+        parts = Path(fn).parts
+        candidates = [base / fn]
+        candidates += [base / Path(*parts[i:]) for i in range(1, len(parts))]
+        for cand in candidates:
+            if cand.exists():
+                return str(cand)
+        return fn
