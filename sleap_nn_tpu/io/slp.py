@@ -280,7 +280,14 @@ def load_slp(path: Union[str, Path], open_videos: bool = True) -> Labels:
                 point_scores=pts["score"],
                 score=float(rec["score"]),
                 track=track,
-                tracking_score=float(rec["tracking_score"]),
+                # format_id 1.1 predictions predate the tracking_score
+                # column (reference legacy_models fixtures) — default 0.0
+                # like sleap-io does when the field is absent.
+                tracking_score=(
+                    float(rec["tracking_score"])
+                    if "tracking_score" in (rec.dtype.names or ())
+                    else 0.0
+                ),
                 visible=pts["visible"],
             )
         inst_by_id[int(rec["instance_id"])] = inst

@@ -134,3 +134,32 @@ def test_instance_helpers():
     assert inst.n_visible == 2
     np.testing.assert_allclose(inst.centroid(), [1.0, 1.0])
     np.testing.assert_allclose(inst.bounding_box(), [0, 0, 2, 2])
+
+
+def test_every_reference_slp_fixture_loads():
+    """Sweep: every .slp the reference ships (format_id 1.1 legacy
+    predictions through 1.3) loads cleanly — 1.1 prediction files predate
+    the tracking_score column (defaulted to 0.0, like sleap-io)."""
+    import glob
+
+    paths = sorted(
+        glob.glob("/root/reference/tests/assets/**/*.slp", recursive=True)
+    )
+    if not paths:
+        pytest.skip("reference assets unavailable")
+    for p in paths:
+        labels = load_slp(p)
+        assert labels.labeled_frames is not None, p
+
+
+def test_format_1_1_predictions_default_tracking_score():
+    p = ("/root/reference/tests/assets/legacy_models/"
+         "minimal_instance.UNet.centroid/labels_pr.train.slp")
+    import os
+
+    if not os.path.exists(p):
+        pytest.skip("reference assets unavailable")
+    labels = load_slp(p)
+    preds = [i for lf in labels.labeled_frames for i in lf.predicted_instances]
+    assert preds
+    assert all(i.tracking_score == 0.0 for i in preds)
