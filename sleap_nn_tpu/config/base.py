@@ -46,8 +46,51 @@ def from_dict(cls: Type, data: Any):
         if inner is not None and dataclasses.is_dataclass(inner):
             kwargs[f.name] = from_dict(inner, val)
         else:
-            kwargs[f.name] = val
+            kwargs[f.name] = _coerce_scalar(inner, val)
     return cls(**kwargs)
+
+
+def _coerce_scalar(inner: Optional[Type], val: Any) -> Any:
+    """Coerce a YAML scalar onto the field's annotated numeric type.
+
+    YAML 1.1 only resolves floats with a '.' — scientific notation like
+    ``1e-06`` (how this library and the reference both serialize small
+    floats) parses as a STRING, which would flow into arithmetic
+    (``lr: 1e-4``, plateau thresholds) and explode mid-training. Ints that
+    arrive as floats/strings are normalized the same way. Anything that
+    doesn't parse is returned untouched so validation errors point at the
+    real value.
+    """
+    if val is None:
+        return val
+    if inner is None or inner is Any:
+        # Untyped (Any) fields — e.g. min_lr, which may be scalar or list —
+        # still suffer the YAML sci-notation stringification; convert only
+        # unambiguous numeric strings.
+        if isinstance(val, str):
+            import re
+
+            if re.fullmatch(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", val.strip()):
+                try:
+                    f = float(val)
+                    return int(f) if f.is_integer() and ("e" not in val.lower()
+                                                         and "." not in val) else f
+                except ValueError:
+                    return val
+        return val
+    try:
+        if inner is float and isinstance(val, (str, int)):
+            return float(val)
+        if inner is int and isinstance(val, (str, float)) and float(val) == int(float(val)):
+            return int(float(val))
+        if inner is bool and isinstance(val, str):
+            if val.lower() in ("true", "1", "yes"):
+                return True
+            if val.lower() in ("false", "0", "no"):
+                return False
+    except (TypeError, ValueError):
+        return val
+    return val
 
 
 def to_dict(obj: Any) -> Any:
@@ -110,5 +153,12 @@ def apply_overrides(obj: Any, overrides: Dict[str, Any]):
             raise AttributeError(f"Unknown config field '{leaf}' in override '{path}'.")
         if isinstance(value, str):
             value = yaml.safe_load(value)
+        if dataclasses.is_dataclass(node):
+            # Same YAML-1.1 gotcha as from_dict: '1e-06' parses as a string
+            # — land overrides on the field's annotated numeric type.
+            hints = typing.get_type_hints(type(node))
+            inner, _ = _resolve_type(hints.get(leaf, Any))
+            if inner is not None and not dataclasses.is_dataclass(inner):
+                value = _coerce_scalar(inner, value)
         setattr(node, leaf, value)
     return obj

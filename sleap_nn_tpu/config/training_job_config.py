@@ -29,7 +29,22 @@ class TrainingJobConfig:
 
     @classmethod
     def load_yaml(cls, path, overrides: Optional[Dict] = None) -> "TrainingJobConfig":
-        cfg = load_yaml(cls, path)
+        import yaml as _yaml
+
+        with open(path) as f:
+            data = _yaml.safe_load(f)
+        if isinstance(data, dict) and "model_config" not in data and (
+            "model" in data or "optimization" in data
+        ):
+            # SLEAP-v1 legacy schema (training_config.json: top-level
+            # model/optimization/outputs) — route through the legacy mapper
+            # so `train legacy.json` works directly (reference accepts v1
+            # configs through its data/trainer/model mappers).
+            from sleap_nn_tpu.legacy_models import legacy_config_mapper
+
+            cfg = legacy_config_mapper(data)
+        else:
+            cfg = from_dict(cls, data)
         cfg.filename = str(path)
         if overrides:
             apply_overrides(cfg, overrides)

@@ -197,3 +197,99 @@ def test_saved_config_loads_in_reference_shape(tmp_path):
     assert set(raw) >= {"data_config", "model_config", "trainer_config"}
     assert "backbone_config" in raw["model_config"]
     assert "head_configs" in raw["model_config"]
+
+
+def test_every_reference_config_loads_and_builds():
+    """Sweep: every config the reference ships — modern YAML (1.x),
+    legacy-model JSON, and raw SLEAP-v1 training_config.json — loads
+    through ONE entry point (legacy schemas auto-route to the mapper) and
+    builds a real model."""
+    import glob
+
+    from sleap_nn_tpu.config import (
+        get_backbone_config,
+        get_backbone_type_from_cfg,
+        get_head_config,
+        get_model_type_from_cfg,
+    )
+    from sleap_nn_tpu.models import Model
+
+    paths = sorted(
+        glob.glob("/root/reference/tests/assets/**/*config*.yaml", recursive=True)
+    ) + sorted(
+        glob.glob("/root/reference/tests/assets/**/*config*.json", recursive=True)
+    )
+    if not paths:
+        pytest.skip("reference assets unavailable")
+    assert len(paths) >= 30
+    for p in paths:
+        cfg = TrainingJobConfig.load_yaml(p)
+        Model.from_config(
+            get_backbone_type_from_cfg(cfg), get_backbone_config(cfg),
+            get_head_config(cfg), get_model_type_from_cfg(cfg),
+        )
+
+
+def test_legacy_v1_json_autodetected():
+    p = ("/root/reference/tests/assets/legacy_sleap_json_configs/"
+         "topdown_training_config.json")
+    import os
+
+    if not os.path.exists(p):
+        pytest.skip("reference assets unavailable")
+    cfg = TrainingJobConfig.load_yaml(p)
+    from sleap_nn_tpu.config import get_model_type_from_cfg
+
+    # The fixture's "topdown" config is actually a multi-class topdown
+    # (its heads dict sets multi_class_topdown with class_vectors).
+    assert get_model_type_from_cfg(cfg) == "multi_class_topdown"
+
+
+# ── YAML-1.1 scientific-notation stringification (review sweep finding) ──
+
+
+def test_sci_notation_floats_coerced_from_yaml(tmp_path):
+    """YAML 1.1 resolves '1e-06' (no dot) as a STRING; typed float fields
+    must land as floats or arithmetic explodes mid-training."""
+    src = TrainingJobConfig()
+    p = tmp_path / "sci.yaml"
+    p.write_text(
+        "trainer_config:\n"
+        "  optimizer:\n"
+        "    lr: 1e-4\n"
+        "  lr_scheduler:\n"
+        "    reduce_lr_on_plateau:\n"
+        "      threshold: 1e-06\n"
+        "      min_lr: 1e-08\n"
+    )
+    cfg = TrainingJobConfig.load_yaml(p)
+    assert cfg.trainer_config.optimizer.lr == 1e-4
+    rop = cfg.trainer_config.lr_scheduler.reduce_lr_on_plateau
+    assert rop.threshold == pytest.approx(1e-6)
+    assert isinstance(rop.threshold, float)
+    # min_lr is an Any-typed field (scalar or per-group list) — numeric
+    # strings still convert.
+    assert rop.min_lr == pytest.approx(1e-8)
+    assert isinstance(rop.min_lr, float)
+
+
+def test_apply_overrides_coerces_numeric_strings():
+    from sleap_nn_tpu.config import apply_overrides
+
+    cfg = TrainingJobConfig()
+    apply_overrides(cfg, {
+        "trainer_config.optimizer.lr": "1e-3",
+        "trainer_config.max_epochs": "5",
+        "trainer_config.save_ckpt": "true",
+    })
+    assert cfg.trainer_config.optimizer.lr == 1e-3
+    assert cfg.trainer_config.max_epochs == 5
+    assert cfg.trainer_config.save_ckpt is True
+
+
+def test_non_numeric_strings_untouched():
+    from sleap_nn_tpu.config import apply_overrides
+
+    cfg = TrainingJobConfig()
+    apply_overrides(cfg, {"trainer_config.run_name": "1e5_session"})
+    assert cfg.trainer_config.run_name == "1e5_session"
