@@ -72,4 +72,8 @@ def resolve_model_dir(path) -> Path:
         p = p.parent
     if (p / "training_config.yaml").exists():
         return p
+    if (p / "training_config.json").exists() and (p / "best_model.h5").exists():
+        # SLEAP-v1 legacy model dir (Keras weights + jsonpickle config) —
+        # the inference loader auto-converts (reference loaders.py:193-206).
+        return p
     raise FileNotFoundError(f"No training_config.yaml under {path}")

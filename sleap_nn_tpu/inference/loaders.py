@@ -55,6 +55,12 @@ def load_model(path, params_override=None) -> LoadedModel:
     # Orbax checkpoints are DIRECTORIES named *.ckpt; torch ones are files.
     explicit_ckpt = p if p.suffix.lower() == ".ckpt" and p.exists() else None
     model_dir = resolve_model_dir(path)
+    if not (model_dir / "training_config.yaml").exists():
+        # SLEAP-v1 legacy model dir (training_config.json + best_model.h5):
+        # auto-convert the Keras weights into the flax model, same as the
+        # reference's loader (reference inference/loaders.py:193-206) —
+        # `predict -m <v1_model_dir>` is drop-in.
+        return _load_legacy_dir(model_dir)
     config = TrainingJobConfig.load_yaml(model_dir / "training_config.yaml")
     model_type = get_model_type_from_cfg(config)
     backbone_type = get_backbone_type_from_cfg(config)
@@ -99,6 +105,31 @@ def load_model(path, params_override=None) -> LoadedModel:
         model_dir=model_dir,
         config=config,
         model_type=model_type,
+        model=model,
+        params=params,
+        skeleton_nodes=nodes,
+        skeleton_edges=edges,
+    )
+
+
+def _load_legacy_dir(model_dir: Path) -> LoadedModel:
+    """SLEAP-v1 model dir -> LoadedModel via the Keras weight importer."""
+    from sleap_nn_tpu.legacy_models import load_legacy_model
+
+    model, params, config, _stats = load_legacy_model(model_dir)
+    nodes, edges = [], []
+    skel_list = config.data_config.skeletons or []
+    if skel_list:
+        skel = skel_list[0]
+        nodes = [n["name"] for n in skel.get("nodes", [])]
+        edges = [
+            (e["source"]["name"], e["destination"]["name"])
+            for e in skel.get("edges", [])
+        ]
+    return LoadedModel(
+        model_dir=Path(model_dir),
+        config=config,
+        model_type=get_model_type_from_cfg(config),
         model=model,
         params=params,
         skeleton_nodes=nodes,
