@@ -1524,6 +1524,12 @@ def from_export_dir(
                 f"skeleton nodes {nodes}."
             )
         layer.anchor_ind = nodes.index(anchor)
+    if meta.model_type == "centroid":
+        # Lone-centroid output is one point per instance — collapse to the
+        # single-node skeleton exactly like the live predictor branch, or
+        # frame assembly would try to reshape (1, 2) points onto the full
+        # training skeleton.
+        skel = Skeleton(nodes=["centroid"])
     p = Predictor(layer, meta.model_type, skel, [], batch_size or layer.batch_size)
     p.filters = None
     return p

@@ -399,6 +399,23 @@ def predict(
             predictor.filters = filters
             predictor.mask_output = mask_output
             predictor.polygon_epsilon = polygon_epsilon
+            # Exported graphs BAKE the peak threshold at export time (the
+            # traced program thresholds on device); a differing request
+            # would otherwise be ignored in silence — the class of no-op
+            # flag the reference's filter logging exists to prevent.
+            baked = getattr(
+                getattr(predictor.layer, "meta", None), "peak_threshold", None
+            )
+            if baked is not None and abs(peak_threshold - baked) > 1e-9:
+                import logging as _logging
+
+                _logging.getLogger("sleap_nn_tpu").warning(
+                    "peak_threshold=%.4g ignored: this export dir baked "
+                    "%.4g into the compiled graph at export time — "
+                    "re-export with the desired threshold, or use "
+                    "filter flags for post-hoc screening.",
+                    peak_threshold, baked,
+                )
 
     if predictor is None:
         predictor = Predictor.from_model_paths(

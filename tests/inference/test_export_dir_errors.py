@@ -84,3 +84,30 @@ def test_loaded_metadata_fields(export_dir):
     assert meta.format == "jax_export_stablehlo"
     assert len(meta.skeleton_nodes) == 2
     assert meta.artifact_sha256 and len(meta.artifact_sha256) == 64
+
+
+def test_peak_threshold_mismatch_warns_on_export_dir(tmp_path, caplog):
+    """--peak-threshold differing from the export-time baked value warns
+    instead of being silently ignored (the graph thresholds on device)."""
+    import logging
+
+    from sleap_nn_tpu.export import export_model
+    from sleap_nn_tpu.inference import predict
+    from sleap_nn_tpu.io import load_slp
+
+    out = export_model(
+        "/root/reference/tests/assets/model_ckpts/minimal_instance_centroid",
+        output_dir=tmp_path / "exp", batch_size=1, peak_threshold=0.3,
+        verify=False,
+    )
+    labels = load_slp(
+        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    )
+    with caplog.at_level(logging.WARNING, logger="sleap_nn_tpu"):
+        predict(labels, [out], peak_threshold=0.05)
+    warned = [r for r in caplog.records if "baked" in r.message]
+    assert len(warned) == 1
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sleap_nn_tpu"):
+        predict(labels, [out], peak_threshold=0.3)  # matches: silent
+    assert not [r for r in caplog.records if "baked" in r.message]
