@@ -31,6 +31,11 @@ class ExportMetadata:
     # Centroid-anchor provenance (reference export/metadata.py anchor_part,
     # finding 29): which node anchored crops/centroids at training time.
     anchor_part: "Optional[str]" = None
+    # Baked postprocess knobs beyond the threshold — recorded so the predict
+    # flow can warn when a runtime flag differs from what the compiled graph
+    # actually does (None on exports written before these fields existed).
+    refinement: "Optional[str]" = None
+    max_peaks: "Optional[int]" = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=list)
@@ -428,6 +433,8 @@ def export_model(
         format="tf_savedmodel" if fmt == "savedmodel"
         else "jax_export_stablehlo",
         anchor_part=anchor_part,
+        refinement="integral",
+        max_peaks=max_peaks,
     )
     (output_dir / "metadata.json").write_text(meta.to_json())
     # Copy the training config for provenance (reference: export/cli.py:854).

@@ -403,19 +403,24 @@ def predict(
             # traced program thresholds on device); a differing request
             # would otherwise be ignored in silence — the class of no-op
             # flag the reference's filter logging exists to prevent.
-            baked = getattr(
-                getattr(predictor.layer, "meta", None), "peak_threshold", None
-            )
-            if baked is not None and abs(peak_threshold - baked) > 1e-9:
-                import logging as _logging
+            import logging as _logging
 
-                _logging.getLogger("sleap_nn_tpu").warning(
-                    "peak_threshold=%.4g ignored: this export dir baked "
-                    "%.4g into the compiled graph at export time — "
-                    "re-export with the desired threshold, or use "
-                    "filter flags for post-hoc screening.",
-                    peak_threshold, baked,
-                )
+            _log = _logging.getLogger("sleap_nn_tpu")
+            meta = getattr(predictor.layer, "meta", None)
+            for flag, requested in (
+                ("peak_threshold", peak_threshold),
+                ("refinement", refinement),
+                ("max_peaks", max_peaks),
+            ):
+                baked = getattr(meta, flag, None)
+                if baked is not None and requested is not None \
+                        and requested != baked:
+                    _log.warning(
+                        "%s=%s ignored: this export dir baked %s into the "
+                        "compiled graph at export time — re-export with the "
+                        "desired value, or use filter flags for post-hoc "
+                        "screening.", flag, requested, baked,
+                    )
 
     if predictor is None:
         predictor = Predictor.from_model_paths(

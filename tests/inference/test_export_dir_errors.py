@@ -111,3 +111,27 @@ def test_peak_threshold_mismatch_warns_on_export_dir(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="sleap_nn_tpu"):
         predict(labels, [out], peak_threshold=0.3)  # matches: silent
     assert not [r for r in caplog.records if "baked" in r.message]
+
+
+def test_refinement_and_max_peaks_mismatch_also_warn(tmp_path, caplog):
+    import logging
+
+    from sleap_nn_tpu.export import export_model
+    from sleap_nn_tpu.inference import predict
+    from sleap_nn_tpu.io import load_slp
+
+    out = export_model(
+        "/root/reference/tests/assets/model_ckpts/minimal_instance_centroid",
+        output_dir=tmp_path / "exp", batch_size=1, peak_threshold=0.2,
+        max_peaks=64, verify=False,
+    )
+    labels = load_slp(
+        "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    )
+    with caplog.at_level(logging.WARNING, logger="sleap_nn_tpu"):
+        predict(labels, [out], peak_threshold=0.2, refinement="rough",
+                max_peaks=10)
+    msgs = [r.getMessage() for r in caplog.records if "baked" in r.message]
+    assert any(m.startswith("refinement=") for m in msgs)
+    assert any(m.startswith("max_peaks=") for m in msgs)
+    assert not any(m.startswith("peak_threshold=") for m in msgs)
