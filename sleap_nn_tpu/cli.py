@@ -228,6 +228,13 @@ def _inference_options(f):
         click.option("--use-bf16/--no-use-bf16", "--use_bf16/--no-use_bf16",
                      "use_bf16", default=False, show_default=True,
                      help="bfloat16 forward pass (TPU fast path)."),
+        click.option("--data-parallel/--no-data-parallel",
+                     "--data_parallel/--no-data_parallel", "data_parallel",
+                     default=False, show_default=True,
+                     help="SPMD inference over ALL local devices: each "
+                          "batch's leading axis shards across the mesh "
+                          "(params replicated). --batch-size must divide "
+                          "the device count."),
         click.option("--host-resize/--no-host-resize", "host_resize",
                      default=False, show_default=True,
                      help="Downscale frames on the host before transfer "

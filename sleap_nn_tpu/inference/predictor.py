@@ -147,6 +147,9 @@ class Predictor:
         # Set by from_model_paths(host_resize=True): (scale, max_h, max_w)
         # resize moved off-device; coords are re-lifted in _undo_host_resize.
         self._host_transform = None
+        # Set by from_model_paths(data_parallel=True): NamedSharding that
+        # splits each batch's leading axis over the local device mesh.
+        self._batch_sharding = None
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -252,6 +255,10 @@ class Predictor:
         polygon_epsilon: float = 0.01,
         backbone_ckpt_path: Optional[Union[str, Path]] = None,
         head_ckpt_path: Optional[Union[str, Path]] = None,
+        # Multi-device SPMD inference: shard each batch's leading axis over
+        # a 1-D mesh of ALL local devices (params replicated; XLA inserts
+        # the collectives). batch_size must divide the device count.
+        data_parallel: bool = False,
         # Internal: scoped-override replays rebuild the layer mid-run and
         # must not emit a second spin-up header (#610 one-header contract).
         _spinup_log: bool = True,
@@ -344,8 +351,12 @@ class Predictor:
                 return_paf_graph=return_paf_graph,
             )
 
+        made_backends: List[JaxBackend] = []
+
         def backend_for(m: LoadedModel) -> JaxBackend:
-            return JaxBackend(m.model, m.params, use_bf16=use_bf16)
+            b = JaxBackend(m.model, m.params, use_bf16=use_bf16)
+            made_backends.append(b)
+            return b
 
         def skeleton_for(m: LoadedModel) -> Skeleton:
             return Skeleton(nodes=m.skeleton_nodes, edges=m.skeleton_edges)
@@ -359,6 +370,33 @@ class Predictor:
             p._host_transform = host_transform
             p.mask_output = mask_output
             p.polygon_epsilon = polygon_epsilon
+            if data_parallel:
+                # SPMD batch sharding: one jitted program spans every local
+                # device — params replicated, batch leading axis split, XLA
+                # inserts any cross-device collectives. Same program shape
+                # the trainer uses (parallel/mesh.py); on real hardware the
+                # collectives ride ICI.
+                import jax
+
+                from sleap_nn_tpu.parallel.mesh import (
+                    get_mesh,
+                    replicate,
+                    shard_batch_spec,
+                )
+
+                mesh = get_mesh()
+                n_dev = mesh.devices.size
+                if p.batch_size % n_dev != 0:
+                    raise ValueError(
+                        f"data_parallel inference needs batch_size divisible "
+                        f"by the device count: batch_size={p.batch_size}, "
+                        f"devices={n_dev}."
+                    )
+                rep = replicate(mesh)
+                for b in made_backends:
+                    b.params = jax.device_put(b.params, rep)
+                p._mesh = mesh
+                p._batch_sharding = shard_batch_spec(mesh)
             # Spin-up header (reference predictor.py:1119, issue #610 PR-B):
             # one legible line recording WHAT model runs on WHAT, so a run
             # never starts in silence.
@@ -972,11 +1010,28 @@ class Predictor:
                     host_f = 1.0
                     if self._host_transform is not None:
                         frames, host_f = self._apply_host_resize(frames)
-                    if getattr(self.layer, "needs_gt_centroids", False):
-                        dev = self.layer.predict_async(
-                            frames, batch.gt_centroids, batch.gt_centroid_valid,
-                            batch.gt_centroid_vals,
+                    if self._batch_sharding is not None:
+                        # SPMD: commit the batch with its leading axis split
+                        # over the mesh; jnp.asarray inside the layer keeps
+                        # the committed sharding and jit runs one program
+                        # across all devices.
+                        import jax as _jax
+
+                        frames = _jax.device_put(
+                            np.ascontiguousarray(frames), self._batch_sharding
                         )
+                    if getattr(self.layer, "needs_gt_centroids", False):
+                        gt_args = (batch.gt_centroids, batch.gt_centroid_valid,
+                                   batch.gt_centroid_vals)
+                        if self._batch_sharding is not None:
+                            import jax as _jax
+
+                            gt_args = tuple(
+                                _jax.device_put(np.ascontiguousarray(a),
+                                                self._batch_sharding)
+                                for a in gt_args
+                            )
+                        dev = self.layer.predict_async(frames, *gt_args)
                     else:
                         dev = self.layer.predict_async(frames)
                     if fetch_thread is not None:

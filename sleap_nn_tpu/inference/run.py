@@ -121,6 +121,7 @@ def predict(
     max_instances: Optional[int] = None,
     batch_size: int = 4,
     use_bf16: bool = False,
+    data_parallel: bool = False,
     max_peaks: int = 200,
     min_line_scores: float = 0.25,
     paf_workers: int = 0,
@@ -431,6 +432,7 @@ def predict(
             max_instances=max_instances,
             batch_size=batch_size,
             use_bf16=use_bf16,
+            data_parallel=data_parallel,
             max_peaks=max_peaks,
             min_line_scores=min_line_scores,
             paf_workers=paf_workers,
