@@ -179,7 +179,14 @@ def legacy_config_mapper(legacy: dict) -> TrainingJobConfig:
         )
 
     outputs = legacy.get("outputs", {})
-    cfg.trainer_config.run_name = outputs.get("run_name")
+    # run_name = prefix + name + suffix (reference trainer_config.py:432-439
+    # intends this concatenation; its ternary has a precedence bug that
+    # returns the bare prefix — implement the documented intent instead).
+    _name = outputs.get("run_name") or ""
+    _prefix = outputs.get("run_name_prefix") or ""
+    _suffix = outputs.get("run_name_suffix") or ""
+    _full = f"{_prefix}{_name}{_suffix}"
+    cfg.trainer_config.run_name = _full if _full else None
     # Skeleton (for head autofill + prediction labels).
     skels = data.get("labels", {}).get("skeletons") or []
     if skels:

@@ -78,6 +78,28 @@ def test_legacy_preprocessing_scale_mapping():
     assert cfg.data_config.preprocessing.scale == want
 
 
+def test_legacy_run_name_prefix_suffix_concatenation():
+    # reference trainer_config.py:432-439 intends prefix+name+suffix (its
+    # ternary has a precedence bug); the mapper implements the intent.
+    raw = _legacy_cfg("minimal_robot.UNet.single_instance")
+    raw.setdefault("outputs", {})
+    raw["outputs"].update(
+        {"run_name": "run", "run_name_prefix": "pre.", "run_name_suffix": ".post"}
+    )
+    cfg = legacy_config_mapper(raw)
+    assert cfg.trainer_config.run_name == "pre.run.post"
+
+
+def test_legacy_run_name_all_empty_maps_to_none():
+    raw = _legacy_cfg("minimal_robot.UNet.single_instance")
+    raw.setdefault("outputs", {})
+    raw["outputs"].update(
+        {"run_name": None, "run_name_prefix": None, "run_name_suffix": None}
+    )
+    cfg = legacy_config_mapper(raw)
+    assert cfg.trainer_config.run_name is None
+
+
 # ── torch importer utilities ─────────────────────────────────────────────────
 
 
