@@ -15,10 +15,35 @@ import jax
 import jax.numpy as jnp
 
 
+def maybe_pack_level0(model, packed: Optional[bool] = None):
+    """Opt a UNet-backbone model into packed level-0 execution.
+
+    ``packed=None`` (auto) enables it on TPU for stem-less UNet backbones —
+    an exact layout transform (see ops/packed_conv.py) that sidesteps the
+    128-lane padding waste of narrow stride-1 convolutions. Identical
+    param tree, so the same checkpoint params apply unchanged. Returns the
+    (possibly rebuilt) model.
+    """
+    from sleap_nn_tpu.models.unet import UNet
+
+    backbone = getattr(model, "backbone", None)
+    if not isinstance(backbone, UNet):
+        return model
+    if backbone.stem_blocks > 0 or backbone.down_blocks < 2:
+        return model
+    if packed is None:
+        packed = jax.default_backend() == "tpu"
+    if not packed or backbone.packed_level0 == packed:
+        return model
+    return model.clone(backbone=backbone.clone(packed_level0=packed))
+
+
 class JaxBackend:
     """Jitted forward pass over replicated params."""
 
-    def __init__(self, model, params, use_bf16: bool = False):
+    def __init__(self, model, params, use_bf16: bool = False,
+                 packed_level0: Optional[bool] = None):
+        model = maybe_pack_level0(model, packed_level0)
         self.model = model
         self.params = params
         self.use_bf16 = use_bf16

@@ -102,11 +102,85 @@ class StemBlock(nn.Module):
         return max_pool_same(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder that mirrors ``nn.Conv``'s param tree exactly.
+
+    Declares ``kernel``/``bias`` with the same names, shapes, and
+    initializers as ``nn.Conv(features, (k, k))`` so a module can swap
+    between the standard conv and a custom evaluation (the space-to-depth
+    packed path) without changing checkpoints or fresh-init values.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class PackedConvBlock(nn.Module):
+    """``SimpleConvBlock(pool=False)`` evaluated in space-to-depth layout.
+
+    TPU-only optimization for narrow-channel stride-1 levels (see
+    ops/packed_conv.py): parameters are IDENTICAL to the plain block
+    (``conv{i}/kernel|bias``), the math is exact, only the layout differs —
+    input/output are packed ``(B, H/2, W/2, 4C)`` tensors so the level's
+    activations never hit HBM at the lane-padded full resolution.
+    """
+
+    filters: int
+    in_features: int
+    num_convs: int = 2
+    kernel_size: int = 3
+    activation: str = "relu"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_packed: jnp.ndarray) -> jnp.ndarray:
+        from sleap_nn_tpu.ops.packed_conv import packed_conv
+
+        act = get_act_fn(self.activation)
+        cin = self.in_features
+        for i in range(self.num_convs):
+            kernel, bias = _ConvParams(
+                features=self.filters,
+                in_features=cin,
+                kernel_size=self.kernel_size,
+                use_bias=self.use_bias,
+                name=f"conv{i}",
+            )()
+            x_packed = act(packed_conv(x_packed, kernel, bias))
+            cin = self.filters
+        return x_packed
+
+
 class Encoder(nn.Module):
     """Downsampling feature stack; returns bottleneck + skip features.
 
     Skip features are the outputs of each conv block (pre-final-pool),
     returned deepest-first to pair with the decoder's up blocks.
+
+    ``packed_level0``: evaluate the first (stride-1, un-pooled) block in
+    space-to-depth layout — exact math, same params, ~4x less HBM traffic
+    on lane-padding-bound narrow models (see ops/packed_conv.py). The
+    pixel-space skip feature is still emitted (XLA dead-code-eliminates it
+    when the decoder doesn't consume the stride-1 skip, i.e. whenever
+    output_stride >= 2). Requires even H/W and no stem; silently falls back
+    to the plain path otherwise.
     """
 
     filters: int
@@ -115,16 +189,46 @@ class Encoder(nn.Module):
     convs_per_block: int = 2
     kernel_size: int = 3
     stem_blocks: int = 0
+    packed_level0: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        from sleap_nn_tpu.ops.packed_conv import (
+            depth_to_space,
+            packed_phase_max_pool,
+            space_to_depth,
+        )
+
         features = []
+        use_packed = (
+            self.packed_level0
+            and self.stem_blocks == 0
+            and self.down_blocks >= 2
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         for block in range(self.down_blocks):
+            if block == 0 and use_packed:
+                xp = PackedConvBlock(
+                    filters=int(self.filters),
+                    in_features=int(x.shape[-1]),
+                    num_convs=self.convs_per_block,
+                    kernel_size=self.kernel_size,
+                    name="enc0",
+                )(space_to_depth(x))
+                # Pixel-space skip (dead code unless the decoder lifts all
+                # the way back to stride 1).
+                features.append(depth_to_space(xp))
+                # Block 1's pool-before, computed in packed space; block 1
+                # is then built WITHOUT its pool (pool has no params, so
+                # the param tree is unchanged).
+                x = packed_phase_max_pool(xp)
+                continue
             x = SimpleConvBlock(
                 filters=int(self.filters * (self.filters_rate ** (block + self.stem_blocks))),
                 num_convs=self.convs_per_block,
                 kernel_size=self.kernel_size,
-                pool=(block + self.stem_blocks) > 0,
+                pool=(block + self.stem_blocks) > 0 and not (block == 1 and use_packed),
                 pool_before_convs=True,
                 name=f"enc{block}",
             )(x)

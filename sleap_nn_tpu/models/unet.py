@@ -44,6 +44,11 @@ class UNet(nn.Module):
     block_contraction: bool = False
     stacks: int = 1
     trans_conv_phase: str = "torch"
+    # TPU layout optimization: evaluate the stride-1 encoder level in
+    # space-to-depth packing (exact math, identical params; see
+    # ops/packed_conv.py). Safe default-off; inference backends flip it on
+    # for narrow-channel models on TPU.
+    packed_level0: bool = False
 
     @property
     def max_stride(self) -> int:
@@ -153,6 +158,7 @@ class UNet(nn.Module):
                 convs_per_block=self.convs_per_block,
                 kernel_size=self.kernel_size,
                 stem_blocks=self.stem_blocks,
+                packed_level0=self.packed_level0 and i == 0,
                 name=f"stack{i}_enc",
             )(output)
 
