@@ -467,6 +467,11 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
         "achieved_tflops": round(achieved / 1e12, 2) if flops else None,
         "mfu": round(achieved / peak, 4) if flops else None,
         "vs_target_2000fps": round(fps / 2000.0, 2),
+        # Space-to-depth packed level-0 execution auto-enables for UNet
+        # backbones on TPU (inference/backends.py:maybe_pack_level0) —
+        # measured +8.7% fps on this row vs the plain layout (2026-08-18).
+        "packed_level0": backbone.startswith("unet") and
+        __import__("jax").default_backend() == "tpu",
     }
     if sol_compute is not None:
         row["speed_of_light_fps_compute"] = round(sol_compute, 0)

@@ -162,3 +162,8 @@ class TrainerConfig:
     )
     zmq: Optional[ZMQConfig] = field(default_factory=ZMQConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
+    # TPU-specific (no reference counterpart): evaluate the stride-1 UNet
+    # encoder level in space-to-depth packed layout during training — an
+    # exact transform with an identical param tree (ops/packed_conv.py).
+    # None = auto (on when running on TPU with a stem-less UNet backbone).
+    packed_level0: Optional[bool] = None

@@ -495,6 +495,13 @@ class ModelTrainer:
         self.model = Model.from_config(
             self.backbone_type, backbone_cfg, head_cfg, self.model_type
         )
+        # Packed level-0 execution (exact, same param tree) for narrow
+        # UNets on TPU — trainer_config.packed_level0: None=auto/on/off.
+        from sleap_nn_tpu.inference.backends import maybe_pack_level0
+
+        self.model = maybe_pack_level0(
+            self.model, getattr(cfg.trainer_config, "packed_level0", None)
+        )
         # Probe with a VAL sample: train tiles may carry a halo that the
         # train render crops away, so val shapes are the network's true
         # input shapes.
