@@ -293,6 +293,12 @@ class BaseDataset:
     ``process_negative_lf`` + negative-weighted loss).
     """
 
+    # Crop-level datasets (one sample per instance) have no frame-level
+    # sample to attach a negative to; they override this to False and
+    # negatives are skipped even if requested (the trainer also warns —
+    # reference custom_datasets.py:4862-4872).
+    supports_negative_frames = True
+
     def __init__(
         self,
         labels_list: Sequence[Labels],
@@ -356,7 +362,11 @@ class BaseDataset:
                     # negative (reference custom_datasets._collect_negative_frames
                     # reads labels.negative_frames); frames whose instances are
                     # all empty/OOB are annotation errors and just skipped.
-                    if self.use_negative_frames and is_negative_frame(lf):
+                    if (
+                        self.use_negative_frames
+                        and self.supports_negative_frames
+                        and is_negative_frame(lf)
+                    ):
                         neg = self._make_negative_sample(lf, video_idx)
                         if neg is not None:
                             self.samples.append(neg)
@@ -489,6 +499,8 @@ class BottomUpMultiClassDataset(BaseDataset):
 
 class CenteredInstanceDataset(BaseDataset):
     """One sample per (frame, instance): device-side crop at static size."""
+
+    supports_negative_frames = False
 
     def _append_samples(self, sample: Dict[str, Any]):
         for k in range(sample["num_instances"]):

@@ -166,6 +166,13 @@ def compute_loss(
         y_hat = preds[name]
         if name == "ClassVectorsHead":
             part = categorical_crossentropy(y_hat, y)
+            # DIAGNOSTIC: identity accuracy over valid (tracked) rows —
+            # reference TopDownMultiClass logs class accuracy each epoch.
+            valid = jnp.sum(y, axis=-1) > 0
+            hit = (jnp.argmax(y_hat, axis=-1) == jnp.argmax(y, axis=-1))
+            parts["class_accuracy"] = (
+                jnp.sum(hit * valid) / jnp.maximum(jnp.sum(valid), 1)
+            )
         elif name == "SegmentationHead":
             part = bce_dice_on_probs(
                 y_hat, y,

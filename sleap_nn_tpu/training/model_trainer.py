@@ -357,9 +357,28 @@ class ModelTrainer:
         self.key = jax.random.PRNGKey(seed)
 
         # datasets + loaders
+        use_negatives = cfg.data_config.use_negative_frames
+        if use_negatives and self.model_type in (
+            "centered_instance",
+            "multi_class_topdown",
+            "centered_instance_segmentation",
+        ):
+            # Crop-level models have no frame-level sample to attach a
+            # negative to (reference custom_datasets.py:4862-4872 disables
+            # with the same warning).
+            import warnings
+
+            warnings.warn(
+                f"use_negative_frames is enabled but model_type="
+                f"'{self.model_type}' operates at instance-crop level and "
+                f"does not support frame-level negatives. Negative frames "
+                f"will be disabled.",
+                stacklevel=2,
+            )
+            use_negatives = False
         ds_kwargs = dict(
             user_instances_only=cfg.data_config.user_instances_only,
-            use_negative_frames=cfg.data_config.use_negative_frames,
+            use_negative_frames=use_negatives,
             negative_loss_weight=cfg.data_config.negative_loss_weight,
             cache_mode="disk" if cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk" else "memory",
             cache_dir=cfg.data_config.cache_img_path,
@@ -942,7 +961,7 @@ class ModelTrainer:
                     loss, vparts = self._val_step(self.params, dbatch)
                     val_losses.append(loss)
                     for k, v in vparts.items():
-                        if k.startswith("confmap_"):
+                        if k.startswith("confmap_") or k == "class_accuracy":
                             val_part_sums.setdefault(k, []).append(v)
                 val_loss = float(np.mean([jax.device_get(l) for l in val_losses]))
 
@@ -961,10 +980,14 @@ class ModelTrainer:
                     "epoch_time_s": train_time,
                 }
                 for k, vals in part_sums.items():
-                    # fg/bg diagnostics carry their own full key names
-                    # (reference {stage}/confmap_loss_fg); per-head parts
-                    # get the _loss suffix.
-                    key = f"train/{k}" if k.startswith("confmap_") else f"train/{k}_loss"
+                    # fg/bg + accuracy diagnostics carry their own full key
+                    # names (reference {stage}/confmap_loss_fg); per-head
+                    # parts get the _loss suffix.
+                    key = (
+                        f"train/{k}"
+                        if k.startswith("confmap_") or k == "class_accuracy"
+                        else f"train/{k}_loss"
+                    )
                     logs[key] = float(np.mean([jax.device_get(v) for v in vals]))
                 for k, vals in val_part_sums.items():
                     logs[f"val/{k}"] = float(

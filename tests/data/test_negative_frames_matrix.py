@@ -202,3 +202,40 @@ def test_negative_loss_weight_accepts_default():
     cfg = TrainingJobConfig.load_yaml(REF_CFG)
     assert cfg.data_config.negative_loss_weight == 1.0
     verify_training_cfg(cfg)
+
+
+def test_crop_level_dataset_skips_negatives(labels):
+    """Centered-instance (crop-level) datasets have no frame-level sample
+    to attach a negative to: negatives are skipped even when requested
+    (reference custom_datasets.py:4862-4872 disables them with a warning)."""
+    ds_neg = make_dataset("centered_instance", [labels],
+                          ctx_for("centered_instance"),
+                          use_negative_frames=True)
+    ds_plain = make_dataset("centered_instance", [labels],
+                            ctx_for("centered_instance"),
+                            use_negative_frames=False)
+    assert len(ds_neg) == len(ds_plain)
+    assert ds_neg.supports_negative_frames is False
+    # And every sample still carries its crop selector — a mixed batch
+    # could otherwise KeyError at collate time.
+    for i in range(len(ds_neg)):
+        assert "center_idx" in ds_neg.samples[i]
+
+
+def test_trainer_warns_and_disables_negatives_for_crop_models(tmp_path):
+    import warnings as _w
+
+    from tests.training.test_trainer import make_cfg
+    from sleap_nn_tpu.training import ModelTrainer
+
+    cfg = make_cfg("centered_instance", tmp_path)
+    cfg.data_config.use_negative_frames = True
+    cfg.trainer_config.save_ckpt = False
+    cfg.trainer_config.max_epochs = 1
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        trainer = ModelTrainer.get_model_trainer_from_config(cfg)
+        trainer.setup()
+    assert any("does not support frame-level negatives" in str(r.message)
+               for r in rec)
+    assert trainer.train_ds.use_negative_frames is False
