@@ -411,7 +411,7 @@ def _inference_options(f):
                           "contour perimeter (0 disables)."),
         # -- SAM prompted-mask producer -------------------------------------------
         click.option("--mask-backend", "--mask_backend", "mask_backend",
-                     default=None, type=click.Choice(["sam", "sam3"],
+                     default=None, type=click.Choice(["sam", "sam_jax", "sam3"],
                                                      case_sensitive=False),
                      help="Produce instance masks from the poses in the input "
                           ".slp via a SAM backend (no trained model; omit "
@@ -990,7 +990,7 @@ def track(**kw):
 @cli.command("sam")
 @click.option("--data-path", "-i", required=True, type=click.Path(exists=True),
               help="Pose .slp/.pkg.slp to produce masks for.")
-@click.option("--mask-backend", required=True, type=click.Choice(["sam", "sam_legacy", "sam3"]),
+@click.option("--mask-backend", required=True, type=click.Choice(["sam", "sam_jax", "sam_legacy", "sam3"]),
               help="Explicit mask backend (no default).")
 @click.option("--output-path", "-o", default=None)
 @click.option("--prompt-mode", default="pose", show_default=True,

@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Union
 
 from sleap_nn_tpu.inference.sam.backends import (
     HFSamBackend,
+    JaxSamBackend,
     SamLegacyBackend,
     MaskBackend,
     Sam3Backend,
@@ -58,6 +59,7 @@ __all__ = [
     "MASK_BACKENDS",
     "MaskBackend",
     "HFSamBackend",
+    "JaxSamBackend",
     "SamLegacyBackend",
     "Sam3Backend",
     "SamSegmentationLayer",
@@ -88,7 +90,7 @@ __all__ = [
 ]
 
 #: Registered explicit backend names — selection has no default.
-MASK_BACKENDS = ("sam", "sam_legacy", "sam3")
+MASK_BACKENDS = ("sam", "sam_jax", "sam_legacy", "sam3")
 
 
 def get_mask_backend(
@@ -101,8 +103,10 @@ def get_mask_backend(
     """Build a mask backend by explicit name (reference sam/__init__.py:89).
 
     ``"sam"`` builds :class:`HFSamBackend` from a transformers SAM checkpoint;
-    ``"sam3"`` raises with an actionable message (SAM3 transformers support is
-    not in this environment). An omitted or unknown name raises ValueError.
+    ``"sam_jax"`` runs the same checkpoint natively in JAX on the accelerator
+    (:class:`JaxSamBackend`); ``"sam3"`` raises with an actionable message
+    (SAM3 transformers support is not in this environment). An omitted or
+    unknown name raises ValueError.
     """
     if mask_backend is None:
         raise ValueError(
@@ -111,6 +115,8 @@ def get_mask_backend(
     name = str(mask_backend).lower()
     if name == "sam":
         return HFSamBackend.from_pretrained(model_id=sam_model_id, device=device, **kwargs)
+    if name == "sam_jax":
+        return JaxSamBackend.from_pretrained(model_id=sam_model_id, device=device, **kwargs)
     if name == "sam_legacy":
         # The original `segment-anything` package (reference SAM1 backend);
         # sam_model_id doubles as the local checkpoint path here.

@@ -215,6 +215,203 @@ class HFSamBackend(MaskBackend):
         return out_masks, out_scores
 
 
+class JaxSamBackend(MaskBackend):
+    """SAM running natively in JAX on the accelerator (TPU-first backend).
+
+    Unlike :class:`HFSamBackend` (which executes the torch port on host CPU),
+    this backend runs the full SAM graph — ViT-det encoder, prompt encoder,
+    two-way mask decoder — as jitted JAX programs next to the pose models
+    (``models/sam_jax.py``; numerics verified against ``transformers``'
+    ``SamModel`` in ``tests/models/test_sam_jax.py``). The image is encoded
+    ONCE per frame; prompts decode in a single batched call padded to
+    power-of-two buckets so recompiles stay bounded.
+
+    Weights come from the same Hugging Face checkpoints the HF backend uses
+    (``facebook/sam-vit-base`` …), converted at load time.
+    """
+
+    def __init__(self, params, arch, clahe: bool = True,
+                 max_box_area_factor: float = 1.5, pred_iou_min: float = 0.88,
+                 use_bf16: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from sleap_nn_tpu.models.sam_jax import sam_decode, sam_image_encoder
+
+        self.arch = arch
+        self.clahe = bool(clahe)
+        self.max_box_area_factor = float(max_box_area_factor)
+        self.pred_iou_min = float(pred_iou_min)
+        if use_bf16:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), params
+            )
+        self._dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        self.params = jax.device_put(params)
+        dt = self._dtype
+        self._encode = jax.jit(
+            lambda p, x: sam_image_encoder(p, arch, x.astype(dt)))
+        self._decode_cache = {}
+        self._sam_decode = sam_decode
+
+    @classmethod
+    def from_pretrained(cls, model_id: str = "facebook/sam-vit-base",
+                        device: str = "cpu", **kwargs) -> "JaxSamBackend":
+        """Load an HF SAM checkpoint (local snapshot) into the JAX graph.
+
+        ``device`` is accepted for signature parity with the torch backends
+        and ignored — JAX places the params on its default device.
+        """
+        from sleap_nn_tpu.models.sam_jax import SamArch, convert_sam_state_dict
+
+        state_dict, config = cls._load_checkpoint(model_id)
+        arch = SamArch.from_hf_config(config)
+        params = convert_sam_state_dict(state_dict)
+        missing = [k for k in ("shared_image_embedding.positional_embedding",
+                               "mask_decoder.iou_token.weight")
+                   if k not in params]
+        if missing:
+            raise ValueError(
+                f"checkpoint {model_id!r} is missing SAM keys {missing}; is "
+                "this a SamModel checkpoint?"
+            )
+        kwargs.pop("device", None)
+        return cls(params, arch, **kwargs)
+
+    @staticmethod
+    def _load_checkpoint(model_id: str):
+        """(state_dict-like, config) — safetensors directly when local,
+        else through ``transformers.SamModel``."""
+        import json
+
+        snap = Path(str(model_id))
+        if not snap.is_dir():
+            from sleap_nn_tpu.models.pretrained import find_local_snapshot
+
+            found = find_local_snapshot(str(model_id))
+            snap = found if found is not None else None
+        if snap is not None and (snap / "model.safetensors").exists():
+            from safetensors.numpy import load_file
+
+            state = load_file(str(snap / "model.safetensors"))
+            config = json.loads((snap / "config.json").read_text())
+            return state, config
+        try:
+            from transformers import SamModel
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "mask_backend='sam_jax' needs either a local safetensors SAM "
+                "snapshot or `transformers` to fetch one."
+            ) from e
+        model = SamModel.from_pretrained(model_id)
+        return model.state_dict(), model.config
+
+    # -- preprocessing (mirrors SamProcessor: longest-edge resize, ImageNet
+    # normalize, zero-pad to square) --
+    _MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
+    _STD = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+
+    def _preprocess(self, rgb: np.ndarray):
+        import cv2
+
+        h, w = rgb.shape[:2]
+        size = self.arch.image_size
+        scale = size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        norm = (resized.astype(np.float32) - self._MEAN) / self._STD
+        padded = np.zeros((size, size, 3), np.float32)
+        padded[:nh, :nw] = norm
+        return padded[None], (nh, nw), scale
+
+    def _decode_fn(self, n_prompts: int, n_points: int, with_box: bool):
+        import jax
+
+        key = (n_prompts, n_points, with_box)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            arch = self.arch
+
+            dt = self._dtype
+
+            def run(params, emb, pts, labs, boxes):
+                return self._sam_decode(
+                    params, arch, emb,
+                    input_points=pts.astype(dt) if n_points else None,
+                    input_labels=labs if n_points else None,
+                    input_boxes=boxes.astype(dt) if with_box else None,
+                    multimask_output=True,
+                )
+
+            fn = jax.jit(run)
+            self._decode_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def masks(self, image, prompts):
+        import cv2
+        import jax.numpy as jnp
+
+        rgb = to_3ch(image, clahe=self.clahe)
+        orig_h, orig_w = rgb.shape[:2]
+        pixel, (nh, nw), scale = self._preprocess(rgb)
+        emb = self._encode(self.params, jnp.asarray(pixel))
+
+        n = len(prompts)
+        if n == 0:
+            return [], []
+        with_box = any(p.box is not None for p in prompts)
+        n_pts = max((0 if p.point_coords is None else len(p.point_coords))
+                    for p in prompts)
+        bp = self._bucket(n)
+        bn = self._bucket(max(n_pts, 1)) if n_pts else 0
+
+        pts = np.zeros((1, bp, max(bn, 1), 2), np.float32)
+        labs = np.full((1, bp, max(bn, 1)), -10, np.int32)
+        boxes = np.zeros((1, bp, 4), np.float32)
+        for i, p in enumerate(prompts):
+            if p.point_coords is not None and n_pts:
+                k = len(p.point_coords)
+                pts[0, i, :k] = np.asarray(p.point_coords, np.float32) * scale
+                labs[0, i, :k] = np.asarray(p.point_labels, np.int32)
+            if with_box:
+                # prompts lacking a box fall back to their reject box so the
+                # batched call stays uniform (HF requires per-prompt boxes).
+                src = p.box if p.box is not None else p.reject_box
+                boxes[0, i] = np.asarray(src, np.float32) * scale
+
+        fn = self._decode_fn(bp, bn, with_box)
+        low_masks, iou = fn(self.params, emb, jnp.asarray(pts),
+                            jnp.asarray(labs), jnp.asarray(boxes))
+        low_masks = np.asarray(low_masks, np.float32)[0]  # (bp, 3, m, m)
+        iou = np.asarray(iou, np.float32)[0]              # (bp, 3)
+
+        out_masks: List[np.ndarray] = []
+        out_scores: List[float] = []
+        size = self.arch.image_size
+        for i, p in enumerate(prompts):
+            cands = []
+            for c in range(low_masks.shape[1]):
+                up = cv2.resize(low_masks[i, c], (size, size),
+                                interpolation=cv2.INTER_LINEAR)
+                up = up[:nh, :nw]
+                full = cv2.resize(up, (orig_w, orig_h),
+                                  interpolation=cv2.INTER_LINEAR)
+                cands.append(full > 0.0)
+            cands = np.stack(cands)
+            b = pick_candidate(cands, iou[i], p.reject_box,
+                               self.max_box_area_factor)
+            out_masks.append(cands[b])
+            out_scores.append(float(iou[i, b]))
+        return out_masks, out_scores
+
+
 class SamLegacyBackend(MaskBackend):
     """SAM1 via the original ``segment-anything`` package (reference
     backends.py:347 lazily wraps the same predictor).
