@@ -1076,19 +1076,100 @@ def _flatten(metrics: dict, prefix: str = "") -> dict:
     return out
 
 
+def _json_safe(obj):
+    """Recursively convert metrics to JSON-serializable values
+    (reference: evaluation.py ``_metrics_to_json_safe``)."""
+    if isinstance(obj, dict):
+        return {str(k): _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return _json_safe(obj.tolist())
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def save_metrics_npz(metrics: dict, path):
-    """Save metrics to npz (flattened keys, reference contract)."""
+    """Save metrics npz readable by BOTH this framework and the reference.
+
+    Writes the reference's new format — one pickled dict under the
+    ``metrics`` key (reference ``_load_npz_metrics`` reads this first) —
+    plus our flattened dotted keys for flat consumers, plus the reference's
+    ``.json`` sibling so non-Python tools (the sleap-app metrics UI) can
+    read the numbers without unpickling object arrays.
+    """
+    import json
+
     flat = _flatten(metrics)
-    arrays = {}
+    arrays = {"metrics": np.asarray(metrics, dtype=object)}
     for k, v in flat.items():
+        if k == "metrics":
+            continue  # cannot collide with the pickled container key
         try:
             arrays[k] = np.asarray(v)
         except Exception:
             arrays[k] = np.asarray(str(v))
     np.savez(path, **arrays)
+    try:
+        Path(path).with_suffix(".json").write_text(
+            json.dumps(_json_safe(metrics), indent=2)
+        )
+    except (TypeError, ValueError, OSError):
+        pass  # the npz is the source of truth; the json sibling is best-effort
 
 
-def load_metrics(path) -> dict:
-    """Load a metrics npz back into a flat dict (reference: :1999)."""
-    with np.load(path, allow_pickle=True) as data:
-        return {k: data[k] for k in data.files}
+def _find_metrics_file(model_dir: Path, split: str, dataset_idx: int) -> Path:
+    """Reference ``_find_metrics_file`` semantics + our legacy naming.
+
+    Tries, in order: ``metrics.{split}.{idx}.npz`` (reference new format),
+    ``{split}_{idx}_pred_metrics.npz`` (reference old format),
+    ``metrics.{split}_{idx}.npz`` (this repo's pre-round-3 naming); if
+    split is "test" and nothing is found, falls back to "val".
+    """
+    for name in (
+        f"metrics.{split}.{dataset_idx}.npz",
+        f"{split}_{dataset_idx}_pred_metrics.npz",
+        f"metrics.{split}_{dataset_idx}.npz",
+    ):
+        p = model_dir / name
+        if p.exists():
+            return p
+    if split == "test":
+        return _find_metrics_file(model_dir, "val", dataset_idx)
+    return model_dir / f"metrics.{split}.{dataset_idx}.npz"
+
+
+def load_metrics(path, split: str = "test", dataset_idx: int = 0) -> dict:
+    """Load metrics from a model dir or npz file (reference: :1999).
+
+    Accepts a model directory (``split``/``dataset_idx`` select the file,
+    with the reference's test→val fallback) or a direct ``.npz`` path, in
+    any of three formats: the reference's pickled-``metrics`` new format,
+    the reference's old per-group object arrays, or this repo's flattened
+    dotted keys. The returned dict supports BOTH access styles —
+    ``m["mOKS"]["mOKS"]`` (reference nested) and ``m["mOKS.mOKS"]`` (flat).
+    """
+    p = Path(path)
+    if p.suffix != ".npz":
+        p = _find_metrics_file(p, split, dataset_idx)
+    if not p.exists():
+        raise FileNotFoundError(f"Metrics file not found at {p}")
+    with np.load(p, allow_pickle=True) as data:
+        if "metrics" in data.files:
+            nested = data["metrics"].item()
+            return {**_flatten(nested), **nested}
+        out = {}
+        for k in data.files:
+            v = data[k]
+            if v.dtype == object and v.shape == ():
+                # reference old format: per-group pickled sub-dicts
+                item = v.item()
+                out[k] = item
+                if isinstance(item, dict):
+                    out.update(_flatten({k: item}))
+            else:
+                out[k] = v
+        return out

@@ -4,7 +4,8 @@
 Model Info (run name, type, backbone/head summaries, params, skeleton),
 Data (train/val paths, preprocessing, augmentation), Training (optimizer,
 scheduler, early stopping), Training Results (from training_log.csv),
-Evaluation Metrics (from metrics.<split>_<idx>.npz), and Files (dir listing
+Evaluation Metrics (from metrics.<split>.<idx>.npz, any of the three
+historical naming conventions), and Files (dir listing
 with sizes). Accepts either a model directory or a bare training-config
 YAML (config-only sections in that case).
 """
@@ -162,9 +163,14 @@ def _load_available_metrics(model_dir: Path) -> Tuple[Optional[dict], str]:
 
     for split in ("val", "train", "test"):
         for idx in range(4):
-            p = model_dir / f"metrics.{split}_{idx}.npz"
-            if p.exists():
-                return load_metrics(p), split
+            for name in (
+                f"metrics.{split}.{idx}.npz",          # reference new format
+                f"{split}_{idx}_pred_metrics.npz",      # reference old format
+                f"metrics.{split}_{idx}.npz",           # this repo pre-round-3
+            ):
+                p = model_dir / name
+                if p.exists():
+                    return load_metrics(p), split
     return None, ""
 
 

@@ -46,7 +46,10 @@ def _eval_split(
         labels_gt,
         preds,
         match_method=match_method,
-        save_metrics=str(model_dir / f"metrics.{split}_{idx}.npz"),
+        # Reference model-dir contract: metrics.{split}.{idx}.npz (its
+        # load_metrics new-format naming; old names still load, see
+        # evaluation._find_metrics_file).
+        save_metrics=str(model_dir / f"metrics.{split}.{idx}.npz"),
     )
     return metrics
 

@@ -63,7 +63,8 @@ def test_train_command(trained_model):
     assert (d / "training_log.csv").exists()
     # post-training eval outputs
     assert (d / "labels_pr.train_0.slp").exists()
-    assert (d / "metrics.train_0.npz").exists()
+    assert (d / "metrics.train.0.npz").exists()  # reference naming contract
+    assert (d / "metrics.train.0.json").exists()  # json sibling for GUI tools
 
 
 def test_predict_command(trained_model, tmp_path):

@@ -438,7 +438,7 @@ def test_post_training_eval_on_test_file(tmp_path):
     run_training(cfg)
     run = tmp_path / "testsplit"
     assert (run / "labels_pr.test_0.slp").exists()
-    assert (run / "metrics.test_0.npz").exists()
+    assert (run / "metrics.test.0.npz").exists()  # reference naming contract
 
 
 def test_keyboard_interrupt_cleans_run_dir(tmp_path, monkeypatch):
