@@ -1086,36 +1086,47 @@ def _json_safe(obj):
     if isinstance(obj, np.ndarray):
         return _json_safe(obj.tolist())
     if isinstance(obj, np.generic):
-        return obj.item()
+        obj = obj.item()  # fall through: NaN/Inf scalars must become null
     if isinstance(obj, float) and not np.isfinite(obj):
         return None
+    return obj
+
+
+#: Keys pruned from the .json sibling (kept in the npz). These are bulk
+#: per-pair arrays that dominate JSON size and are unused by the metrics UI
+#: (reference evaluation.py ``_prune_json_bloat``).
+_JSON_PRUNE_KEYS = frozenset(
+    {"pcks", "dists", "oks_matrix", "per_pair", "all_pcks"}
+)
+
+
+def _prune_json_bloat(obj):
+    """Drop bulk array keys from a (nested) metrics dict for the JSON sibling."""
+    if isinstance(obj, dict):
+        return {
+            k: _prune_json_bloat(v)
+            for k, v in obj.items()
+            if k not in _JSON_PRUNE_KEYS
+        }
     return obj
 
 
 def save_metrics_npz(metrics: dict, path):
     """Save metrics npz readable by BOTH this framework and the reference.
 
-    Writes the reference's new format — one pickled dict under the
-    ``metrics`` key (reference ``_load_npz_metrics`` reads this first) —
-    plus our flattened dotted keys for flat consumers, plus the reference's
-    ``.json`` sibling so non-Python tools (the sleap-app metrics UI) can
-    read the numbers without unpickling object arrays.
+    Writes the reference's new format — one compressed pickled dict under
+    the ``metrics`` key (reference ``_load_npz_metrics`` reads this first;
+    flat dotted keys are synthesized on read by :func:`load_metrics`) —
+    plus the reference's ``.json`` sibling so non-Python tools (the
+    sleap-app metrics UI) can read the numbers without unpickling object
+    arrays. Bulk per-pair arrays are pruned from the JSON only.
     """
     import json
 
-    flat = _flatten(metrics)
-    arrays = {"metrics": np.asarray(metrics, dtype=object)}
-    for k, v in flat.items():
-        if k == "metrics":
-            continue  # cannot collide with the pickled container key
-        try:
-            arrays[k] = np.asarray(v)
-        except Exception:
-            arrays[k] = np.asarray(str(v))
-    np.savez(path, **arrays)
+    np.savez_compressed(path, metrics=np.asarray(metrics, dtype=object))
     try:
         Path(path).with_suffix(".json").write_text(
-            json.dumps(_json_safe(metrics), indent=2)
+            json.dumps(_json_safe(_prune_json_bloat(metrics)), indent=2)
         )
     except (TypeError, ValueError, OSError):
         pass  # the npz is the source of truth; the json sibling is best-effort

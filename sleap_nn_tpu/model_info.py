@@ -158,10 +158,17 @@ def _load_training_log(model_dir: Path) -> Optional[dict]:
 
 
 def _load_available_metrics(model_dir: Path) -> Tuple[Optional[dict], str]:
-    """First available metrics npz, preferring val (reference :149)."""
+    """Most recent metrics npz, preferring val (reference :149).
+
+    Split preference is val > train > test; within a split, all known filename
+    spellings are candidates and the most recently modified file wins, so a
+    re-run eval (or a hand-dropped metrics file) shadows an older one
+    regardless of which naming convention produced it.
+    """
     from sleap_nn_tpu.evaluation import load_metrics
 
     for split in ("val", "train", "test"):
+        candidates = []
         for idx in range(4):
             for name in (
                 f"metrics.{split}.{idx}.npz",          # reference new format
@@ -170,7 +177,10 @@ def _load_available_metrics(model_dir: Path) -> Tuple[Optional[dict], str]:
             ):
                 p = model_dir / name
                 if p.exists():
-                    return load_metrics(p), split
+                    candidates.append(p)
+        if candidates:
+            latest = max(candidates, key=lambda p: p.stat().st_mtime)
+            return load_metrics(latest), split
     return None, ""
 
 

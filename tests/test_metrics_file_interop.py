@@ -101,7 +101,11 @@ def test_json_sibling_written_and_json_safe(tmp_path):
     assert sib.exists()
     d = json.loads(sib.read_text())
     assert d["mOKS"]["mOKS"] == 0.91
-    assert d["distance_metrics"]["dists"] == [1.0, 4.0]  # ndarray -> list
+    # Bulk per-pair arrays are pruned from the JSON sibling (kept in the
+    # npz) — reference _prune_json_bloat behavior.
+    assert "dists" not in d["distance_metrics"]
+    m = load_metrics(p)
+    assert list(np.asarray(m["distance_metrics"]["dists"])) == [1.0, 4.0]
 
 
 def test_json_sibling_nan_becomes_null(tmp_path):
@@ -109,6 +113,19 @@ def test_json_sibling_nan_becomes_null(tmp_path):
     save_metrics_npz({"distance_metrics": {"avg": float("nan")}}, p)
     d = json.loads((tmp_path / "m.json").read_text())
     assert d["distance_metrics"]["avg"] is None
+
+
+def test_json_sibling_numpy_nan_scalar_becomes_null(tmp_path):
+    # np.generic NaN (the common "no matches" mOKS case) must serialize as
+    # null, not a bare NaN token that JSON.parse rejects.
+    p = tmp_path / "m.npz"
+    save_metrics_npz(
+        {"mOKS": {"mOKS": np.float64("nan"), "inf": np.float32("inf")}}, p
+    )
+    text = (tmp_path / "m.json").read_text()
+    assert "NaN" not in text and "Infinity" not in text
+    d = json.loads(text)
+    assert d["mOKS"]["mOKS"] is None and d["mOKS"]["inf"] is None
 
 
 def test_model_info_discovers_reference_fixture_metrics(capsys):
