@@ -294,13 +294,18 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
 
 
 def program_cost(predictor, sample_batch, batch: int) -> tuple:
-    """(FLOPs, bytes accessed) of ONE compiled layer-program execution.
+    """(FLOPs, pre-fusion bytes, post-fusion bytes) of ONE compiled
+    layer-program execution.
 
-    From XLA's cost analysis on the compiled HLO. 'bytes accessed' counts
-    each op's operands+outputs BEFORE fusion, so it upper-bounds real HBM
-    traffic — use it as a roofline indicator, not a measurement.
+    FLOPs and 'bytes accessed' come from XLA's cost analysis; 'bytes
+    accessed' counts each op's operands+outputs BEFORE fusion, so it
+    upper-bounds real HBM traffic. The third value parses the OPTIMIZED
+    HLO (ops/hlo_cost.py) — fusion-boundary tensors with their real padded
+    layouts — which is the honest memory-roofline denominator.
     """
     import jax.numpy as jnp
+
+    from sleap_nn_tpu.ops.hlo_cost import compiled_traffic
 
     layer = predictor.layer
     fn = getattr(layer, "_full", None) or layer._fn
@@ -309,14 +314,23 @@ def program_cost(predictor, sample_batch, batch: int) -> tuple:
         jitted = getattr(fn, "jitted", None)
         if jitted is not None:
             params = [b.params for b in fn.backends]
-            cost = jitted.lower(params, x0).compile().cost_analysis()
+            compiled = jitted.lower(params, x0).compile()
         else:
-            cost = fn.lower(x0).compile().cost_analysis()
+            compiled = fn.lower(x0).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))
+        try:
+            post = float(compiled_traffic(compiled, top_k=0)["total_bytes"])
+        except Exception:
+            post = 0.0
+        return (
+            float(cost.get("flops", 0.0)),
+            float(cost.get("bytes accessed", 0.0)),
+            post,
+        )
     except Exception:
-        return 0.0, 0.0
+        return 0.0, 0.0, 0.0
 
 
 def program_flops(predictor, sample_batch, batch: int) -> float:
@@ -450,11 +464,14 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
         0, 255, (batch, img, img, 1), dtype=np.uint8
     )
     ms = bench_forward(shim, x, batch=batch, n_iters=n_iters)
-    flops, byts = program_cost(shim, x, batch)
+    flops, byts, postfusion_byts = program_cost(shim, x, batch)
     fps = batch / ms * 1000.0
     achieved = flops / (ms / 1000.0) if flops else 0.0
     sol_compute = peak / (flops / batch) if flops else None
     sol_memory = _hbm_bw() / (byts / batch) if byts else None
+    sol_memory_post = (
+        _hbm_bw() / (postfusion_byts / batch) if postfusion_byts else None
+    )
     row = {
         "fps_per_chip": round(fps, 1),
         "ms_per_batch": round(ms, 3),
@@ -467,24 +484,36 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
         "achieved_tflops": round(achieved / 1e12, 2) if flops else None,
         "mfu": round(achieved / peak, 4) if flops else None,
         "vs_target_2000fps": round(fps / 2000.0, 2),
-        # Space-to-depth packed level-0 execution auto-enables for UNet
-        # backbones on TPU (inference/backends.py:maybe_pack_level0) —
-        # measured +8.7% fps on this row vs the plain layout (2026-08-18).
-        "packed_level0": backbone.startswith("unet") and
-        __import__("jax").default_backend() == "tpu",
+        # Space-to-depth packed execution auto-enables for narrow UNet
+        # backbones on TPU (inference/backends.py:maybe_pack_level0 +
+        # choose_packed_levels): encoder levels with C<=48, the decoder
+        # up-blocks consuming their skips, and the bound heads.
+        "packed_levels": (
+            2 if backbone == "unet_medium_rf" else
+            (1 if backbone.startswith("unet") else 0)
+        ) if __import__("jax").default_backend() == "tpu" else 0,
     }
     if sol_compute is not None:
         row["speed_of_light_fps_compute"] = round(sol_compute, 0)
         row["speed_of_light_fps_memory_lb"] = (
             round(sol_memory, 0) if sol_memory else None
         )
-        row["bound"] = (
-            "memory" if sol_memory and sol_memory < sol_compute else "compute"
-        )
-        # fraction of the binding (tighter) physical limit actually achieved;
-        # bytes are pre-fusion so the memory limit is a lower bound and this
-        # fraction can exceed 1 on well-fused programs.
-        binding = min(x_ for x_ in (sol_compute, sol_memory) if x_)
+        if sol_memory_post:
+            # POST-fusion bytes (optimized-HLO parse incl. layout padding,
+            # ops/hlo_cost.py): the honest memory roofline.
+            row["speed_of_light_fps_memory_postfusion"] = round(sol_memory_post, 0)
+            row["postfusion_mb_per_frame"] = round(
+                postfusion_byts / batch / 1e6, 1
+            )
+        binding_candidates = [sol_compute]
+        if sol_memory_post:
+            binding_candidates.append(sol_memory_post)
+        elif sol_memory:
+            binding_candidates.append(sol_memory)
+        binding = min(binding_candidates)
+        row["bound"] = "compute" if binding == sol_compute else "memory"
+        # fraction of the binding (tighter) physical limit actually achieved,
+        # against the post-fusion memory roofline when available.
         row["fraction_of_roofline"] = round(fps / binding, 3)
     return row
 
@@ -720,21 +749,63 @@ def main():
     extra["peak_tflops_assumed"] = round(peak / 1e12, 1)
 
     device = platform
-    print(
-        json.dumps(
-            {
-                "metric": f"topdown_inference_fps_{device}",
-                "value": round(headline_fps, 2),
-                "unit": (
-                    f"frames/sec (320x560 small_robot, batch={BATCH_SIZE}, e2e "
-                    f"incl. decode; best of {N_REPEATS}; reference fixture "
-                    f"ckpts via torch importer)"
-                ),
-                "vs_baseline": round(headline_vs, 3),
-                "extra": extra,
+    # The driver tail-captures stdout, and round-3's full `extra` outgrew the
+    # capture (BENCH_r03 `parsed: null`, headline truncated). Emit the FULL
+    # record to BENCH_DETAIL.json in the repo, and keep the final stdout line
+    # compact (<2 kB): headline + one summary row per family + north
+    # star + production summary.
+    result = {
+        "metric": f"topdown_inference_fps_{device}",
+        "value": round(headline_fps, 2),
+        "unit": (
+            f"frames/sec (320x560 small_robot, batch={BATCH_SIZE}, e2e "
+            f"incl. decode; best of {N_REPEATS}; reference fixture "
+            f"ckpts via torch importer)"
+        ),
+        "vs_baseline": round(headline_vs, 3),
+        "extra": extra,
+    }
+    try:
+        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        detail_path.write_text(json.dumps(result, indent=2) + "\n")
+    except OSError:
+        detail_path = None
+
+    compact = {}
+    for fam in ("single_instance", "centroid", "topdown", "bottomup"):
+        row = extra.get(fam)
+        if isinstance(row, dict):
+            compact[fam] = {
+                k: row[k]
+                for k in ("e2e_fps", "e2e_vs_a40", "e2e_vs_achievable")
+                if k in row
             }
+    if isinstance(extra.get("north_star"), dict):
+        compact["north_star"] = extra["north_star"]
+    prod_compact = {}
+    for name, row in (extra.get("production") or {}).items():
+        if isinstance(row, dict):
+            prod_compact[name] = {
+                k: row[k]
+                for k in ("fps_per_chip", "mfu", "bound",
+                          "fraction_of_roofline", "vs_target_2000fps",
+                          "error", "skipped")
+                if k in row
+            }
+        else:
+            prod_compact[name] = row
+    if prod_compact:
+        compact["production"] = prod_compact
+    compact["mfu"] = extra.get("mfu")
+    compact["detail_file"] = str(detail_path) if detail_path else "unwritable"
+    line = json.dumps({**{k: result[k] for k in
+                          ("metric", "value", "unit", "vs_baseline")},
+                       "extra": compact})
+    if len(line) > 4000:  # hard backstop: never let the headline truncate
+        line = json.dumps(
+            {k: result[k] for k in ("metric", "value", "unit", "vs_baseline")}
         )
-    )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

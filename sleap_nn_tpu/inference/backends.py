@@ -15,14 +15,37 @@ import jax
 import jax.numpy as jnp
 
 
-def maybe_pack_level0(model, packed: Optional[bool] = None):
-    """Opt a UNet-backbone model into packed level-0 execution.
+def choose_packed_levels(backbone) -> int:
+    """How many leading encoder levels to run space-to-depth packed.
+
+    Pack while the level's channel count leaves most of the 128-lane tile
+    padded (C <= 48 keeps the packed 4C <= 192, a clear traffic win) —
+    each packed level trades ~4x FLOPs on that level for ~2-4x less HBM
+    traffic, the right trade only while the model is memory-bound there.
+    Capped at 2 levels: by level 2 the maps are 4x smaller and the FLOP
+    multiplier starts to matter more than the shrinking padding waste.
+    """
+    n = 0
+    for b in range(min(2, backbone.down_blocks - 1)):
+        c = int(backbone.filters * (backbone.filters_rate ** b))
+        if c <= 48:
+            n += 1
+        else:
+            break
+    return n
+
+
+def maybe_pack_level0(model, packed=None):
+    """Opt a UNet-backbone model into packed (space-to-depth) execution.
 
     ``packed=None`` (auto) enables it on TPU for stem-less UNet backbones —
     an exact layout transform (see ops/packed_conv.py) that sidesteps the
-    128-lane padding waste of narrow stride-1 convolutions. Identical
-    param tree, so the same checkpoint params apply unchanged. Returns the
-    (possibly rebuilt) model.
+    128-lane padding waste of narrow-channel convolutions, applied to the
+    first `choose_packed_levels` encoder levels, the decoder up-blocks
+    consuming their skips, and the bound 1x1 heads. Identical param tree,
+    so the same checkpoint params apply unchanged. ``packed`` may also be
+    an int to force an exact packed depth. Returns the (possibly rebuilt)
+    model.
     """
     from sleap_nn_tpu.models.unet import UNet
 
@@ -31,11 +54,15 @@ def maybe_pack_level0(model, packed: Optional[bool] = None):
         return model
     if backbone.stem_blocks > 0 or backbone.down_blocks < 2:
         return model
-    if packed is None:
-        packed = jax.default_backend() == "tpu"
-    if not packed or backbone.packed_level0 == packed:
+    if isinstance(packed, bool) or packed is None:
+        if packed is None:
+            packed = jax.default_backend() == "tpu"
+        target = choose_packed_levels(backbone) if packed else 0
+    else:
+        target = int(packed)
+    if backbone.packed_levels == target:
         return model
-    return model.clone(backbone=backbone.clone(packed_level0=packed))
+    return model.clone(backbone=backbone.clone(packed_levels=target))
 
 
 class JaxBackend:

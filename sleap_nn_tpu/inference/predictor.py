@@ -213,6 +213,10 @@ class Predictor:
         max_instances: Optional[int] = None,
         batch_size: int = 4,
         use_bf16: bool = False,
+        # Space-to-depth packed execution depth: None = auto (on for narrow
+        # UNets on TPU, see inference/backends.py:choose_packed_levels),
+        # False/0 = off, True = auto depth, int = exact level count.
+        packed_level0=None,
         max_peaks: int = 200,
         k_per_node: int = 20,
         min_line_scores: float = 0.25,
@@ -354,7 +358,8 @@ class Predictor:
         made_backends: List[JaxBackend] = []
 
         def backend_for(m: LoadedModel) -> JaxBackend:
-            b = JaxBackend(m.model, m.params, use_bf16=use_bf16)
+            b = JaxBackend(m.model, m.params, use_bf16=use_bf16,
+                           packed_level0=packed_level0)
             made_backends.append(b)
             return b
 

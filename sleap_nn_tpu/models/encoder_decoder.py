@@ -174,13 +174,16 @@ class Encoder(nn.Module):
     Skip features are the outputs of each conv block (pre-final-pool),
     returned deepest-first to pair with the decoder's up blocks.
 
-    ``packed_level0``: evaluate the first (stride-1, un-pooled) block in
-    space-to-depth layout — exact math, same params, ~4x less HBM traffic
-    on lane-padding-bound narrow models (see ops/packed_conv.py). The
-    pixel-space skip feature is still emitted (XLA dead-code-eliminates it
-    when the decoder doesn't consume the stride-1 skip, i.e. whenever
-    output_stride >= 2). Requires even H/W and no stem; silently falls back
-    to the plain path otherwise.
+    ``packed_levels``: evaluate the first N encoder levels in
+    space-to-depth layout — exact math, same params, sidestepping the
+    128-lane padding waste of narrow-channel megapixel activations (see
+    ops/packed_conv.py). Level b runs on cells of pixel stride 2^(b+1);
+    level-to-level pooling + repacking never materializes the pixel map
+    (`packed_pool_s2d`). Pixel-space skips are still emitted for each
+    packed level (XLA dead-code-eliminates them when the decoder consumes
+    the PACKED skip instead — the third return value). Requires no stem
+    and H/W divisible by 2^(packed_levels+1); silently reduces the packed
+    depth otherwise.
     """
 
     filters: int
@@ -189,52 +192,66 @@ class Encoder(nn.Module):
     convs_per_block: int = 2
     kernel_size: int = 3
     stem_blocks: int = 0
-    packed_level0: bool = False
+    packed_levels: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[Optional[jnp.ndarray]]]:
         from sleap_nn_tpu.ops.packed_conv import (
             depth_to_space,
             packed_phase_max_pool,
+            packed_pool_s2d,
             space_to_depth,
         )
 
-        features = []
-        use_packed = (
-            self.packed_level0
-            and self.stem_blocks == 0
-            and self.down_blocks >= 2
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        )
-        for block in range(self.down_blocks):
-            if block == 0 and use_packed:
+        n_packed = min(self.packed_levels, self.down_blocks - 1)
+        if self.stem_blocks > 0:
+            n_packed = 0
+        while n_packed > 0 and (
+            x.shape[1] % (2 ** (n_packed + 1)) != 0
+            or x.shape[2] % (2 ** (n_packed + 1)) != 0
+        ):
+            n_packed -= 1
+
+        features: List[jnp.ndarray] = []
+        packed_features: List[Optional[jnp.ndarray]] = [None] * self.down_blocks
+        if n_packed > 0:
+            xp = space_to_depth(x)
+            c_in = int(x.shape[-1])
+            for b in range(n_packed):
+                f_b = int(self.filters * (self.filters_rate ** b))
                 xp = PackedConvBlock(
-                    filters=int(self.filters),
-                    in_features=int(x.shape[-1]),
+                    filters=f_b,
+                    in_features=c_in,
                     num_convs=self.convs_per_block,
                     kernel_size=self.kernel_size,
-                    name="enc0",
-                )(space_to_depth(x))
-                # Pixel-space skip (dead code unless the decoder lifts all
-                # the way back to stride 1).
+                    name=f"enc{b}",
+                )(xp)
+                # Pixel-space skip (dead code when the decoder takes the
+                # packed skip or never lifts to this stride).
                 features.append(depth_to_space(xp))
-                # Block 1's pool-before, computed in packed space; block 1
-                # is then built WITHOUT its pool (pool has no params, so
-                # the param tree is unchanged).
-                x = packed_phase_max_pool(xp)
-                continue
+                packed_features[b] = xp
+                if b + 1 < n_packed:
+                    xp = packed_pool_s2d(xp)  # next level's pooled, packed
+                    c_in = f_b
+            # First unpacked block's pool-before, computed in packed space;
+            # that block is then built WITHOUT its pool (pool has no
+            # params, so the param tree is unchanged).
+            x = packed_phase_max_pool(xp)
+        for block in range(n_packed, self.down_blocks):
             x = SimpleConvBlock(
                 filters=int(self.filters * (self.filters_rate ** (block + self.stem_blocks))),
                 num_convs=self.convs_per_block,
                 kernel_size=self.kernel_size,
-                pool=(block + self.stem_blocks) > 0 and not (block == 1 and use_packed),
+                pool=(block + self.stem_blocks) > 0
+                and not (n_packed > 0 and block == n_packed),
                 pool_before_convs=True,
                 name=f"enc{block}",
             )(x)
             features.append(x)
         x = max_pool_same(x)
-        return x, features[::-1]
+        return x, features[::-1], packed_features[::-1]
 
 
 class SimpleUpsamplingBlock(nn.Module):
@@ -287,6 +304,61 @@ class SimpleUpsamplingBlock(nn.Module):
             )(x)
             x = nn.relu(x)
         return x
+
+
+class PackedUpsamplingBlock(nn.Module):
+    """`SimpleUpsamplingBlock` (bilinear up + concat skip + refine convs)
+    evaluated in space-to-depth layout.
+
+    TPU layout optimization (see ops/packed_conv.py): parameters are
+    IDENTICAL to the plain block (``refine_conv{i}/kernel|bias``); the
+    bilinear-upsample + first refine conv collapse into ONE conv on the
+    pre-upsample feature (`packed_upsample_conv`, exact incl. borders),
+    the skip contribution is a packed conv of the PACKED skip, and the
+    concat never exists — so none of the sub-128-channel full-resolution
+    tensors (upsampled x, concat, refine outputs) ever hit HBM at the
+    128-lane-padded full size. Output is the packed (B, H/2, W/2, 4C)
+    form of the pixel-space block output. k=3, bilinear-up, with-skip
+    only (the caller gates).
+    """
+
+    refine_convs_filters: int
+    skip_channels: int  # per-phase channels of the packed skip
+    refine_convs: int = 2
+    kernel_size: int = 3
+    in_channels: int = 0  # channels of the pre-upsample input x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip_packed: jnp.ndarray) -> jnp.ndarray:
+        from sleap_nn_tpu.ops.packed_conv import (
+            pack_conv_bias,
+            packed_conv,
+            packed_upsample_conv,
+        )
+
+        cin = self.skip_channels + int(x.shape[-1])
+        k0, b0 = _ConvParams(
+            features=self.refine_convs_filters,
+            in_features=cin,
+            kernel_size=self.kernel_size,
+            name="refine_conv0",
+        )()
+        # concat order is [skip, upsampled-x] (SimpleUpsamplingBlock), so
+        # the leading skip_channels of the kernel act on the skip.
+        w_skip = k0[:, :, : self.skip_channels, :]
+        w_up = k0[:, :, self.skip_channels :, :]
+        y = packed_upsample_conv(x, w_up) + packed_conv(skip_packed, w_skip)
+        y = nn.relu(y + pack_conv_bias(b0).astype(y.dtype))
+        c = self.refine_convs_filters
+        for i in range(1, self.refine_convs):
+            ki, bi = _ConvParams(
+                features=self.refine_convs_filters,
+                in_features=c,
+                kernel_size=self.kernel_size,
+                name=f"refine_conv{i}",
+            )()
+            y = nn.relu(packed_conv(y, ki, bi))
+        return y
 
 
 def decoder_block_filters(
@@ -342,23 +414,58 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, features: Sequence[jnp.ndarray]
+        self,
+        x: jnp.ndarray,
+        features: Sequence[jnp.ndarray],
+        packed_features: Optional[Sequence[Optional[jnp.ndarray]]] = None,
     ) -> dict:
-        outputs = {"intermediate_feat": x, "outputs": [], "strides": self.strides}
+        from sleap_nn_tpu.ops.packed_conv import depth_to_space
+
+        outputs = {
+            "intermediate_feat": x,
+            "outputs": [],
+            "strides": self.strides,
+            "packed_outputs": {},
+        }
         stride = self.current_stride
         for block in range(self.up_blocks):
             no_skip = self.stem_blocks > 0 and block >= self.down_blocks + self.stem_blocks
             feature = features[block] if (block < len(features) and not no_skip) else None
-            x = SimpleUpsamplingBlock(
-                refine_convs_filters=self.block_filters(block),
-                refine_convs=1 if no_skip else self.convs_per_block,
-                kernel_size=self.kernel_size,
-                up_interpolate=self.up_interpolate,
-                transpose_convs_filters=self.block_filters(block),
-                feat_concat=not no_skip,
-                trans_conv_phase=self.trans_conv_phase,
-                name=f"dec{block}_s{stride}_to_s{stride // 2}",
-            )(x, feature)
+            packed_skip = (
+                packed_features[block]
+                if (packed_features is not None and block < len(packed_features) and not no_skip)
+                else None
+            )
+            name = f"dec{block}_s{stride}_to_s{stride // 2}"
+            if (
+                packed_skip is not None
+                and self.up_interpolate
+                and self.kernel_size == 3
+                and x.shape[1] == packed_skip.shape[1]
+                and x.shape[2] == packed_skip.shape[2]
+            ):
+                y_packed = PackedUpsamplingBlock(
+                    refine_convs_filters=self.block_filters(block),
+                    skip_channels=int(packed_skip.shape[-1]) // 4,
+                    refine_convs=self.convs_per_block,
+                    kernel_size=self.kernel_size,
+                    name=name,
+                )(x, packed_skip)
+                # Pixel-space view for plain consumers; DCE'd when the
+                # head runs on the packed tensor instead.
+                x = depth_to_space(y_packed)
+                outputs["packed_outputs"][stride // 2] = y_packed
+            else:
+                x = SimpleUpsamplingBlock(
+                    refine_convs_filters=self.block_filters(block),
+                    refine_convs=1 if no_skip else self.convs_per_block,
+                    kernel_size=self.kernel_size,
+                    up_interpolate=self.up_interpolate,
+                    transpose_convs_filters=self.block_filters(block),
+                    feat_concat=not no_skip,
+                    trans_conv_phase=self.trans_conv_phase,
+                    name=name,
+                )(x, feature)
             stride //= 2
             outputs["outputs"].append(x)
         return outputs

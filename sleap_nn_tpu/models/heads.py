@@ -20,13 +20,34 @@ from sleap_nn_tpu.models.encoder_decoder import get_act_fn
 
 
 class ConvHeadLayer(nn.Module):
-    """1x1 conv + activation head layer."""
+    """1x1 conv + activation head layer.
+
+    ``packed=True`` consumes a space-to-depth PACKED feature (B, H/2, W/2,
+    4C) and returns the pixel-space (B, H, W, channels) output — identical
+    params (``head_conv/kernel|bias``) and math, but the 1x1 conv runs in
+    packed layout (block-diagonal over phases) so the sub-128-channel
+    full-resolution feature never materializes lane-padded in HBM (see
+    ops/packed_conv.py).
+    """
 
     channels: int
     activation: str = "identity"
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.packed:
+            from sleap_nn_tpu.models.encoder_decoder import _ConvParams
+            from sleap_nn_tpu.ops.packed_conv import depth_to_space, packed_conv
+
+            kernel, bias = _ConvParams(
+                features=self.channels,
+                in_features=int(x.shape[-1]) // 4,
+                kernel_size=1,
+                name="head_conv",
+            )()
+            y = packed_conv(x, kernel, bias)
+            return depth_to_space(get_act_fn(self.activation)(y))
         x = nn.Conv(self.channels, (1, 1), padding="SAME", name="head_conv")(x)
         return get_act_fn(self.activation)(x)
 
@@ -89,8 +110,13 @@ class Head:
     def loss_function(self) -> str:
         return "mse"
 
-    def make_layer(self) -> nn.Module:
-        return ConvHeadLayer(channels=self.channels, activation=self.activation, name=self.name)
+    def make_layer(self, packed: bool = False) -> nn.Module:
+        return ConvHeadLayer(
+            channels=self.channels,
+            activation=self.activation,
+            packed=packed,
+            name=self.name,
+        )
 
 
 @dataclass(frozen=True)
@@ -177,7 +203,8 @@ class ClassVectorsHead(Head):
     def loss_function(self) -> str:
         return "categorical_crossentropy"
 
-    def make_layer(self) -> nn.Module:
+    def make_layer(self, packed: bool = False) -> nn.Module:
+        # class-vectors layer pools globally; packed layout does not apply
         return ClassVectorsHeadLayer(
             channels=self.channels,
             num_fc_layers=self.num_fc_layers,

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from sleap_nn_tpu.models.heads import (
     CenteredInstanceConfmapsHead,
+    ConvHeadLayer,
     CenterOffsetHead,
     CentroidConfmapsHead,
     ClassMapsHead,
@@ -221,12 +222,16 @@ class Model(nn.Module):
 
         outputs = {}
         strides = backbone_outputs["strides"]
+        packed = backbone_outputs.get("packed_outputs") or {}
         for head in self.heads:
-            layer = head.make_layer()
             if not backbone_outputs["outputs"]:
-                outputs[head.name] = layer(backbone_outputs["middle_output"])
+                outputs[head.name] = head.make_layer()(
+                    backbone_outputs["middle_output"]
+                )
             elif isinstance(head, ClassVectorsHead):
-                outputs[head.name] = layer(backbone_outputs["intermediate_feat"])
+                outputs[head.name] = head.make_layer()(
+                    backbone_outputs["intermediate_feat"]
+                )
             else:
                 if head.output_stride not in strides:
                     raise ValueError(
@@ -234,5 +239,19 @@ class Model(nn.Module):
                         f"{head.output_stride}, but backbone produces {strides}."
                     )
                 idx = strides.index(head.output_stride)
-                outputs[head.name] = layer(backbone_outputs["outputs"][idx])
+                if head.output_stride in packed:
+                    # Packed decoder output: run the 1x1 head conv in packed
+                    # layout (same params, exact math; the pixel-space
+                    # decoder feature is then dead code). See heads.py.
+                    layer = head.make_layer(packed=True)
+                    if isinstance(layer, ConvHeadLayer) and layer.packed:
+                        outputs[head.name] = layer(packed[head.output_stride])
+                    else:
+                        outputs[head.name] = layer(
+                            backbone_outputs["outputs"][idx]
+                        )
+                else:
+                    outputs[head.name] = head.make_layer()(
+                        backbone_outputs["outputs"][idx]
+                    )
         return outputs

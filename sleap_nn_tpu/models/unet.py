@@ -44,11 +44,12 @@ class UNet(nn.Module):
     block_contraction: bool = False
     stacks: int = 1
     trans_conv_phase: str = "torch"
-    # TPU layout optimization: evaluate the stride-1 encoder level in
+    # TPU layout optimization: evaluate the first N encoder levels (and any
+    # decoder up-block consuming their skips, plus the bound heads) in
     # space-to-depth packing (exact math, identical params; see
     # ops/packed_conv.py). Safe default-off; inference backends flip it on
     # for narrow-channel models on TPU.
-    packed_level0: bool = False
+    packed_levels: int = 0
 
     @property
     def max_stride(self) -> int:
@@ -151,14 +152,14 @@ class UNet(nn.Module):
         output = stem_output
         result = None
         for i in range(self.stacks):
-            encoded, features = Encoder(
+            encoded, features, packed_features = Encoder(
                 filters=self.filters,
                 down_blocks=self.down_blocks,
                 filters_rate=self.filters_rate,
                 convs_per_block=self.convs_per_block,
                 kernel_size=self.kernel_size,
                 stem_blocks=self.stem_blocks,
-                packed_level0=self.packed_level0 and i == 0,
+                packed_levels=self.packed_levels if i == 0 else 0,
                 name=f"stack{i}_enc",
             )(output)
 
@@ -182,8 +183,11 @@ class UNet(nn.Module):
 
             if self.stem_blocks > 0:
                 features = list(features) + [stem_output]
+                packed_features = list(packed_features) + [None]
 
-            result = self._decoder_def(name=f"stack{i}_dec")(middle, features)
+            result = self._decoder_def(name=f"stack{i}_dec")(
+                middle, features, packed_features
+            )
             result["middle_output"] = middle
             output = result["outputs"][-1] if result["outputs"] else middle
         return result

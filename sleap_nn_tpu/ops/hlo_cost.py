@@ -1,0 +1,290 @@
+"""Post-fusion HBM traffic estimation from compiled XLA programs.
+
+``compiled.cost_analysis()['bytes accessed']`` sums every op's operands and
+outputs BEFORE fusion, so on elementwise-heavy programs it can overstate
+real HBM traffic several-fold (round-3 bench: 4 GB/frame pre-fusion vs
+~1.3 GB post-fusion on the production UNet). For an honest memory
+roofline we instead parse the OPTIMIZED HLO (``compiled.as_text()``) and
+sum, per entry-computation instruction, the physical (layout-padded) bytes
+of its output and operands — fusions count only their boundary tensors,
+which is exactly the traffic a perfectly-scheduled TPU would move.
+
+Physical sizes honor the TPU tiled layouts printed in the HLO (e.g.
+``bf16[32,512,512,36]{3,2,1,0:T(8,128)(2,1)}`` pads the minor dim 36 up to
+128 lanes and the second-minor to 16 sublanes) — this padding is the very
+HBM waste the packed-execution path (ops/packed_conv.py) removes, so the
+estimator is also the measurement tool for that optimization.
+
+No reference counterpart: the reference (CUDA/torch) has no analog of XLA
+layout padding; this is TPU-native tooling.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, List, Optional, Tuple
+
+_DTYPE_BITS = {
+    "pred": 8,  # stored as bytes
+    "s4": 4, "u4": 4,
+    "s8": 8, "u8": 8, "f8e4m3fn": 8, "f8e5m2": 8, "f8e4m3": 8,
+    "s16": 16, "u16": 16, "f16": 16, "bf16": 16,
+    "s32": 32, "u32": 32, "f32": 32,
+    "s64": 64, "u64": 64, "f64": 64, "c64": 64,
+    "c128": 128,
+    "token": 0, "opaque": 0,
+}
+
+# dtype[dims]{minor_to_major:T(tiles)...} — the layout block is optional
+# (CPU HLO often prints plain shapes).
+_SHAPE_RE = re.compile(
+    r"(?P<dtype>[a-z][a-z0-9]*)\[(?P<dims>[0-9,]*)\]"
+    r"(?:\{(?P<layout>[^}]*)\})?"
+)
+_TILE_RE = re.compile(r"\((\d+(?:,\d+)*)\)")
+
+# `%name = shape instr(...)` or `name = shape instr(...)`; tuples handled
+# separately.
+_INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?(?P<name>[\w.\-]+)\s*=\s*(?P<rest>.+)$"
+)
+
+
+def _parse_tiles(layout: str) -> List[Tuple[int, ...]]:
+    """Extract tile shapes from a layout string like '3,2,1,0:T(8,128)(2,1)'."""
+    if ":" not in layout:
+        return []
+    tail = layout.split(":", 1)[1]
+    if not tail.startswith("T"):
+        return []
+    # stop at other annotations like S(1) or #{...}
+    tile_part = tail[1:]
+    tiles = []
+    for m in _TILE_RE.finditer(tile_part):
+        # S(1) etc. also matches \(\d\) — exclude by checking the char before
+        start = m.start()
+        if start > 0 and tile_part[start - 1] not in ")0123456789":
+            break
+        tiles.append(tuple(int(x) for x in m.group(1).split(",")))
+    return tiles
+
+
+def shape_physical_bytes(shape_str: str) -> int:
+    """Physical (padded) byte size of one HLO shape string.
+
+    Applies the printed tiled layout: for tile ``T(a,b)`` the two
+    minor-most dims round up to multiples of (a, b); a subsequent
+    packing tile like ``(2,1)`` (bf16) multiplies the effective
+    second-minor tile. Shapes without layout fall back to logical size.
+    """
+    m = _SHAPE_RE.match(shape_str.strip())
+    if not m:
+        return 0
+    bits = _DTYPE_BITS.get(m.group("dtype"))
+    if bits is None or bits == 0:
+        return 0
+    dims_s = m.group("dims")
+    dims = [int(d) for d in dims_s.split(",") if d] if dims_s else []
+    if not dims:
+        return max(bits // 8, 1)
+    layout = m.group("layout") or ""
+    tiles = _parse_tiles(layout)
+    # minor-to-major permutation: first listed dim index is minor-most
+    perm_part = layout.split(":", 1)[0] if layout else ""
+    if perm_part and re.fullmatch(r"[\d,]+", perm_part):
+        minor_to_major = [int(x) for x in perm_part.split(",")]
+    else:
+        minor_to_major = list(range(len(dims)))[::-1]
+    phys = list(dims)
+    if tiles:
+        main = tiles[0]
+        sub = tiles[1] if len(tiles) > 1 else None
+        # main tile applies to the len(main) minor-most dims
+        eff = list(main)
+        if sub is not None and len(sub) == len(main):
+            eff = [a * b for a, b in zip(main, sub)]
+        elif sub is not None:
+            # e.g. T(8,128)(2,1): align sub to the tail of main
+            eff = list(main)
+            for i, s in enumerate(sub[-len(main):]):
+                eff[i] *= s
+        for k, tile_dim in enumerate(reversed(eff)):
+            # k-th minor dim
+            if k < len(minor_to_major):
+                d = minor_to_major[k]
+                if d < len(phys):
+                    phys[d] = math.ceil(max(phys[d], 1) / tile_dim) * tile_dim
+    n = 1
+    for d in phys:
+        n *= max(d, 1)
+    return (n * bits + 7) // 8
+
+
+def _split_shapes(shape_text: str) -> List[str]:
+    """Split a (possibly tuple) HLO shape into element shape strings."""
+    shape_text = shape_text.strip()
+    if shape_text.startswith("("):
+        inner = shape_text[1:-1] if shape_text.endswith(")") else shape_text[1:]
+        parts, depth, cur = [], 0, []
+        for ch in inner:
+            if ch == "(" or ch == "[" or ch == "{":
+                depth += 1
+            elif ch == ")" or ch == "]" or ch == "}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return [p.strip() for p in parts if p.strip()]
+    return [shape_text]
+
+
+# Instructions whose "output" is not a real HBM write (aliasing/metadata) —
+# skipped entirely. get-tuple-element and bitcast are views; parameters and
+# constants are counted as reads by their consumers instead.
+_SKIP_OPS = {
+    "parameter", "constant", "get-tuple-element", "tuple", "bitcast",
+    "after-all", "token",
+}
+
+
+def _entry_computation(hlo_text: str) -> List[str]:
+    """Lines of the entry computation body."""
+    lines = hlo_text.splitlines()
+    entry_start = None
+    # The entry computation is marked `ENTRY %name (...)` (or `ENTRY name`).
+    for i, ln in enumerate(lines):
+        if ln.lstrip().startswith("ENTRY"):
+            entry_start = i
+            break
+    if entry_start is None:
+        return []
+    body = []
+    depth = 0
+    for ln in lines[entry_start:]:
+        depth += ln.count("{") - ln.count("}")
+        body.append(ln)
+        if depth <= 0 and len(body) > 1:
+            break
+    return body[1:-1] if len(body) > 2 else []
+
+
+def _instr_shape_and_op(rest: str) -> Tuple[str, str]:
+    """From `shape opcode(...)` return (shape_text, opcode)."""
+    rest = rest.strip()
+    # shape may be a tuple: (f32[..]{..}, f32[..]{..})
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += ch in "(["
+            depth -= ch in ")]"
+            if depth == 0:
+                shape = rest[: i + 1]
+                tail = rest[i + 1:].strip()
+                op = tail.split("(", 1)[0].strip().split()[0] if tail else ""
+                return shape, op
+        return rest, ""
+    m = _SHAPE_RE.match(rest)
+    if not m:
+        return "", ""
+    shape = rest[: m.end()]
+    tail = rest[m.end():].strip()
+    op = tail.split("(", 1)[0].strip().split()[0] if tail else ""
+    return shape, op
+
+
+def _operand_shapes(rest: str) -> List[str]:
+    """Shapes of the operands referenced in an instruction line.
+
+    The optimized HLO prints operands as `shape %name` inside the call
+    parens; we simply collect every shape literal after the opcode.
+    """
+    # cut off the output shape first
+    shape, _ = _instr_shape_and_op(rest)
+    tail = rest[len(shape):]
+    paren = tail.find("(")
+    if paren < 0:
+        return []
+    args = tail[paren + 1:]
+    # stop at the matching close paren (metadata/attrs follow)
+    depth, end = 1, len(args)
+    for i, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    args = args[:end]
+    return [m.group(0) for m in _SHAPE_RE.finditer(args)]
+
+
+def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
+    """Post-fusion HBM traffic estimate for an optimized HLO module.
+
+    Returns total bytes (operands + outputs of every entry-computation
+    instruction, fusions counted at their boundary) and the top
+    contributors. An approximation: ignores VMEM-resident reuse between
+    adjacent ops and multi-use operand dedup, but is a far tighter bound
+    than pre-fusion 'bytes accessed'.
+    """
+    rows = []
+    for ln in _entry_computation(hlo_text):
+        m = _INSTR_RE.match(ln)
+        if not m:
+            continue
+        rest = m.group("rest")
+        shape_text, op = _instr_shape_and_op(rest)
+        if not shape_text or not op:
+            continue
+        opname = op.split(".")[0]
+        if opname in _SKIP_OPS:
+            continue
+        out_bytes = sum(shape_physical_bytes(s) for s in _split_shapes(shape_text))
+        in_bytes = sum(shape_physical_bytes(s) for s in _operand_shapes(rest))
+        rows.append({
+            "name": m.group("name"),
+            "op": opname,
+            "bytes": out_bytes + in_bytes,
+            "out_bytes": out_bytes,
+        })
+    rows.sort(key=lambda r: -r["bytes"])
+    total = sum(r["bytes"] for r in rows)
+    return {
+        "total_bytes": total,
+        "n_instructions": len(rows),
+        "top": rows[:top_k],
+    }
+
+
+def compiled_traffic(compiled, top_k: int = 12) -> Dict:
+    """`estimate_traffic` on a jax compiled object (``fn.lower(...).compile()``)."""
+    return estimate_traffic(compiled.as_text(), top_k=top_k)
+
+
+def roofline(fn, *args, top_k: int = 12) -> Dict:
+    """Compile ``fn(*args)`` and report post-fusion bytes + FLOPs.
+
+    ``fps_memory`` / ``fps_compute`` keys are filled by the caller (they
+    need hardware constants); this returns the raw measurements.
+    """
+    import jax
+
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    out = compiled_traffic(compiled, top_k=top_k)
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        out["flops"] = float(cost.get("flops", 0.0))
+        out["prefusion_bytes"] = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        out["flops"] = 0.0
+        out["prefusion_bytes"] = 0.0
+    return out

@@ -158,6 +158,163 @@ def packed_conv(
     return y
 
 
+def packed_pool_s2d(y_packed: jnp.ndarray) -> jnp.ndarray:
+    """Fused ``space_to_depth(max_pool_same(depth_to_space(y), 2))``.
+
+    Takes the packed stride-s level output and produces the PACKED input of
+    the next (stride 2s) level without ever materializing the pixel-space
+    pooled map — the whole chain is reshapes + one max reduce, which XLA
+    fuses into a single kernel writing only the final packed tensor.
+    """
+    pooled = packed_phase_max_pool(y_packed)  # (B, Hc, Wc, C) pixel space
+    return space_to_depth(pooled)
+
+
+def _axis_upsample_coeffs(k: int) -> np.ndarray:
+    """Per-axis composition of bilinear-2x upsample with a length-k conv.
+
+    Returns ``M[d, delta, n]``: the coefficient of input ``x[i + delta]``
+    in output ``z[2i + d]`` contributed through conv tap ``n`` (0..k-1),
+    where ``z = conv_k(up2x(x))`` with half-pixel-centered bilinear
+    upsampling (``u[2a] = 0.25 x[a-1] + 0.75 x[a]``,
+    ``u[2a+1] = 0.75 x[a] + 0.25 x[a+1]`` — the jax.image.resize /
+    torch align_corners=False interior formula).
+
+    ``delta`` is indexed 0..kp-1 for offsets ``-(kp//2) .. kp//2`` with
+    ``kp = 2*((k//2 + 1)//2) + 1`` (kp=3 for k=3).
+    """
+    r = k // 2
+    half = (r + 1) // 2
+    kp = 2 * half + 1
+    M = np.zeros((2, kp, k), dtype=np.float64)
+    for d in (0, 1):
+        for n in range(k):
+            j = d + (n - r)  # u-index relative to 2i
+            a, p = j // 2, j % 2  # u[2i + j] = u[2(i+a) + p]
+            if p == 0:
+                taps = ((a - 1, 0.25), (a, 0.75))
+            else:
+                taps = ((a, 0.75), (a + 1, 0.25))
+            for delta, w in taps:
+                assert -half <= delta <= half, (k, d, n, delta)
+                M[d, delta + half, n] += w
+    return M
+
+
+def compose_upsample_conv_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Kernel of ``conv_k(bilinear_up2x(x))`` expressed as ONE conv on x.
+
+    Args:
+        kernel: (k, k, Cin, Cout) HWIO weights of the post-upsample conv.
+
+    Returns:
+        (kp, kp, Cin, 4*Cout) HWIO weights: a stride-1 SAME conv of x with
+        this kernel yields the PACKED (phase-blocked, `space_to_depth`
+        layout) output of upsample-then-conv — exact in the interior;
+        borders need `upsample_conv_border_fix` (the composed conv
+        zero-pads x cells while the true op edge-clamps the upsample and
+        zero-pads single pixels).
+    """
+    k = int(kernel.shape[0])
+    assert kernel.shape[1] == k and k % 2 == 1, "square odd kernels only"
+    M = jnp.asarray(_axis_upsample_coeffs(k), dtype=kernel.dtype)
+    # Keff[d1, d2, du, dv, i, o] = sum_{nu, nv} K[nu, nv, i, o]
+    #                              * M[d1, du, nu] * M[d2, dv, nv]
+    keff = jnp.einsum("uvio,pau,qbv->pqabio", kernel, M, M)
+    kp = keff.shape[2]
+    cin, cout = int(kernel.shape[2]), int(kernel.shape[3])
+    # phase blocks along Cout in space_to_depth order (p*2+q)
+    keff = keff.transpose(2, 3, 4, 0, 1, 5)  # (kp, kp, cin, d1, d2, cout)
+    return keff.reshape(kp, kp, cin, 4 * cout)
+
+
+def packed_upsample_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    exact_borders: bool = True,
+) -> jnp.ndarray:
+    """``conv_k(bilinear_up2x(x))`` evaluated straight into packed layout.
+
+    Args:
+        x: (B, Hc, Wc, Cin) pre-upsample feature (cell space == its own
+            pixel space).
+        kernel: (k, k, Cin, Cout) weights of the pixel-space conv (k=3
+            supported with exact borders).
+
+    Returns:
+        (B, Hc, Wc, 4*Cout) — the packed (space_to_depth) form of the
+        (B, 2Hc, 2Wc, Cout) pixel-space result. No bias/activation: the
+        caller adds those after summing the skip contribution.
+    """
+    keff = compose_upsample_conv_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        x,
+        keff.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if exact_borders:
+        y = upsample_conv_border_fix(y, x, kernel)
+    return y
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+
+
+def _conv_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def upsample_conv_border_fix(
+    y_packed: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray
+) -> jnp.ndarray:
+    """Overwrite the border cells of `packed_upsample_conv` with exact values.
+
+    The composed conv differs from true upsample-then-conv only in the
+    outermost output cell ring (the upsample edge-clamps while the cell
+    conv zero-pads). Recompute that ring exactly with the plain ops on
+    3-cell-wide slabs (negligible cost) and patch it in. k=3 only.
+    """
+    assert int(kernel.shape[0]) == 3, "border fix implemented for k=3"
+    hc, wc = x.shape[1], x.shape[2]
+    if hc < 3 or wc < 3:
+        # tiny maps: just compute the whole thing exactly
+        full = _conv_same(_upsample2x(x), kernel)
+        return space_to_depth(full)
+
+    # top / bottom bands: 3 input rows -> exact output pixel rows 0..1 /
+    # last 2 (the slab sees the same clamps and zero pads as the full map)
+    top = space_to_depth(_conv_same(_upsample2x(x[:, :3]), kernel)[:, :2])
+    bot = space_to_depth(_conv_same(_upsample2x(x[:, -3:]), kernel)[:, -2:])
+    left = space_to_depth(
+        _conv_same(_upsample2x(x[:, :, :3]), kernel)[:, :, :2]
+    )
+    right = space_to_depth(
+        _conv_same(_upsample2x(x[:, :, -3:]), kernel)[:, :, -2:]
+    )
+
+    # Patch the ring with broadcasted selects, NOT dynamic_update_slice:
+    # each DUS rewrites the whole tensor in HBM (4x 33 MB/frame on the
+    # production UNet), while elementwise selects fuse into the consumer's
+    # add+relu chain for free. Column selects run last so corner cells get
+    # the (identical) exact column values regardless of order.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hc, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wc, 1), 1)
+    y = y_packed
+    y = jnp.where(rows == 0, top, y)
+    y = jnp.where(rows == hc - 1, bot, y)
+    y = jnp.where(cols == 0, left, y)
+    y = jnp.where(cols == wc - 1, right, y)
+    return y
+
+
 def packed_phase_max_pool(y_packed: jnp.ndarray) -> jnp.ndarray:
     """`max_pool_same(x, 2)` of the unpacked tensor, computed in packed space.
 

@@ -207,7 +207,7 @@ def test_encoder_bottleneck_stride():
     m = Encoder(filters=4, down_blocks=3, filters_rate=2.0)
     x = jnp.zeros((1, 32, 32, 1))
     p = m.init(KEY, x)
-    bottleneck, feats = m.apply(p, x)
+    bottleneck, feats, _packed = m.apply(p, x)
     # block0 unpooled, blocks 1-2 pool (stride 4), final pool => stride 8.
     assert bottleneck.shape == (1, 4, 4, 16)
 
@@ -216,7 +216,7 @@ def test_encoder_returns_skips_deepest_first():
     m = Encoder(filters=4, down_blocks=3, filters_rate=2.0)
     x = jnp.zeros((1, 32, 32, 1))
     p = m.init(KEY, x)
-    _, feats = m.apply(p, x)
+    _, feats, _packed = m.apply(p, x)
     assert len(feats) == 3
     sizes = [f.shape[1] for f in feats]
     assert sizes == sorted(sizes)  # deepest (smallest) first
@@ -227,7 +227,7 @@ def test_encoder_filter_schedule_follows_rate():
     m = Encoder(filters=4, down_blocks=3, filters_rate=1.5)
     x = jnp.zeros((1, 32, 32, 1))
     p = m.init(KEY, x)
-    _, feats = m.apply(p, x)
+    _, feats, _packed = m.apply(p, x)
     # deepest-first: int(4*1.5^2)=9, int(4*1.5)=6, 4.
     assert [f.shape[-1] for f in feats] == [9, 6, 4]
 
@@ -236,7 +236,7 @@ def test_encoder_stem_offset_shifts_filters_and_pools_block0():
     m = Encoder(filters=4, down_blocks=2, filters_rate=2.0, stem_blocks=1)
     x = jnp.zeros((1, 32, 32, 1))
     p = m.init(KEY, x)
-    bottleneck, feats = m.apply(p, x)
+    bottleneck, feats, _packed = m.apply(p, x)
     # with stem offset 1 every encoder block pools: stride 2,4 then final => 8.
     assert bottleneck.shape[1] == 4
     assert [f.shape[-1] for f in feats] == [16, 8]  # 4*2^(1+1), 4*2^(0+1)

@@ -29,8 +29,8 @@ def test_packed_training_matches_plain(tmp_path):
     t_plain = _train(tmp_path, False, "plain")
     t_packed = _train(tmp_path, True, "packed")
 
-    assert t_packed.model.backbone.packed_level0 is True
-    assert t_plain.model.backbone.packed_level0 is False
+    assert t_packed.model.backbone.packed_levels >= 1
+    assert t_plain.model.backbone.packed_levels == 0
 
     # Identical param trees -> checkpoints are interchangeable.
     import jax
@@ -66,4 +66,4 @@ def test_packed_checkpoint_loads_into_plain_inference(tmp_path):
 def test_packed_auto_is_off_on_cpu(tmp_path):
     t = _train(tmp_path, None, "auto")
     # Tests run on the CPU platform: auto must resolve to plain layout.
-    assert t.model.backbone.packed_level0 is False
+    assert t.model.backbone.packed_levels == 0
