@@ -359,9 +359,15 @@ def _row_payload(predictor):
 
 
 def build_production_topdown(backbone: str, img: int, crop: int,
-                             max_instances: int = 20, n_nodes: int = 15):
+                             max_instances: int = 20, n_nodes: int = 15,
+                             output_stride: int = 2):
     """A centroid + centered-instance pair at production scale (ref
-    config/model_config.py:33 UNetMediumRFConfig, :108 ConvNeXt tiny)."""
+    config/model_config.py:33 UNetMediumRFConfig, :108 ConvNeXt tiny).
+
+    ``output_stride`` follows the reference presets' knob (ref
+    config/model_config.py:46-108 allow 1/2/4): os=4 drops the decoder's
+    most expensive (half-res) level, roughly halving FLOPs and HBM bytes.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -380,14 +386,14 @@ def build_production_topdown(backbone: str, img: int, crop: int,
         from sleap_nn_tpu.config.model_config import UNetMediumRFConfig
 
         bb_type, bb_cfg = "unet", UNetMediumRFConfig(
-            in_channels=1, output_stride=2
+            in_channels=1, output_stride=output_stride
         )
         max_stride = bb_cfg.max_stride
     elif backbone == "convnext_tiny":
         from sleap_nn_tpu.config.model_config import ConvNextConfig
 
         bb_type, bb_cfg = "convnext", ConvNextConfig(
-            model_type="tiny", in_channels=1, output_stride=2
+            model_type="tiny", in_channels=1, output_stride=output_stride
         )
         max_stride = bb_cfg.max_stride
     else:
@@ -396,16 +402,16 @@ def build_production_topdown(backbone: str, img: int, crop: int,
     key = jax.random.PRNGKey(0)
     c_model = Model.from_config(
         bb_type, bb_cfg,
-        ns(confmaps=ns(anchor_part=None, sigma=5.0, output_stride=2,
-                       loss_weight=None)),
+        ns(confmaps=ns(anchor_part=None, sigma=5.0,
+                       output_stride=output_stride, loss_weight=None)),
         "centroid",
     )
     c_params = c_model.init(key, jnp.zeros((1, max_stride * 4, max_stride * 4, 1), jnp.float32))
     i_model = Model.from_config(
         bb_type, bb_cfg,
         ns(confmaps=ns(part_names=[f"n{i}" for i in range(n_nodes)],
-                       anchor_part=None, sigma=3.0, output_stride=2,
-                       loss_weight=None)),
+                       anchor_part=None, sigma=3.0,
+                       output_stride=output_stride, loss_weight=None)),
         "centered_instance",
     )
     i_params = i_model.init(key, jnp.zeros((1, crop, crop, 1), jnp.float32))
@@ -420,11 +426,12 @@ def build_production_topdown(backbone: str, img: int, crop: int,
     pre = PreprocessConfig(ensure_grayscale=True, scale=1.0, max_stride=max_stride)
     post = PostprocessConfig(peak_threshold=0.2, max_instances=max_instances)
     centroid_layer = CentroidLayer(
-        JaxBackend(c_model, c_params, use_bf16=True), pre, post, output_stride=2
+        JaxBackend(c_model, c_params, use_bf16=True), pre, post,
+        output_stride=output_stride,
     )
     instance_layer = CenteredInstanceLayer(
         JaxBackend(i_model, i_params, use_bf16=True), pre,
-        PostprocessConfig(peak_threshold=0.2), output_stride=2,
+        PostprocessConfig(peak_threshold=0.2), output_stride=output_stride,
     )
     layer = TopDownLayer(centroid_layer, instance_layer,
                          max_instances=max_instances, crop_size=crop)
@@ -448,7 +455,8 @@ def _hbm_bw() -> float:
 
 
 def production_row(backbone: str, img: int, crop: int, batch: int,
-                   n_iters: int, peak: float, max_instances: int = 6) -> dict:
+                   n_iters: int, peak: float, max_instances: int = 6,
+                   output_stride: int = 2) -> dict:
     """Throughput + roofline accounting for a production-scale topdown pair.
 
     Narrow-channel UNets at megapixel resolution are HBM-bandwidth-bound,
@@ -458,7 +466,8 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
     compute speed-of-light: peak / FLOPs-per-frame.)
     """
     shim, n_params = build_production_topdown(
-        backbone, img, crop, max_instances=max_instances
+        backbone, img, crop, max_instances=max_instances,
+        output_stride=output_stride,
     )
     x = np.random.default_rng(0).integers(
         0, 255, (batch, img, img, 1), dtype=np.uint8
@@ -479,6 +488,7 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
         "image_px": img,
         "crop_px": crop,
         "max_instances": max_instances,
+        "output_stride": output_stride,
         "params_m": round(n_params / 1e6, 2),
         "gflops_per_frame": round(flops / batch / 1e9, 2) if flops else None,
         "achieved_tflops": round(achieved / 1e12, 2) if flops else None,

@@ -77,7 +77,7 @@ def test_local_queue_max_tracks():
 
 def test_kalman_tracker():
     labels = synth_labels(n_frames=15)
-    tracker = Tracker.from_config(use_kalman=True, features="centroids",
+    tracker = Tracker.from_config(use_kalman=True, tracking_target_instance_count=2, features="centroids",
                                   scoring_method="euclidean_dist")
     assert isinstance(tracker, KalmanShiftTracker)
     tracker.track_labels(labels)
@@ -317,7 +317,7 @@ def test_mask_area_gates_track_spawn():
 def test_kalman_warmup_and_modes():
     labels = synth_labels(n_frames=20)
     tracker = Tracker.from_config(
-        use_kalman=True, features="centroids", scoring_method="euclidean_dist",
+        use_kalman=True, tracking_target_instance_count=2, features="centroids", scoring_method="euclidean_dist",
         kf_init_frame_count=5, kf_reset_gap_size=3,
     )
     assert tracker.kf_init_frame_count == 5
@@ -333,7 +333,7 @@ def test_kalman_warmup_and_modes():
 def test_kalman_keypoints_mode_with_node_indices():
     labels = synth_labels(n_frames=20)
     tracker = Tracker.from_config(
-        use_kalman=True, features="keypoints", scoring_method="oks",
+        use_kalman=True, tracking_target_instance_count=2, features="keypoints", scoring_method="oks",
         kf_track_features="keypoints", kf_node_indices=[0, 1],
         kf_init_frame_count=4,
     )
@@ -343,13 +343,15 @@ def test_kalman_keypoints_mode_with_node_indices():
     ids = track_ids_over_time(labels)
     for t in range(1, len(ids)):
         assert ids[t] == ids[0]
-    # Filter state dimension: 2 tracked nodes x 2 coords.
-    assert next(iter(tracker._filters.values())).n == 4
+    # Observation dimension: 2 tracked nodes x 2 coords (state is 4x: pos+vel).
+    kf = next(iter(tracker._filters.values()))
+    assert kf.n_dim_obs == 4
+    assert kf.n_dim_state == 8
 
 
 def test_kalman_invalid_track_features_rejected():
     with pytest.raises(ValueError, match="kf_track_features"):
-        Tracker.from_config(use_kalman=True, kf_track_features="bogus")
+        Tracker.from_config(use_kalman=True, tracking_target_instance_count=2, kf_track_features="bogus")
 
 
 def test_kalman_stale_filter_reset():
@@ -362,7 +364,7 @@ def test_kalman_stale_filter_reset():
             insts.append(make_instance(np.array([150.0, 100.0])))
         lfs.append(LabeledFrame(video=None, frame_idx=t, instances=insts))
     tracker = Tracker.from_config(
-        use_kalman=True, features="centroids", scoring_method="euclidean_dist",
+        use_kalman=True, tracking_target_instance_count=2, features="centroids", scoring_method="euclidean_dist",
         kf_init_frame_count=3, kf_reset_gap_size=4, window_size=15,
     )
     out = tracker.track_labels(Labels(lfs))

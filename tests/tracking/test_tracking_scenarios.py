@@ -216,7 +216,7 @@ def test_kalman_tracker_survives_velocity_gap():
     path = straight([20, 20], [3, 0], 30)
     labels = labels_from_paths([path], drop=lambda k, t: t in (15, 16))
     out = Tracker.from_config(
-        window_size=5, use_kalman=True, kf_init_frame_count=8,
+        window_size=5, use_kalman=True, tracking_target_instance_count=2, kf_init_frame_count=8,
         kf_reset_gap_size=5,
     ).track_labels(labels)
     assert len(track_ids(out)) == 1
