@@ -1,0 +1,68 @@
+"""The shipped example scripts run green at fixture scale (VERDICT r3 #9).
+
+Mirrors the reference's runnable ``example_notebooks/`` (training_demo,
+augmentation_guide, receptive_field_guide) — ours are plain scripts executed
+verbatim here, so the documented walkthroughs can never drift from the API.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+EXAMPLES = REPO / "examples"
+
+
+def run_example(name: str, tmp_path, extra_env=None, timeout=600):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO),
+        "SLEAP_DEMO_OUT": str(tmp_path),
+    })
+    env.update(extra_env or {})
+    proc = subprocess.run(
+        [sys.executable, str(EXAMPLES / name)],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, (
+        f"{name} failed\nstdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+def test_receptive_field_guide(tmp_path):
+    out = run_example("receptive_field_guide.py", tmp_path)
+    assert "unet medium_rf" in out
+    # medium_rf at scale=1: 5 down blocks of (2 convs + pool) -> RF 156.
+    assert "156" in out
+    assert (tmp_path / "receptive_field_guide.png").exists()
+
+
+def test_augmentation_guide(tmp_path):
+    out = run_example("augmentation_guide.py", tmp_path)
+    # Geometric consistency is printed per knob; rotation must move keypoints…
+    assert "rotation" in out and "keypoint-shift" in out
+    # …and pure-intensity augs must not (erase row reports 0.00px shift).
+    assert "mean-abs-pixel-delta" in out
+    assert (tmp_path / "augmentation_guide.png").exists()
+
+
+@pytest.mark.slow
+def test_training_demo_end_to_end(tmp_path):
+    out = run_example("training_demo.py", tmp_path, timeout=900)
+    assert "=== training centroid" in out
+    assert "=== training centered_instance" in out
+    assert "predicted" in out
+    demo = tmp_path  # SLEAP_DEMO_OUT
+    assert (demo / "centroid.yaml").exists()
+    assert (demo / "centered_instance.yaml").exists()
+    assert (demo / "predictions.slp").exists()
+    for run in ("centroid", "centered_instance"):
+        run_dir = demo / run
+        assert (run_dir / "training_config.yaml").exists(), run
+        assert (run_dir / "training_log.csv").exists(), run
