@@ -60,17 +60,25 @@ def _pow2(v) -> bool:
 
 
 class _Field:
-    """One editable knob: choices cycle, free fields cast + validate."""
+    """One editable knob: choices cycle, free fields cast + validate.
+
+    ``slider=(lo, hi, step)`` additionally makes ←/→ step the value within
+    bounds and renders a slider bar in the curses front end (reference
+    tui/app.py slider widgets); text entry via ``e`` still applies the
+    caster + validator, so sliders never lose the free-entry path.
+    """
 
     def __init__(self, name: str, value, choices: Optional[List] = None,
                  caster=str, reason: str = "",
-                 validate: Optional[Callable] = None):
+                 validate: Optional[Callable] = None,
+                 slider: Optional[tuple] = None):
         self.name = name
         self.value = value
         self.choices = choices
         self.caster = caster
         self.reason = reason
         self.validate = validate
+        self.slider = slider
         self.error: Optional[str] = None
 
     def cycle(self, direction: int):
@@ -78,6 +86,25 @@ class _Field:
             i = self.choices.index(self.value) if self.value in self.choices else 0
             self.value = self.choices[(i + direction) % len(self.choices)]
             self.error = None
+        elif self.slider:
+            lo, hi, step = self.slider
+            new = float(self.value) + direction * step
+            new = min(float(hi), max(float(lo), new))
+            if isinstance(step, int) and isinstance(lo, int):
+                new = int(round(new))
+            else:
+                # quantize to the step grid so repeated arrows stay clean
+                new = round(new, 6)
+            self.value = new
+            self.error = None
+
+    def slider_bar(self, width: int = 12) -> str:
+        lo, hi, _ = self.slider
+        span = float(hi) - float(lo)
+        frac = (float(self.value) - float(lo)) / span if span > 0 else 0.0
+        frac = min(1.0, max(0.0, frac))
+        pos = int(round(frac * (width - 1)))
+        return "[" + "-" * pos + "#" + "-" * (width - 1 - pos) + "]"
 
     def set_text(self, text: str) -> bool:
         try:
@@ -108,8 +135,10 @@ def _config_fields(slp_path: str, stats, rec) -> List[_Field]:
     default_out = str(Path(slp_path).parent / f"{Path(slp_path).stem}_config.yaml")
     return [
         _Field("sigma", rec.sigma, caster=float, reason=rec.sigma_reason,
+               slider=(0.5, 10.0, 0.25),
                validate=lambda v: None if 0 < v <= 50 else "must be in (0, 50]"),
         _Field("scale", rec.scale, caster=float, reason=rec.scale_reason,
+               slider=(0.05, 1.0, 0.05),
                validate=lambda v: None if 0 < v <= 2 else "must be in (0, 2]"),
         _Field("output_stride", 2, caster=int,
                validate=lambda v: None if _pow2(v) and v <= 32
@@ -117,20 +146,45 @@ def _config_fields(slp_path: str, stats, rec) -> List[_Field]:
         _Field("max_stride", rec.max_stride, caster=int,
                validate=lambda v: None if _pow2(v) and 4 <= v <= 128
                else "must be a power of 2 in [4, 128]"),
-        _Field("filters", 32, caster=int,
+        _Field("filters", 32, caster=int, slider=(4, 512, 4),
                validate=lambda v: None if 4 <= v <= 512 else "must be in [4, 512]"),
-        _Field("filters_rate", 1.5, caster=float,
+        _Field("filters_rate", 1.5, caster=float, slider=(1.0, 4.0, 0.25),
                validate=lambda v: None if 1.0 <= v <= 4.0 else "must be in [1, 4]"),
         _Field("batch_size", rec.batch_size, caster=int,
-               reason=rec.batch_size_reason,
+               reason=rec.batch_size_reason, slider=(1, 256, 1),
                validate=lambda v: None if v >= 1 else "must be >= 1"),
         _Field("max_epochs", 100, caster=int,
                validate=lambda v: None if v >= 1 else "must be >= 1"),
         _Field("rotation", float(rec.rotation[1]), caster=float,
-               reason=rec.rotation_reason,
+               reason=rec.rotation_reason, slider=(0.0, 180.0, 5.0),
                validate=lambda v: None if 0 <= v <= 180 else "must be in [0, 180]"),
         _Field("augmentation", "on", choices=["on", "off"]),
         _Field("output", default_out),
+    ]
+
+
+class _Section:
+    """Collapsible group of fields (reference tui/app.py collapsibles)."""
+
+    def __init__(self, title: str, fields: List[_Field],
+                 collapsed: bool = False):
+        self.title = title
+        self.fields = fields
+        self.collapsed = collapsed
+
+    def marker(self) -> str:
+        return "[+]" if self.collapsed else "[-]"
+
+
+def _config_sections(config_fields: List[_Field]) -> List[_Section]:
+    by = {f.name: f for f in config_fields}
+    return [
+        _Section("targets", [by["sigma"], by["scale"]]),
+        _Section("backbone", [by["output_stride"], by["max_stride"],
+                              by["filters"], by["filters_rate"]]),
+        _Section("training", [by["batch_size"], by["max_epochs"]]),
+        _Section("augmentation", [by["rotation"], by["augmentation"]]),
+        _Section("output", [by["output"]]),
     ]
 
 
@@ -240,48 +294,150 @@ def _yaml_preview(slp_path, stats, rec, model_fields, config_fields,
 # --------------------------------------------------------------------------- #
 
 
+def _safe_addstr(stdscr, y, x, s, attr=0):
+    """addstr that never crashes on small windows (curses raises when a
+    write touches the bottom-right cell or falls outside the screen)."""
+    import curses
+
+    try:
+        maxy, maxx = stdscr.getmaxyx()
+        if 0 <= y < maxy and x < maxx:
+            stdscr.addstr(y, x, str(s)[: max(0, maxx - x - 1)], attr)
+    except curses.error:
+        pass
+
+
+def _file_browser(stdscr, start: str) -> Optional[str]:
+    """Minimal directory browser (reference tui/app.py file-browser screen).
+
+    ↑/↓ move, Enter descends into a directory or selects a file, ``n``
+    prompts for a new filename in the current directory (for output paths),
+    ``q``/Esc cancels. Returns the chosen absolute path or None.
+    """
+    import curses
+
+    cur = Path(start)
+    if not cur.is_dir():
+        cur = cur.parent if cur.parent.is_dir() else Path.cwd()
+    sel = 0
+    while True:
+        try:
+            entries = sorted(
+                [p for p in cur.iterdir() if not p.name.startswith(".")],
+                key=lambda p: (not p.is_dir(), p.name.lower()),
+            )
+        except OSError:
+            entries = []
+        items = [cur.parent] + entries  # row 0 = ".."
+        sel = min(sel, len(items) - 1)
+        stdscr.erase()
+        _safe_addstr(stdscr, 0, 2, f"[browse] {cur}", curses.A_BOLD)
+        _safe_addstr(stdscr, 1, 2,
+                     "enter open/select · n new file here · q cancel",
+                     curses.A_DIM)
+        maxy = stdscr.getmaxyx()[0]
+        visible = max(1, maxy - 5)
+        top = max(0, sel - visible + 1)
+        for i, p in enumerate(items[top:top + visible]):
+            label = ".." if i + top == 0 else (
+                p.name + ("/" if p.is_dir() else ""))
+            attr = curses.A_REVERSE if i + top == sel else curses.A_NORMAL
+            _safe_addstr(stdscr, 2 + i, 4, label, attr)
+        stdscr.refresh()
+        ch = stdscr.getch()
+        if ch == 12:  # ctrl-L: force a full repaint
+            stdscr.redrawwin()
+            continue
+        if ch in (ord("q"), 27):
+            return None
+        if ch == curses.KEY_UP:
+            sel = (sel - 1) % len(items)
+        elif ch == curses.KEY_DOWN:
+            sel = (sel + 1) % len(items)
+        elif ch == ord("n"):
+            curses.curs_set(1)
+            _safe_addstr(stdscr, maxy - 2, 2, "filename: ")
+            curses.echo()
+            try:
+                name = stdscr.getstr(maxy - 2, 12).decode()
+            except curses.error:
+                name = ""
+            curses.noecho()
+            curses.curs_set(0)
+            if name:
+                return str(cur / name)
+        elif ch in (ord("\n"), curses.KEY_ENTER, 10):
+            chosen = items[sel]
+            if chosen.is_dir():
+                cur = chosen.resolve()
+                sel = 0
+            else:
+                return str(chosen)
+
+
 def _curses_flow(stdscr, slp_path: str, stats, rec):
     import curses
 
     curses.curs_set(0)
     model_fields = _model_fields(rec)
     config_fields = _config_fields(slp_path, stats, rec)
+    sections = _config_sections(config_fields)
     screen = 0  # 0 load, 1 model select, 2 configure, 3 confirm
 
     def header(title, extra=""):
         stdscr.erase()
-        stdscr.addstr(0, 2, f"sleap-nn-tpu config — {Path(slp_path).name}"
-                            f"  [{title}]", curses.A_BOLD)
+        _safe_addstr(stdscr, 0, 2,
+                     f"sleap-nn-tpu config — {Path(slp_path).name}"
+                     f"  [{title}]", curses.A_BOLD)
         if extra:
-            stdscr.addstr(1, 2, extra, curses.A_DIM)
+            _safe_addstr(stdscr, 1, 2, extra, curses.A_DIM)
+
+    def render_field(row, f, selected):
+        attr = curses.A_REVERSE if selected else curses.A_NORMAL
+        if f.slider:
+            text = f"{f.name:<14} {f.slider_bar()} {f.value}"
+        else:
+            text = f"{f.name:<14} {f.value}"
+        _safe_addstr(stdscr, row, 4, text, attr)
+        note = f.error or (f.reason if selected else "")
+        if note:
+            _safe_addstr(stdscr, row, 52, f"({note})"[:26],
+                         curses.A_BOLD if f.error else curses.A_DIM)
+
+    def edit_field(f, prompt_row):
+        curses.curs_set(1)
+        _safe_addstr(stdscr, prompt_row, 2, f"{f.name}: ")
+        curses.echo()
+        try:
+            text = stdscr.getstr(prompt_row, 4 + len(f.name)).decode()
+        except curses.error:
+            text = ""
+        curses.noecho()
+        curses.curs_set(0)
+        if text:
+            f.set_text(text)
 
     def field_form(fields, title, hint):
-        nonlocal screen
+        """Flat field list (model-select screen)."""
         sel = 0
-        msg = hint
         while True:
-            header(title, msg)
+            header(title, hint)
             row = 2
             for line in _stats_lines(stats):
-                stdscr.addstr(row, 4, line)
+                _safe_addstr(stdscr, row, 4, line)
                 row += 1
             row += 1
             for i, f in enumerate(fields):
-                attr = curses.A_REVERSE if i == sel else curses.A_NORMAL
-                stdscr.addstr(row, 4, f"{f.name:<14} {f.value}", attr)
-                note = f.error or (f.reason if i == sel else "")
-                if note:
-                    stdscr.addstr(row, 44, f"({note})"[:34],
-                                  curses.A_BOLD if f.error else curses.A_DIM)
+                render_field(row, f, i == sel)
                 row += 1
-            if title == "configure":
-                stdscr.addstr(row + 1, 4,
-                              _memory_gauge(stats, model_fields, fields))
-            stdscr.addstr(row + 3, 2,
-                          "↑/↓ select · ←/→ cycle · e edit · n next · "
-                          "b back · q quit", curses.A_DIM)
+            _safe_addstr(stdscr, row + 3, 2,
+                         "up/down select · left/right cycle · e edit · "
+                         "n next · b back · q quit", curses.A_DIM)
             stdscr.refresh()
             ch = stdscr.getch()
+            if ch == 12:  # ctrl-L: force a full repaint
+                stdscr.redrawwin()
+                continue
             if ch in (ord("q"), 27):
                 return "quit"
             if ch == ord("n"):
@@ -298,27 +454,85 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                 if fields[sel].choices:
                     fields[sel].cycle(1)
                     continue
-                curses.curs_set(1)
-                stdscr.addstr(row + 2, 2, f"{fields[sel].name}: ")
-                curses.echo()
-                text = stdscr.getstr(row + 2, 4 + len(fields[sel].name)).decode()
-                curses.noecho()
-                curses.curs_set(0)
-                if text:
-                    fields[sel].set_text(text)
+                edit_field(fields[sel], row + 2)
+
+    def section_form(title, hint):
+        """Configure screen: collapsible sections + sliders + live gauge."""
+        sel = 0
+        while True:
+            # Entry list mixes section headers and (visible) fields so one
+            # cursor walks both: ("hdr", section) | ("field", field).
+            entries = []
+            for sec in sections:
+                entries.append(("hdr", sec))
+                if not sec.collapsed:
+                    entries.extend(("field", f) for f in sec.fields)
+            sel = min(sel, len(entries) - 1)
+            header(title, hint)
+            row = 2
+            for i, (kind, obj) in enumerate(entries):
+                if kind == "hdr":
+                    attr = curses.A_BOLD | (
+                        curses.A_REVERSE if i == sel else 0)
+                    _safe_addstr(stdscr, row, 2,
+                                 f"{obj.marker()} {obj.title}", attr)
+                else:
+                    render_field(row, obj, i == sel)
+                row += 1
+            _safe_addstr(stdscr, row + 1, 4,
+                         _memory_gauge(stats, model_fields, config_fields))
+            _safe_addstr(stdscr, row + 3, 2,
+                         "up/down select · left/right slide/cycle · e edit · "
+                         "f browse · enter toggle · n next · b back · q quit",
+                         curses.A_DIM)
+            stdscr.refresh()
+            ch = stdscr.getch()
+            if ch == 12:  # ctrl-L: force a full repaint
+                stdscr.redrawwin()
+                continue
+            kind, obj = entries[sel]
+            if ch in (ord("q"), 27):
+                return "quit"
+            if ch == ord("n"):
+                return "next"
+            if ch == ord("b"):
+                return "back"
+            if ch == curses.KEY_UP:
+                sel = (sel - 1) % len(entries)
+            elif ch == curses.KEY_DOWN:
+                sel = (sel + 1) % len(entries)
+            elif kind == "hdr" and ch in (ord("\n"), curses.KEY_ENTER, 10,
+                                          ord(" "), curses.KEY_LEFT,
+                                          curses.KEY_RIGHT):
+                obj.collapsed = not obj.collapsed
+            elif kind == "field":
+                if ch in (curses.KEY_LEFT, curses.KEY_RIGHT):
+                    obj.cycle(1 if ch == curses.KEY_RIGHT else -1)
+                elif ch == ord("f") and obj.caster is str:
+                    chosen = _file_browser(stdscr, str(obj.value))
+                    if chosen:
+                        obj.set_text(chosen)
+                elif ch in (ord("e"), ord("\n"), curses.KEY_ENTER, 10):
+                    if obj.choices:
+                        obj.cycle(1)
+                        continue
+                    edit_field(obj, row + 2)
 
     while True:
         if screen == 0:
             header("load", "n continue · q quit")
             row = 2
             for line in _stats_lines(stats):
-                stdscr.addstr(row, 4, line)
+                _safe_addstr(stdscr, row, 4, line)
                 row += 1
-            stdscr.addstr(row + 1, 4,
+            _safe_addstr(stdscr, row + 1, 4,
                           f"recommended: {rec.pipeline.pipeline} / {rec.backbone}")
-            stdscr.addstr(row + 2, 6, rec.pipeline.reason[:70], curses.A_DIM)
+            _safe_addstr(stdscr, row + 2, 6, rec.pipeline.reason[:70], curses.A_DIM)
             stdscr.refresh()
             ch = stdscr.getch()
+            if ch == 12:
+                stdscr.redrawwin()
+                continue
             if ch in (ord("q"), 27):
                 return None
             if ch in (ord("n"), ord("\n"), 10):
@@ -330,8 +544,8 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                 return None
             screen = 2 if action == "next" else 0
         elif screen == 2:
-            action = field_form(config_fields, "configure",
-                                "edit knobs; gauge updates live")
+            action = section_form("configure",
+                                  "edit knobs; gauge updates live")
             if action == "quit":
                 return None
             screen = 3 if action == "next" else 1
@@ -346,11 +560,14 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                 header("confirm", "s save · b back · q quit")
                 row = 2
                 for line in preview:
-                    stdscr.addstr(row, 4, line[:74])
+                    _safe_addstr(stdscr, row, 4, line[:74])
                     row += 1
-                stdscr.addstr(row + 1, 4, gauge)
+                _safe_addstr(stdscr, row + 1, 4, gauge)
                 stdscr.refresh()
                 ch = stdscr.getch()
+                if ch == 12:
+                    stdscr.redrawwin()
+                    continue
                 if ch in (ord("q"), 27):
                     return None
                 if ch == ord("b"):

@@ -1,0 +1,230 @@
+"""Drive the curses TUI front end through a real pty (VERDICT r3 #8).
+
+The reference's config generator is an interactive terminal app
+(reference sleap_nn/config_generator/tui/app.py): these tests exercise our
+curses flow end-to-end — screen transitions, collapsible sections, slider
+widgets, knob editing with a live memory gauge, the file browser, and the
+save path — by spawning ``launch_tui`` under ``pexpect`` and asserting on
+the rendered byte stream.
+
+curses repaints only dirty line ranges, so stream assertions target text
+that is freshly painted (new screens, shifted rows, prompts, echoes); the
+slider/edit EFFECTS are then verified in the saved YAML, and the gauge
+update is asserted on the confirm screen where the gauge line is painted
+at a previously blank row (full-line emission).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+import yaml
+
+pexpect = pytest.importorskip("pexpect")
+
+FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+
+# curses enables application-cursor mode (smkx), so a terminal sends SS3
+# arrow sequences (ESC O x) — the CSI forms (ESC [ x) would reach getch as
+# a bare ESC + literals under TERM=xterm.
+UP, DOWN, RIGHT, LEFT = "\x1bOA", "\x1bOB", "\x1bOC", "\x1bOD"
+
+CHILD_SCRIPT = (
+    "import locale; locale.setlocale(locale.LC_ALL, '');"
+    "from sleap_nn_tpu.config_generator.tui import launch_tui;"
+    f"launch_tui({FIXTURE!r})"
+)
+
+
+def _spawn():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference assets unavailable")
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "TERM": "xterm",
+        "LANG": "C.UTF-8",
+        "LC_ALL": "C.UTF-8",
+    })
+    return pexpect.spawn(
+        sys.executable, ["-c", CHILD_SCRIPT], env=env,
+        dimensions=(40, 120), encoding="utf-8", codec_errors="replace",
+        timeout=180,
+    )
+
+
+def _gauge_token(batch_size=None):
+    """The 'X.XX/16 GB' slice of the gauge the TUI would render."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _config_fields, _memory_gauge, _model_fields,
+    )
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    mf = _model_fields(rec)
+    cf = _config_fields(FIXTURE, stats, rec)
+    if batch_size is not None:
+        for f in cf:
+            if f.name == "batch_size":
+                f.value = batch_size
+    gauge = _memory_gauge(stats, mf, cf)
+    return gauge.split("] ", 1)[1].split(" (")[0]  # "X.XX/16 GB"
+
+
+# Entry order on the configure screen (sections all expanded):
+# 0 [-] targets, 1 sigma, 2 scale, 3 [-] backbone, 4 output_stride,
+# 5 max_stride, 6 filters, 7 filters_rate, 8 [-] training, 9 batch_size,
+# 10 max_epochs, 11 [-] augmentation, 12 rotation, 13 augmentation,
+# 14 [-] output, 15 output
+
+
+@pytest.mark.slow
+def test_curses_full_journey(tmp_path):
+    """load → model select → configure (collapse, slider, edit, browser)
+    → confirm → save, all through the pty."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    default_token = _gauge_token()
+    edited_token = _gauge_token(batch_size=64)
+
+    child = _spawn()
+    try:
+        child.expect_exact("[load]")
+        child.send("n")
+        child.expect_exact("model select")
+        child.send("n")
+        # Fresh screen: full paint top-to-bottom.
+        child.expect_exact("configure")
+        child.expect_exact("[-] targets")
+        child.expect_exact("memory [")
+        child.expect_exact(default_token)
+
+        # curses transmits diffs (and uses delete-line ops on collapse), so
+        # after each state change we force a full repaint with ctrl-L and
+        # assert on the complete frame.
+        REDRAW = "\x0c"
+
+        # Collapsible header: Enter collapses (sigma/scale rows disappear),
+        # Enter again expands.
+        child.send("\r")
+        child.send(REDRAW)
+        child.expect_exact("[+] targets")
+        child.expect_exact("q quit")  # last row of the frame
+        assert "sigma" not in child.before
+        child.send("\r")
+        child.send(REDRAW)
+        child.expect_exact("[-] targets")
+        child.expect_exact("sigma")
+
+        # Slider: one → step on sigma, visible in the repainted frame.
+        child.send(DOWN)
+        child.send(RIGHT)
+        expected_sigma = round(min(10.0, float(rec.sigma) + 0.25), 6)
+        child.send(REDRAW)
+        child.expect_exact(str(expected_sigma))
+
+        # Knob edit: batch_size ← 64; the full frame shows the new value
+        # AND the recomputed memory gauge (live gauge through the pty).
+        for _ in range(8):  # sigma(1) → batch_size(9)
+            child.send(DOWN)
+        child.send("e")
+        child.expect_exact("batch_size: ")
+        child.send("64\r")
+        child.send(REDRAW)
+        child.expect_exact("] 64")  # slider bar + new value
+        child.expect_exact(edited_token)  # gauge reflects batch_size=64
+
+        # Output path via the file browser: point the field at the writable
+        # tmp dir first, then create a new filename through the browser.
+        for _ in range(6):  # batch_size(9) → output(15)
+            child.send(DOWN)
+        child.send("e")
+        child.expect_exact("output: ")
+        child.send(str(tmp_path / "placeholder.yaml") + "\r")
+        child.send("f")
+        child.expect_exact("[browse]")
+        child.expect_exact(str(tmp_path))
+        child.send("n")
+        child.expect_exact("filename: ")
+        child.send("from_browser.yaml\r")
+        child.send(REDRAW)
+        child.expect_exact("from_browser.yaml")  # field shows browsed path
+
+        # Confirm screen: fresh paint of preview + gauge (at a previously
+        # blank row → full-line emission) reflecting the edited batch size.
+        child.send("n")
+        child.send(REDRAW)  # '[configure]'→'[confirm]' shares a prefix; the
+        child.expect_exact("confirm")  # diff alone emits only 'rm]'
+        child.expect_exact(edited_token)
+        child.send("s")
+        child.expect_exact("Saved config to:")
+        child.expect(pexpect.EOF)
+    finally:
+        child.close(force=True)
+
+    out = tmp_path / "from_browser.yaml"
+    assert out.exists()
+    cfg = yaml.safe_load(out.read_text())
+    assert cfg["trainer_config"]["train_data_loader"]["batch_size"] == 64
+    expected_sigma = round(min(10.0, float(rec.sigma) + 0.25), 6)
+    head_cfgs = cfg["model_config"]["head_configs"]
+    head = next(v for v in head_cfgs.values() if v is not None)
+    leaf = head.get("confmaps", head)
+    assert leaf["sigma"] == pytest.approx(expected_sigma)
+
+
+@pytest.mark.slow
+def test_curses_quit_saves_nothing():
+    child = _spawn()
+    try:
+        child.expect_exact("[load]")
+        child.send("q")
+        child.expect(pexpect.EOF)
+        tail = child.before or ""
+    finally:
+        child.close(force=True)
+    assert "Saved config to:" not in tail
+
+
+def test_slider_field_steps_and_clamps():
+    from sleap_nn_tpu.config_generator.tui import _Field
+
+    f = _Field("sigma", 9.9, caster=float, slider=(0.5, 10.0, 0.25))
+    f.cycle(+1)
+    assert f.value == 10.0  # clamped at hi
+    f.cycle(-1)
+    assert f.value == 9.75
+    bar_low = _Field("x", 0.5, caster=float, slider=(0.5, 10.0, 0.25)).slider_bar()
+    bar_high = _Field("x", 10.0, caster=float, slider=(0.5, 10.0, 0.25)).slider_bar()
+    assert bar_low.startswith("[#") and bar_high.endswith("#]")
+    i = _Field("filters", 4, caster=int, slider=(4, 512, 4))
+    i.cycle(-1)
+    assert i.value == 4 and isinstance(i.value, int)
+    i.cycle(+1)
+    assert i.value == 8
+
+
+def test_config_sections_cover_every_field():
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _config_fields, _config_sections,
+    )
+
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference assets unavailable")
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    fields = _config_fields(FIXTURE, stats, rec)
+    sections = _config_sections(fields)
+    grouped = [f for s in sections for f in s.fields]
+    assert sorted(f.name for f in grouped) == sorted(f.name for f in fields)
+    assert all(not s.collapsed for s in sections)
+    s = sections[0]
+    assert s.marker() == "[-]"
+    s.collapsed = True
+    assert s.marker() == "[+]"
