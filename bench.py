@@ -239,17 +239,23 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
     backends = getattr(fn, "backends", [])
     x0 = jnp.asarray(np.ascontiguousarray(sample_batch[:batch]))
 
-    def first_float_leaf(out):
-        # raw (unjitted) layer bodies can return Python floats (e.g. a
-        # no-op sizematcher's eff_scale) — skip non-array leaves.
+    def all_leaves_sum(out):
+        # Reduce over EVERY array leaf so no output subtree can be
+        # dead-code-eliminated. (Summing only the first float leaf let XLA
+        # DCE the whole stage-2 branch of TopDownLayer — centroid_vals sorts
+        # first — which silently turned the 'full topdown' timing into a
+        # stage-1-only timing.) Skip non-array leaves (raw layer bodies can
+        # return Python floats, e.g. a no-op sizematcher's eff_scale).
         leaves = [l for l in jax.tree_util.tree_leaves(out)
                   if hasattr(l, "dtype")]
+        if not leaves:
+            return jnp.float32(0.0)
+        total = jnp.float32(0.0)
         for leaf in leaves:
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                return leaf
-        if leaves:
-            return leaves[0].astype(jnp.float32)
-        return jnp.float32(0.0)
+            total = total + jnp.nan_to_num(
+                jnp.mean(leaf.astype(jnp.float32))
+            )
+        return total
 
     def loop_body(call, x):
         def body(i, acc):
@@ -261,7 +267,7 @@ def bench_forward(predictor, sample_batch, batch: int = 4, n_iters: int = 100):
                 bump = (acc.astype(jnp.int32) % 2).astype(x.dtype)
                 xi = x.at[0, 0, 0, 0].set(x[0, 0, 0, 0] + bump)
             out = call(xi)
-            return acc + jnp.nan_to_num(jnp.mean(first_float_leaf(out)))
+            return acc + all_leaves_sum(out)
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
     if raw is not None:

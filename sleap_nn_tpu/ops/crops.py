@@ -8,6 +8,7 @@ pixels are 0 and shapes stay static under jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,14 +76,28 @@ def crop_bboxes(
     tl_int = jnp.trunc(top_left + half).astype(jnp.int32) - half.astype(jnp.int32)
 
     invalid = jnp.isnan(top_left).any(axis=-1)
-    # Send invalid crops to the zero-padding region.
-    tl_int = jnp.where(invalid[:, None], -2 * jnp.array([pad_w, pad_h]), tl_int)
+    # Send invalid crops to the zero-padding region (the (0,0) corner block
+    # of `padded` is all zeros since pad == crop size).
+    tl_int = jnp.where(invalid[:, None], -jnp.array([pad_w, pad_h]), tl_int)
 
-    yy = jnp.arange(crop_height)[None, :, None]  # (1, ch, 1)
-    xx = jnp.arange(crop_width)[None, None, :]  # (1, 1, cw)
-    abs_y = jnp.clip(tl_int[:, 1][:, None, None] + yy + pad_h, 0, padded.shape[1] - 1)
-    abs_x = jnp.clip(tl_int[:, 0][:, None, None] + xx + pad_w, 0, padded.shape[2] - 1)
+    # One dynamic_slice per crop, vmapped: XLA lowers this to a BLOCK gather
+    # (384 copies of a (ch, cw, C) tile) instead of the per-element gather
+    # that advanced indexing produces. On a v5e the per-element form ran at
+    # ~80 M elem/s (78 ms for 384x128x128 crops — 3x the whole backbone);
+    # the block form is ~2 orders of magnitude cheaper. dynamic_slice clamps
+    # out-of-range starts, which matches the old per-pixel clip for every
+    # reachable centroid (peaks are in-image, so |tl| <= crop).
+    start_y = tl_int[:, 1] + pad_h
+    start_x = tl_int[:, 0] + pad_w
+    c = padded.shape[-1]
 
-    sample_idx = sample_inds.astype(jnp.int32)[:, None, None]
-    crops = padded[sample_idx, abs_y, abs_x, :]  # (n, ch, cw, C)
-    return crops
+    def one_crop(s, y, x):
+        return jax.lax.dynamic_slice(
+            padded,
+            (s, y, x, jnp.int32(0)),
+            (1, crop_height, crop_width, c),
+        )[0]
+
+    return jax.vmap(one_crop)(
+        sample_inds.astype(jnp.int32), start_y, start_x
+    )

@@ -511,11 +511,15 @@ def test_tracking_flow_without_overlap_filter(trained_model, tmp_path):
         "--peak-threshold", "0.05", "--use-flow",
     ], catch_exceptions=False)
     assert r.exit_code == 0, r.output
+    # Kalman tracking requires a known identity count (reference
+    # tracker.py:283-286) — pass one; the regression under test is the
+    # overlap-filter kwarg leak, not the count contract.
     r2 = runner.invoke(cli, [
         "track", "-i",
         "/root/reference/tests/assets/datasets/small_robot.mp4",
         "-m", trained_model, "-o", str(tmp_path / "kftrk.slp"),
         "--frames", "0-2", "--peak-threshold", "0.05", "--use-kalman",
+        "--max-instances", "2",
     ], catch_exceptions=False)
     assert r2.exit_code == 0, r2.output
 
