@@ -64,6 +64,7 @@ def test_get_config_one_shot_trains(tmp_path):
         output_stride=2,
         batch_size=1,
         max_epochs=2,
+        min_train_steps_per_epoch=1,
         save_ckpt=True,
         ckpt_dir=str(tmp_path),
         run_name="kw",

@@ -60,3 +60,54 @@ def small_robot_mp4() -> Path:
 @pytest.fixture()
 def rng() -> np.random.Generator:
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped trained models (suite wall-time: train each tiny model ONCE
+# per session instead of once per module; VERDICT r3 #7).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def trained_single_instance_model(tmp_path_factory) -> str:
+    from tests.fixture_utils import train_tiny_model
+
+    return train_tiny_model(
+        "single_instance", tmp_path_factory.mktemp("sess_si"))
+
+
+@pytest.fixture(scope="session")
+def trained_centroid_model(tmp_path_factory) -> str:
+    from tests.fixture_utils import train_tiny_model
+
+    return train_tiny_model(
+        "centroid", tmp_path_factory.mktemp("sess_ct"),
+        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
+    )
+
+
+@pytest.fixture(scope="session")
+def trained_centered_instance_model(tmp_path_factory) -> str:
+    from tests.fixture_utils import train_tiny_model
+
+    return train_tiny_model(
+        "centered_instance", tmp_path_factory.mktemp("sess_ci"))
+
+
+@pytest.fixture(scope="session")
+def trained_bottomup_model(tmp_path_factory) -> str:
+    from tests.fixture_utils import train_tiny_model
+
+    return train_tiny_model(
+        "bottomup", tmp_path_factory.mktemp("sess_bu"), epochs=100)
+
+
+@pytest.fixture(scope="session")
+def tiny_centroid_2ep_model(tmp_path_factory) -> str:
+    """A 2-epoch throwaway centroid checkpoint (structure over accuracy)."""
+    from tests.fixture_utils import train_tiny_model
+
+    return train_tiny_model(
+        "centroid", tmp_path_factory.mktemp("sess_ct2"), epochs=2,
+        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
+    )

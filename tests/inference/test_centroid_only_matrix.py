@@ -18,11 +18,9 @@ from tests.inference.test_e2e import FIXTURE, _train
 
 
 @pytest.fixture(scope="module")
-def centroid_model(tmp_path_factory):
-    return _train(
-        "centroid", tmp_path_factory.mktemp("ct_only"),
-        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
-    )
+def centroid_model(trained_centroid_model):
+    # Same recipe as the session-scoped model — reuse (one training/session).
+    return trained_centroid_model
 
 
 @pytest.fixture(scope="module")

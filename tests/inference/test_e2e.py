@@ -18,45 +18,10 @@ FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
 
 def _train(model_type: str, out_dir, epochs=80, **overrides):
-    cfg = TrainingJobConfig()
-    if model_type == "single_instance":
-        # single_instance training hard-errors on multi-instance frames.
-        from tests.fixture_utils import single_instance_fixture
+    """Delegates to the shared overfit recipe (tests/fixture_utils.py)."""
+    from tests.fixture_utils import train_tiny_model
 
-        cfg.data_config.train_labels_path = [single_instance_fixture()]
-    else:
-        cfg.data_config.train_labels_path = [FIXTURE]
-    cfg.data_config.use_same_data_for_val = True
-    cfg.data_config.use_augmentations_train = False
-    cfg.data_config.preprocessing.scale = 0.5
-    apply_overrides(cfg, {
-        "model_config.backbone_config.unet.filters": 16,
-        "model_config.backbone_config.unet.filters_rate": 1.5,
-        "model_config.backbone_config.unet.max_stride": 8,
-        "model_config.backbone_config.unet.output_stride": 2,
-        f"model_config.head_configs.{model_type}.confmaps.output_stride": 2,
-        f"model_config.head_configs.{model_type}.confmaps.sigma": 2.5,
-    })
-    if model_type == "bottomup":
-        apply_overrides(cfg, {
-            "model_config.head_configs.bottomup.pafs.output_stride": 4,
-            "model_config.head_configs.bottomup.pafs.sigma": 10.0,
-        })
-    cfg.trainer_config.max_epochs = epochs
-    cfg.trainer_config.min_train_steps_per_epoch = 1
-    cfg.trainer_config.train_data_loader.batch_size = 1
-    cfg.trainer_config.val_data_loader.batch_size = 1
-    cfg.trainer_config.save_ckpt = True
-    cfg.trainer_config.ckpt_dir = str(out_dir)
-    cfg.trainer_config.run_name = model_type
-    cfg.trainer_config.enable_progress_bar = False
-    cfg.trainer_config.optimizer.lr = 2e-3
-    cfg.trainer_config.early_stopping.stop_training_on_plateau = False
-    for k, v in overrides.items():
-        apply_overrides(cfg, {k: v})
-    trainer = ModelTrainer.get_model_trainer_from_config(cfg)
-    trainer.train()
-    return str(out_dir / model_type)
+    return train_tiny_model(model_type, out_dir, epochs=epochs, **overrides)
 
 
 @pytest.fixture(scope="module")
@@ -65,27 +30,27 @@ def gt():
     return labels, labels[0].numpy()  # (2 inst, 2 nodes, 2)
 
 
+# The four overfit models are trained ONCE per session (tests/conftest.py)
+# and shared across modules; these aliases keep this module's historical
+# fixture names.
 @pytest.fixture(scope="module")
-def single_instance_model(tmp_path_factory):
-    return _train("single_instance", tmp_path_factory.mktemp("si"))
-
-
-@pytest.fixture(scope="module")
-def centroid_model(tmp_path_factory):
-    return _train(
-        "centroid", tmp_path_factory.mktemp("ct"),
-        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
-    )
+def single_instance_model(trained_single_instance_model):
+    return trained_single_instance_model
 
 
 @pytest.fixture(scope="module")
-def centered_instance_model(tmp_path_factory):
-    return _train("centered_instance", tmp_path_factory.mktemp("ci"))
+def centroid_model(trained_centroid_model):
+    return trained_centroid_model
 
 
 @pytest.fixture(scope="module")
-def bottomup_model(tmp_path_factory):
-    return _train("bottomup", tmp_path_factory.mktemp("bu"), epochs=100)
+def centered_instance_model(trained_centered_instance_model):
+    return trained_centered_instance_model
+
+
+@pytest.fixture(scope="module")
+def bottomup_model(trained_bottomup_model):
+    return trained_bottomup_model
 
 
 def _best_instance_error(pred_pts, gt_pts):

@@ -14,16 +14,10 @@ import pytest
 from sleap_nn_tpu.inference.loaders import load_model
 from sleap_nn_tpu.inference.predictor import Predictor
 
-from tests.inference.test_e2e import _train
-
-
 @pytest.fixture(scope="module")
-def tiny_centroid(tmp_path_factory):
-    """A 2-epoch throwaway centroid checkpoint (structure over accuracy)."""
-    return _train(
-        "centroid", tmp_path_factory.mktemp("ldr"), epochs=2,
-        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
-    )
+def tiny_centroid(tiny_centroid_2ep_model):
+    """A 2-epoch throwaway centroid checkpoint (session-shared)."""
+    return tiny_centroid_2ep_model
 
 
 def test_load_model_bad_path_raises():

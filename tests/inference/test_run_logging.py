@@ -25,7 +25,7 @@ from sleap_nn_tpu.inference.predictor import Predictor
 from sleap_nn_tpu.inference.providers import LabelsProvider
 from sleap_nn_tpu.io import load_slp
 
-from tests.inference.test_e2e import FIXTURE, _train
+from tests.inference.test_e2e import FIXTURE
 
 LOGGER = "sleap_nn_tpu"
 
@@ -204,11 +204,9 @@ def test_start_line_unknown_provider_defaults(caplog):
 
 
 @pytest.fixture(scope="module")
-def centroid_model(tmp_path_factory):
-    return _train(
-        "centroid", tmp_path_factory.mktemp("log610"), epochs=2,
-        **{"model_config.head_configs.centroid.confmaps.sigma": 3.5},
-    )
+def centroid_model(tiny_centroid_2ep_model):
+    # session-shared 2-epoch centroid (structure over accuracy)
+    return tiny_centroid_2ep_model
 
 
 def test_predict_emits_all_three_lines(centroid_model, tmp_path, caplog):

@@ -19,11 +19,13 @@ from tests.training.test_trainer import make_cfg
 
 def test_existing_run_dir_auto_suffixes(tmp_path):
     cfg = make_cfg("single_instance", tmp_path)
+    cfg.trainer_config.max_epochs = 1  # dir-suffix semantics only
     cfg.trainer_config.run_name = "dup"
     ModelTrainer.get_model_trainer_from_config(cfg).train()
     assert (tmp_path / "dup" / "best.ckpt").exists()
 
     cfg2 = make_cfg("single_instance", tmp_path)
+    cfg2.trainer_config.max_epochs = 1
     cfg2.trainer_config.run_name = "dup"
     t2 = ModelTrainer.get_model_trainer_from_config(cfg2)
     t2.train()
@@ -31,6 +33,7 @@ def test_existing_run_dir_auto_suffixes(tmp_path):
     assert t2.config.trainer_config.run_name == "dup-1"
 
     cfg3 = make_cfg("single_instance", tmp_path)
+    cfg3.trainer_config.max_epochs = 1
     cfg3.trainer_config.run_name = "dup"
     ModelTrainer.get_model_trainer_from_config(cfg3).train()
     assert (tmp_path / "dup-2" / "best.ckpt").exists()
