@@ -104,8 +104,9 @@ def get_mask_backend(
 
     ``"sam"`` builds :class:`HFSamBackend` from a transformers SAM checkpoint;
     ``"sam_jax"`` runs the same checkpoint natively in JAX on the accelerator
-    (:class:`JaxSamBackend`); ``"sam3"`` raises with an actionable message
-    (SAM3 transformers support is not in this environment). An omitted or
+    (:class:`JaxSamBackend`); ``"sam3"`` builds :class:`Sam3Backend` via
+    transformers — raising an actionable ImportError while the installed
+    transformers has no SAM3 support (this environment). An omitted or
     unknown name raises ValueError.
     """
     if mask_backend is None:
@@ -123,7 +124,11 @@ def get_mask_backend(
         return SamLegacyBackend.from_checkpoint(
             checkpoint_path=sam_model_id, device=device, **kwargs)
     if name == "sam3":
-        return Sam3Backend(**kwargs)
+        # Gated: raises an actionable ImportError until the installed
+        # transformers ships SAM3 (`facebook/sam3`).
+        sam3_id = sam_model_id if "sam3" in str(sam_model_id) else "facebook/sam3"
+        return Sam3Backend.from_pretrained(
+            model_id=sam3_id, device=device, **kwargs)
     raise ValueError(f"Unknown mask_backend {mask_backend!r}; expected one of {MASK_BACKENDS}.")
 
 

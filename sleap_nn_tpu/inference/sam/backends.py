@@ -489,23 +489,163 @@ class SamLegacyBackend(MaskBackend):
         return out_masks, out_scores
 
 
-class Sam3Backend(MaskBackend):
-    """SAM3 backend placeholder (reference backends.py:495).
+def cleanup_seed(prompt: SamPrompt) -> np.ndarray:
+    """Seed keypoints for :func:`cleanup_speckle` on one SAM3 prompt.
 
-    SAM3 support in ``transformers`` (gated ``facebook/sam3``) is not present
-    in this image; constructing this backend raises an actionable ImportError.
-    The SAM3-specific post-processing (mandatory :func:`cleanup_speckle`,
-    recalibrated ``pred_iou_min=0.5``) is implemented above and shared.
+    Positive points (pose keypoints / centroid / crop center) are the natural
+    component seeds; a box-only prompt has none, so its box center is used so
+    the cleanup still keeps the central blob (reference backends.py:473
+    ``_cleanup_seed``).
+    """
+    if prompt.point_coords is not None and len(prompt.point_coords):
+        return np.asarray(prompt.point_coords, dtype=np.float32).reshape(-1, 2)
+    box = np.asarray(prompt.reject_box, dtype=np.float32).reshape(4)
+    return np.array(
+        [[(box[0] + box[2]) / 2.0, (box[1] + box[3]) / 2.0]], dtype=np.float32
+    )
+
+
+class Sam3Backend(MaskBackend):
+    """SAM3 (Meta SAM 3) prompted-mask backend (reference backends.py:495).
+
+    Wraps a transformers ``Sam3TrackerModel`` + ``Sam3TrackerProcessor`` pair
+    (injectable for testing; lazily loaded via :meth:`from_pretrained`, which
+    raises an actionable ImportError while the gated ``facebook/sam3`` release
+    is absent from the installed ``transformers``). Two SAM3 specifics are
+    mandatory and never shared with SAM1:
+
+    * **Recalibrated floor** — SAM3's predicted-IoU is on a lower scale than
+      SAM1 (median ~0.68 vs ~0.95), so ``pred_iou_min`` defaults to ``0.5``,
+      never SAM1's ``0.88``. As with SAM1 the raw chosen-candidate score is
+      reported, not gated on.
+    * **Speckle cleanup** — raw SAM3 masks are fragmented (median ~14
+      components); every chosen mask passes :func:`cleanup_speckle` seeded by
+      :func:`cleanup_seed` before it is returned.
+
+    Unlike SAM1's per-prompt decode loop, SAM3 runs all prompts for the frame
+    in a single batched forward pass (each prompt one object). Candidate
+    selection (:func:`pick_candidate`) and the raw-score contract match SAM1.
     """
 
     pred_iou_min: float = 0.5
 
-    def __init__(self, *args, **kwargs):
-        raise ImportError(
-            "mask_backend='sam3' requires a transformers release with SAM3 "
-            "(`facebook/sam3`) support, which is not available in this "
-            "environment. Use mask_backend='sam' or pass a prebuilt backend."
-        )
+    def __init__(self, model, processor, device: str = "cpu",
+                 clahe: bool = True, max_box_area_factor: float = 1.5,
+                 clahe_clip_limit: float = 3.0,
+                 clahe_tile_grid: Tuple[int, int] = (8, 8),
+                 cleanup_radius: int = 3, pred_iou_min: float = 0.5):
+        self.model = model
+        self.processor = processor
+        self.device = str(device)
+        self.clahe = bool(clahe)
+        self.max_box_area_factor = float(max_box_area_factor)
+        self.clahe_clip_limit = float(clahe_clip_limit)
+        self.clahe_tile_grid = tuple(clahe_tile_grid)
+        self.cleanup_radius = int(cleanup_radius)
+        self.pred_iou_min = float(pred_iou_min)
 
-    def masks(self, image, prompts):  # pragma: no cover - unreachable
-        raise NotImplementedError
+    @classmethod
+    def from_pretrained(cls, model_id: str = "facebook/sam3",
+                        device: str = "cpu", **kwargs) -> "Sam3Backend":
+        """Lazily load the gated SAM3 model + processor.
+
+        Raises ImportError while the installed ``transformers`` has no SAM3
+        support (the current state of this environment).
+        """
+        try:
+            from transformers import (  # type: ignore[attr-defined]
+                Sam3TrackerModel,
+                Sam3TrackerProcessor,
+            )
+        except ImportError as e:
+            raise ImportError(
+                "mask_backend='sam3' requires a transformers release with "
+                "SAM3 (`facebook/sam3`) support, which is not available in "
+                "this environment. Use mask_backend='sam' or pass a prebuilt "
+                "backend."
+            ) from e
+        model = Sam3TrackerModel.from_pretrained(model_id).to(device).eval()
+        processor = Sam3TrackerProcessor.from_pretrained(model_id)
+        return cls(model, processor, device=device, **kwargs)
+
+    def masks(self, image, prompts):
+        """Encode once, run all prompts batched, return cleaned masks + scores.
+
+        Mirrors reference ``Sam3Backend.masks`` (backends.py:600-700): one
+        batched forward (each prompt an object), only REAL boxes forwarded
+        (never ``reject_box`` — a whole-frame box would make SAM3 diverge
+        from SAM1 on identical input), :func:`pick_candidate` per prompt,
+        then the mandatory :func:`cleanup_speckle`, reporting the raw chosen
+        predicted-IoU on SAM3's scale.
+        """
+        import torch
+
+        prompts = list(prompts)
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img[..., 0]
+        img = np.ascontiguousarray(img).astype(np.uint8)
+        h, w = img.shape[:2]
+        out_masks: List[np.ndarray] = [np.zeros((h, w), bool) for _ in prompts]
+        out_scores: List[float] = [0.0 for _ in prompts]
+        if not prompts:
+            return out_masks, out_scores
+
+        rgb = to_3ch(img, clahe=self.clahe,
+                     clahe_clip_limit=self.clahe_clip_limit,
+                     clahe_tile_grid=self.clahe_tile_grid)
+
+        obj_points: List[List[List[float]]] = []
+        obj_labels: List[List[int]] = []
+        obj_boxes: List[List[float]] = []
+        any_box = False
+        for prompt in prompts:
+            pc, pl = prompt.point_coords, prompt.point_labels
+            if pc is not None and len(pc):
+                obj_points.append([[float(x), float(y)] for x, y in pc])
+                obj_labels.append(
+                    [int(v) for v in pl] if pl is not None else [1] * len(pc)
+                )
+            else:
+                obj_points.append([])
+                obj_labels.append([])
+            if prompt.box is not None:
+                obj_boxes.append(
+                    [float(v) for v in np.asarray(prompt.box).reshape(4)]
+                )
+                any_box = True
+            else:
+                obj_boxes.append([])
+
+        processor_kwargs = dict(
+            images=rgb,
+            input_points=[obj_points],
+            input_labels=[obj_labels],
+            return_tensors="pt",
+        )
+        if any_box:  # a frame of point-only prompts forwards no boxes at all
+            processor_kwargs["input_boxes"] = [obj_boxes]
+        inputs = self.processor(**processor_kwargs).to(self.device)
+        with torch.no_grad():
+            out = self.model(**inputs, multimask_output=True)
+        post = self.processor.post_process_masks(
+            out.pred_masks, original_sizes=inputs["original_sizes"],
+            binarize=True,
+        )[0]  # (n_obj, n_cand, H, W) bool
+        post = np.asarray(post.cpu().numpy()).astype(bool)
+        scores = np.asarray(out.iou_scores.float().cpu().numpy()[0])
+
+        for j, prompt in enumerate(prompts):
+            cand_masks, cand_scores = post[j], scores[j]
+            b = pick_candidate(cand_masks, cand_scores, prompt.reject_box,
+                               self.max_box_area_factor)
+            mask = cleanup_speckle(cand_masks[b], cleanup_seed(prompt),
+                                   self.cleanup_radius)
+            out_masks[j] = mask.astype(bool)
+            out_scores[j] = float(cand_scores[b])
+        for m in out_masks:
+            if m.shape[:2] != (h, w):
+                raise ValueError(
+                    f"SAM3 returned a {m.shape} mask for a {(h, w)} image."
+                )
+        return out_masks, out_scores
