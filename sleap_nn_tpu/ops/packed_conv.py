@@ -320,13 +320,7 @@ def packed_phase_max_pool(y_packed: jnp.ndarray) -> jnp.ndarray:
 
     A 2x2/stride-2 SAME max pool's output pixel (i, j) is the max over the
     four phases of packed cell (i, j) — no spatial window crosses cells.
-
-    Computed as an elementwise max over four static channel slices rather
-    than reshape+reduce: measured ~15% faster on v5e (the reduce forces a
-    layout copy of the conv output; the slice-max fuses into its epilogue).
     """
-    c = y_packed.shape[-1] // 4
-    return jnp.maximum(
-        jnp.maximum(y_packed[..., :c], y_packed[..., c:2 * c]),
-        jnp.maximum(y_packed[..., 2 * c:3 * c], y_packed[..., 3 * c:]),
-    )
+    b, h2, w2, c4 = y_packed.shape
+    c = c4 // 4
+    return jnp.max(y_packed.reshape(b, h2, w2, 4, c), axis=3)
