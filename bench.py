@@ -364,6 +364,17 @@ def _row_payload(predictor):
 # ---------------------------------------------------------------------------
 
 
+def _effective_packed(shim, img: int) -> int:
+    """Effective packed depth of the shim's centroid backbone at `img` px."""
+    try:
+        from sleap_nn_tpu.inference.backends import effective_packed_levels
+
+        bb = shim.layer.centroid_layer.backend.model.backbone
+        return effective_packed_levels(bb, img, img)
+    except Exception:
+        return 0
+
+
 def build_production_topdown(backbone: str, img: int, crop: int,
                              max_instances: int = 20, n_nodes: int = 15,
                              output_stride: int = 2):
@@ -501,13 +512,11 @@ def production_row(backbone: str, img: int, crop: int, batch: int,
         "mfu": round(achieved / peak, 4) if flops else None,
         "vs_target_2000fps": round(fps / 2000.0, 2),
         # Space-to-depth packed execution auto-enables for narrow UNet
-        # backbones on TPU (inference/backends.py:maybe_pack_level0 +
-        # choose_packed_levels): encoder levels with C<=48, the decoder
-        # up-blocks consuming their skips, and the bound heads.
-        "packed_levels": (
-            2 if backbone == "unet_medium_rf" else
-            (1 if backbone.startswith("unet") else 0)
-        ) if __import__("jax").default_backend() == "tpu" else 0,
+        # backbones on TPU (inference/backends.py:maybe_pack_level0), but
+        # the Encoder's resolution gate (pack_min_res=1024) means it only
+        # actually engages on megapixel inputs — report the EFFECTIVE
+        # depth for this row's image size.
+        "packed_levels": _effective_packed(shim, img),
     }
     if sol_compute is not None:
         row["speed_of_light_fps_compute"] = round(sol_compute, 0)
@@ -744,6 +753,33 @@ def main():
             )
         except Exception as e:  # a failed row must not kill the bench
             extra["production"]["unet_medium_rf"] = {"error": str(e)[:300]}
+        if not past_deadline():
+            # North-star production preset: the LARGEST medium_rf topdown
+            # configuration that clears 2,000 f/s/chip on a v5e (BASELINE.md
+            # north star). 1024px/os2 is physically unreachable for this
+            # model (compute speed-of-light 797 f/s); the resolution/stride
+            # sweep (2026-08-20, quiet host) found os4 @384px B=128 is the
+            # largest clearing config: 2,066 f/s/chip (os4@448 = 1,537,
+            # os4@512 = 1,248). Documented in README "Production presets".
+            try:
+                ns_img = (96 if smoke else 192) if on_cpu else 384
+                ns_crop = (48 if smoke else 96) if on_cpu else 128
+                ns_batch = (1 if smoke else 2) if on_cpu else 128
+                preset = production_row(
+                    "unet_medium_rf", ns_img, ns_crop, ns_batch, n_iters,
+                    peak, output_stride=4,
+                )
+                extra["production"]["unet_medium_rf_fast384"] = preset
+                if not on_cpu:
+                    extra["north_star"]["production_preset"] = {
+                        "config": "unet_medium_rf os4 @384px crop128 B=128",
+                        "fps_per_chip": preset["fps_per_chip"],
+                        "vs_target": round(preset["fps_per_chip"] / 2000.0, 2),
+                    }
+            except Exception as e:
+                extra["production"]["unet_medium_rf_fast384"] = {
+                    "error": str(e)[:300]
+                }
         if ((not on_cpu and not smoke) or os.environ.get("BENCH_CONVNEXT")) \
                 and not past_deadline():
             try:

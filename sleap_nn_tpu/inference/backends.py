@@ -16,14 +16,18 @@ import jax.numpy as jnp
 
 
 def choose_packed_levels(backbone) -> int:
-    """How many leading encoder levels to run space-to-depth packed.
+    """Max leading encoder levels ALLOWED to run space-to-depth packed.
 
     Pack while the level's channel count leaves most of the 128-lane tile
-    padded (C <= 48 keeps the packed 4C <= 192, a clear traffic win) —
-    each packed level trades ~4x FLOPs on that level for ~2-4x less HBM
-    traffic, the right trade only while the model is memory-bound there.
-    Capped at 2 levels: by level 2 the maps are 4x smaller and the FLOP
-    multiplier starts to matter more than the shrinking padding waste.
+    padded (C <= 48 keeps the packed 4C <= 192). Capped at 2 levels: by
+    level 2 the maps are 4x smaller and the shrinking padding waste stops
+    paying for the layout churn.
+
+    This is an upper bound: the Encoder additionally gates each level on
+    its input resolution at trace time (`Encoder.pack_min_res`, default
+    1024 px) — DCE-proof v5e A/Bs showed packing only wins at megapixel
+    scale, XLA's native narrow-conv handling wins below it. The effective
+    depth for a given input is `effective_packed_levels`.
     """
     n = 0
     for b in range(min(2, backbone.down_blocks - 1)):
@@ -46,6 +50,12 @@ def maybe_pack_level0(model, packed=None):
     so the same checkpoint params apply unchanged. ``packed`` may also be
     an int to force an exact packed depth. Returns the (possibly rebuilt)
     model.
+
+    Auto mode keeps the Encoder's resolution gate (`pack_min_res`, default
+    1024 px): the allowed depth only engages on megapixel inputs, smaller
+    traces run unpacked (same params either way). An explicit int force
+    also drops the gate to 1 so the requested depth engages at any input
+    size (tests and A/B harnesses rely on this).
     """
     from sleap_nn_tpu.models.unet import UNet
 
@@ -58,11 +68,35 @@ def maybe_pack_level0(model, packed=None):
         if packed is None:
             packed = jax.default_backend() == "tpu"
         target = choose_packed_levels(backbone) if packed else 0
+        min_res = backbone.pack_min_res
     else:
         target = int(packed)
-    if backbone.packed_levels == target:
+        min_res = 1 if target > 0 else backbone.pack_min_res
+    if backbone.packed_levels == target and backbone.pack_min_res == min_res:
         return model
-    return model.clone(backbone=backbone.clone(packed_levels=target))
+    return model.clone(
+        backbone=backbone.clone(packed_levels=target, pack_min_res=min_res)
+    )
+
+
+def effective_packed_levels(backbone, height: int, width: int) -> int:
+    """Packed depth the Encoder will actually use for an input size.
+
+    Mirrors the trace-time logic in `Encoder.__call__` (divisibility +
+    resolution gate) so benches and diagnostics can report the real
+    packing without re-tracing.
+    """
+    n = min(getattr(backbone, "packed_levels", 0),
+            getattr(backbone, "down_blocks", 0) - 1)
+    if getattr(backbone, "stem_blocks", 0) > 0:
+        n = 0
+    while n > 0 and (height % (2 ** (n + 1)) != 0
+                     or width % (2 ** (n + 1)) != 0):
+        n -= 1
+    while n > 0 and (min(height, width) >> (n - 1)) < getattr(
+            backbone, "pack_min_res", 1024):
+        n -= 1
+    return n
 
 
 class JaxBackend:

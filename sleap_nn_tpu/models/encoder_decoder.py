@@ -184,6 +184,17 @@ class Encoder(nn.Module):
     the PACKED skip instead — the third return value). Requires no stem
     and H/W divisible by 2^(packed_levels+1); silently reduces the packed
     depth otherwise.
+
+    ``pack_min_res``: a level is packed only while its input resolution
+    (min(H, W) / 2^level) is at least this. DCE-proof A/Bs on a v5e
+    (2026-08-20, medium_rf topdown) showed packing only pays at megapixel
+    scale — XLA's own space-to-batch handling of narrow convs wins below
+    it (os4 @384px B=128: 3,690 f/s unpacked vs 2,075 packed-2; @512px
+    B=64: 1,634 vs 1,249) while at 1024px packing level 0 is still ~7%
+    ahead (189.6 vs 177.4 f/s). Trace-time shape logic only — the param
+    tree is identical either way, so one checkpoint serves all input
+    sizes. Tests that exercise packed numerics at fixture scale override
+    this to 1.
     """
 
     filters: int
@@ -193,6 +204,7 @@ class Encoder(nn.Module):
     kernel_size: int = 3
     stem_blocks: int = 0
     packed_levels: int = 0
+    pack_min_res: int = 1024
 
     @nn.compact
     def __call__(
@@ -212,6 +224,13 @@ class Encoder(nn.Module):
             x.shape[1] % (2 ** (n_packed + 1)) != 0
             or x.shape[2] % (2 ** (n_packed + 1)) != 0
         ):
+            n_packed -= 1
+        # Resolution gate (see class docstring): only megapixel-scale levels
+        # benefit from packed execution; below pack_min_res XLA's native
+        # narrow-conv handling is faster, so fall back level by level.
+        while n_packed > 0 and (
+            min(x.shape[1], x.shape[2]) >> (n_packed - 1)
+        ) < self.pack_min_res:
             n_packed -= 1
 
         features: List[jnp.ndarray] = []

@@ -50,6 +50,10 @@ class UNet(nn.Module):
     # ops/packed_conv.py). Safe default-off; inference backends flip it on
     # for narrow-channel models on TPU.
     packed_levels: int = 0
+    # A level only actually packs while its input resolution is >= this
+    # (trace-time shape logic; see Encoder.pack_min_res for the v5e A/B
+    # evidence). Identical param tree either way.
+    pack_min_res: int = 1024
 
     @property
     def max_stride(self) -> int:
@@ -160,6 +164,7 @@ class UNet(nn.Module):
                 kernel_size=self.kernel_size,
                 stem_blocks=self.stem_blocks,
                 packed_levels=self.packed_levels if i == 0 else 0,
+                pack_min_res=self.pack_min_res,
                 name=f"stack{i}_enc",
             )(output)
 

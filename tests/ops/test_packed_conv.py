@@ -163,7 +163,7 @@ def test_unet_packed_level0_exactness():
 
     plain = UNet(filters=8, filters_rate=1.5, down_blocks=3, up_blocks=2,
                  convs_per_block=2, middle_block=True)
-    packed = plain.clone(packed_levels=2)
+    packed = plain.clone(packed_levels=2, pack_min_res=1)
     x = rand((2, 32, 48, 1), seed=31)
     params = plain.init(jax.random.PRNGKey(0), x)
     # Identical param trees: the packed path declares the same params.
@@ -187,7 +187,7 @@ def test_unet_packed_falls_back_on_odd_input():
     from sleap_nn_tpu.models.unet import UNet
 
     packed = UNet(filters=8, filters_rate=1.5, down_blocks=3, up_blocks=2,
-                  packed_levels=2)
+                  packed_levels=2, pack_min_res=1)
     x = rand((1, 34, 34, 1), seed=41)  # not 4-divisible: odd at stride 1? 34 is even
     x = rand((1, 33, 35, 1), seed=41)
     plain = packed.clone(packed_levels=0)
@@ -321,7 +321,8 @@ def test_packed_model_exactness_matrix():
         ref = model.apply(params, x)
         for levels in (1, 2):
             packed = model.clone(
-                backbone=model.backbone.clone(packed_levels=levels)
+                backbone=model.backbone.clone(packed_levels=levels,
+                                              pack_min_res=1)
             )
             # identical param trees
             p2 = packed.init(jax.random.PRNGKey(0), x)
@@ -348,7 +349,8 @@ def test_packed_model_gradients_match():
                        loss_weight=None)),
         shape=(1, 32, 32, 1),
     )
-    packed = model.clone(backbone=model.backbone.clone(packed_levels=2))
+    packed = model.clone(backbone=model.backbone.clone(packed_levels=2,
+                                                   pack_min_res=1))
 
     def loss(m):
         def f(p):
