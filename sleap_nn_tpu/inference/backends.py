@@ -79,6 +79,28 @@ def maybe_pack_level0(model, packed=None):
     )
 
 
+def maybe_fuse_convs(model, fused=None):
+    """Opt a UNet-backbone model into fused double-conv Pallas execution.
+
+    ``fused=None`` (auto) enables it on TPU for UNet backbones: every
+    eligible double-conv block (encoder levels and decoder refine pairs,
+    see ops/fused_conv.py) runs as one VMEM-resident Pallas kernel.
+    Identical param tree; forward-only (the kernel has no VJP), so this
+    is an inference-backend opt-in — training keeps the flax path.
+    """
+    from sleap_nn_tpu.models.unet import UNet
+
+    backbone = getattr(model, "backbone", None)
+    if not isinstance(backbone, UNet):
+        return model
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    fused = bool(fused)
+    if backbone.use_fused == fused:
+        return model
+    return model.clone(backbone=backbone.clone(use_fused=fused))
+
+
 def effective_packed_levels(backbone, height: int, width: int) -> int:
     """Packed depth the Encoder will actually use for an input size.
 
@@ -103,8 +125,10 @@ class JaxBackend:
     """Jitted forward pass over replicated params."""
 
     def __init__(self, model, params, use_bf16: bool = False,
-                 packed_level0: Optional[bool] = None):
+                 packed_level0: Optional[bool] = None,
+                 fused_convs: Optional[bool] = None):
         model = maybe_pack_level0(model, packed_level0)
+        model = maybe_fuse_convs(model, fused_convs)
         self.model = model
         self.params = params
         self.use_bf16 = use_bf16

@@ -44,7 +44,14 @@ def bilinear_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 
 class SimpleConvBlock(nn.Module):
-    """Conv block: [pool] -> num_convs x (conv + act) -> [pool]."""
+    """Conv block: [pool] -> num_convs x (conv + act) -> [pool].
+
+    ``use_fused``: evaluate the two convs as ONE Pallas kernel with the
+    inter-conv activation VMEM-resident (ops/fused_conv.py) — same param
+    tree (``conv{i}/kernel|bias`` via `_ConvParams`), forward-only (the
+    kernel has no VJP), so inference backends opt in while training keeps
+    the differentiable flax path.
+    """
 
     filters: int
     num_convs: int = 2
@@ -54,21 +61,39 @@ class SimpleConvBlock(nn.Module):
     pooling_stride: int = 2
     activation: str = "relu"
     use_bias: bool = True
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = get_act_fn(self.activation)
         if self.pool and self.pool_before_convs:
             x = max_pool_same(x, self.pooling_stride)
-        for i in range(self.num_convs):
-            x = nn.Conv(
-                self.filters,
-                (self.kernel_size, self.kernel_size),
-                padding="SAME",
-                use_bias=self.use_bias,
-                name=f"conv{i}",
-            )(x)
-            x = act(x)
+        if (
+            self.use_fused
+            and self.num_convs == 2
+            and self.kernel_size == 3
+            and self.activation in ("relu", "identity")
+        ):
+            from sleap_nn_tpu.ops.fused_conv import fused_double_conv3x3
+
+            k0, b0 = _ConvParams(
+                features=self.filters, in_features=int(x.shape[-1]),
+                kernel_size=3, use_bias=self.use_bias, name="conv0")()
+            k1, b1 = _ConvParams(
+                features=self.filters, in_features=self.filters,
+                kernel_size=3, use_bias=self.use_bias, name="conv1")()
+            x = fused_double_conv3x3(x, k0, b0, k1, b1,
+                                     activation=self.activation)
+        else:
+            for i in range(self.num_convs):
+                x = nn.Conv(
+                    self.filters,
+                    (self.kernel_size, self.kernel_size),
+                    padding="SAME",
+                    use_bias=self.use_bias,
+                    name=f"conv{i}",
+                )(x)
+                x = act(x)
         if self.pool and not self.pool_before_convs:
             x = max_pool_same(x, self.pooling_stride)
         return x
@@ -205,6 +230,7 @@ class Encoder(nn.Module):
     stem_blocks: int = 0
     packed_levels: int = 0
     pack_min_res: int = 1024
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -266,6 +292,7 @@ class Encoder(nn.Module):
                 pool=(block + self.stem_blocks) > 0
                 and not (n_packed > 0 and block == n_packed),
                 pool_before_convs=True,
+                use_fused=self.use_fused,
                 name=f"enc{block}",
             )(x)
             features.append(x)
@@ -283,6 +310,7 @@ class SimpleUpsamplingBlock(nn.Module):
     transpose_convs_filters: Optional[int] = None
     feat_concat: bool = True
     trans_conv_phase: str = "torch"
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -314,6 +342,18 @@ class SimpleUpsamplingBlock(nn.Module):
                     method="bilinear",
                 )
             x = jnp.concatenate([feature, x], axis=-1)
+        if self.use_fused and self.refine_convs == 2 and self.kernel_size == 3:
+            from sleap_nn_tpu.ops.fused_conv import fused_double_conv3x3
+
+            k0, b0 = _ConvParams(
+                features=self.refine_convs_filters,
+                in_features=int(x.shape[-1]), kernel_size=3,
+                name="refine_conv0")()
+            k1, b1 = _ConvParams(
+                features=self.refine_convs_filters,
+                in_features=self.refine_convs_filters, kernel_size=3,
+                name="refine_conv1")()
+            return fused_double_conv3x3(x, k0, b0, k1, b1, activation="relu")
         for i in range(self.refine_convs):
             x = nn.Conv(
                 self.refine_convs_filters,
@@ -412,6 +452,7 @@ class Decoder(nn.Module):
     up_interpolate: bool = True
     block_contraction: bool = False
     trans_conv_phase: str = "torch"
+    use_fused: bool = False
 
     def block_filters(self, block: int) -> int:
         return decoder_block_filters(
@@ -483,6 +524,7 @@ class Decoder(nn.Module):
                     transpose_convs_filters=self.block_filters(block),
                     feat_concat=not no_skip,
                     trans_conv_phase=self.trans_conv_phase,
+                    use_fused=self.use_fused,
                     name=name,
                 )(x, feature)
             stride //= 2

@@ -54,6 +54,10 @@ class UNet(nn.Module):
     # (trace-time shape logic; see Encoder.pack_min_res for the v5e A/B
     # evidence). Identical param tree either way.
     pack_min_res: int = 1024
+    # Evaluate double-conv blocks as one Pallas kernel (ops/fused_conv.py):
+    # forward-only (no VJP), so inference backends opt in while training
+    # keeps the differentiable flax path. Identical param tree.
+    use_fused: bool = False
 
     @property
     def max_stride(self) -> int:
@@ -114,6 +118,7 @@ class UNet(nn.Module):
             up_interpolate=self.up_interpolate,
             block_contraction=self.block_contraction,
             trans_conv_phase=self.trans_conv_phase,
+            use_fused=self.use_fused,
             name=name,
         )
 
@@ -165,6 +170,7 @@ class UNet(nn.Module):
                 stem_blocks=self.stem_blocks,
                 packed_levels=self.packed_levels if i == 0 else 0,
                 pack_min_res=self.pack_min_res,
+                use_fused=self.use_fused,
                 name=f"stack{i}_enc",
             )(output)
 
