@@ -153,3 +153,32 @@ def test_maybe_fuse_convs_auto_and_override():
     # auto on CPU -> off
     auto = maybe_fuse_convs(model, None)
     assert auto.backbone.use_fused is (jax.default_backend() == "tpu")
+
+
+# ── VMEM gate (Mosaic tile padding) ─────────────────────────────────────────
+
+
+def test_vmem_estimate_counts_lane_padding():
+    """A 24-channel buffer occupies 128 lanes on TPU — the estimate must
+    reflect that (the un-padded estimate let a 50 MB kernel through a
+    16 MB scoped-vmem limit on hardware)."""
+    from sleap_nn_tpu.ops.fused_conv import _vmem_bytes
+
+    padded = _vmem_bytes(32, 256, 1, 24, 24)
+    # th=32 at 256px with 24ch: ~17.7 MB padded (vs ~2 MB unpadded).
+    assert padded > 16 * 1024 * 1024
+    # Channel counts under 128 all pad to the same lane footprint.
+    assert _vmem_bytes(8, 256, 24, 24, 24) == _vmem_bytes(8, 256, 24, 100, 100)
+
+
+def test_pick_th_shrinks_to_fit_budget():
+    from sleap_nn_tpu.ops.fused_conv import _pick_th, _vmem_bytes, _VMEM_BUDGET
+
+    # The shape that OOM'd on a v5e at th=32 must now pick a smaller strip.
+    th = _pick_th(256, 256, 24, 24, 24)
+    assert th in (4, 8)
+    assert _vmem_bytes(th, 256, 24, 24, 24) <= _VMEM_BUDGET
+    # Megapixel-wide strips cannot fit: gate must reject entirely.
+    assert _pick_th(1024, 1024, 24, 24, 24) == 0
+    # Small shapes keep large strips.
+    assert _pick_th(32, 32, 8, 8, 8) == 32
