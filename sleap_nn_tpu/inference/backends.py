@@ -82,11 +82,20 @@ def maybe_pack_level0(model, packed=None):
 def maybe_fuse_convs(model, fused=None):
     """Opt a UNet-backbone model into fused double-conv Pallas execution.
 
-    ``fused=None`` (auto) enables it on TPU for UNet backbones: every
-    eligible double-conv block (encoder levels and decoder refine pairs,
-    see ops/fused_conv.py) runs as one VMEM-resident Pallas kernel.
-    Identical param tree; forward-only (the kernel has no VJP), so this
-    is an inference-backend opt-in — training keeps the flax path.
+    ``fused=True`` runs every eligible double-conv block (encoder levels
+    and decoder refine pairs, see ops/fused_conv.py) as one VMEM-resident
+    Pallas kernel. Identical param tree; forward-only (the kernel has no
+    VJP), so this is an inference-backend opt-in — training keeps the
+    flax path.
+
+    ``fused=None`` (auto) is OFF: A/B on a v5e (2026-08-21, 30-iter
+    device loops) measured the kernel 3-5x SLOWER than XLA's conv
+    lowering at every production shape (B32 256px 24ch: 6.85 ms plain vs
+    36.06 ms fused; B32 128px 36ch: 2.38 vs 9.01) — sub-128 channel
+    counts pad to the full 128-lane tile, so the strip matmuls run the
+    MXU at ~19% lane utilization, which costs more than the saved HBM
+    round-trip of the inter-conv activation. Kept as an opt-in for wide-
+    channel custom models where the lane math flips.
     """
     from sleap_nn_tpu.models.unet import UNet
 
@@ -94,7 +103,7 @@ def maybe_fuse_convs(model, fused=None):
     if not isinstance(backbone, UNet):
         return model
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        fused = False
     fused = bool(fused)
     if backbone.use_fused == fused:
         return model

@@ -150,9 +150,11 @@ def test_maybe_fuse_convs_auto_and_override():
     assert on.backbone.use_fused is True
     off = maybe_fuse_convs(on, False)
     assert off.backbone.use_fused is False
-    # auto on CPU -> off
+    # auto -> off on every backend: v5e A/B measured the kernel 3-5x
+    # slower than XLA's conv lowering at narrow production channel counts
+    # (see maybe_fuse_convs docstring); it stays an explicit opt-in.
     auto = maybe_fuse_convs(model, None)
-    assert auto.backbone.use_fused is (jax.default_backend() == "tpu")
+    assert auto.backbone.use_fused is False
 
 
 # ── VMEM gate (Mosaic tile padding) ─────────────────────────────────────────
