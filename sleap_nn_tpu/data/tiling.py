@@ -22,28 +22,35 @@ def _axis_tile_origins(
     max_stride: int,
     min_overlap_fraction: float,
 ) -> List[int]:
-    """Snapped tile origins along one axis (reference: tiling.py:33)."""
-    if image_dim <= tile_size:
-        return [0]
-    eff_overlap = max(overlap, round(min_overlap_fraction * tile_size))
-    step = tile_size - eff_overlap
-    if step >= max_stride and max_stride % output_stride == 0:
-        snap_unit = max_stride
-    else:
-        snap_unit = output_stride
-    step = (step // snap_unit) * snap_unit
-    if step < output_stride:
-        step = output_stride
+    """Snapped tile origins along one axis.
 
-    origins: List[int] = []
-    origin = 0
-    while origin + tile_size < image_dim:
-        origins.append((origin // output_stride) * output_stride)
-        origin += step
-    last_origin = ((image_dim - tile_size) // output_stride) * output_stride
-    if not origins or origins[-1] != last_origin:
-        origins.append(last_origin)
-    return origins
+    Behavioral parity with the reference grid contract (same origin lists),
+    computed here in closed form: the advance between tiles is the tile size
+    minus the effective overlap, floored to the coarsest snap unit that still
+    lands origins on the output-stride grid; interior origins are then a
+    single arithmetic progression and the final flush-right origin is
+    appended when it isn't already covered.
+    """
+    slack = image_dim - tile_size
+    if slack <= 0:
+        return [0]
+    required_overlap = max(overlap, round(min_overlap_fraction * tile_size))
+    advance = tile_size - required_overlap
+    snap = (
+        max_stride
+        if (max_stride % output_stride == 0 and advance >= max_stride)
+        else output_stride
+    )
+    advance = max(advance - advance % snap, output_stride)
+    # Interior origins: every multiple of `advance` strictly left of the
+    # flush-right position, snapped down onto the output-stride grid.
+    n_interior = -(-slack // advance)  # ceil(slack / advance), slack > 0
+    grid = (np.arange(n_interior, dtype=np.int64) * advance) // output_stride
+    origins = (grid * output_stride).tolist()
+    flush_right = (slack // output_stride) * output_stride
+    if origins[-1] != flush_right:
+        origins.append(flush_right)
+    return [int(v) for v in origins]
 
 
 def generate_tile_grid(

@@ -148,14 +148,20 @@ def refine_global_peaks_windowed(
     reductions); out-of-image window cells contribute zero exactly like
     the old zero-padded crop.
 
+    Non-integer rough peaks are snapped to the nearest pixel first (the
+    window must be integer-centered for the patch-sum equivalence to hold),
+    and the refinement offset is applied to the snapped location.
+
     Args:
         cms: ``(B, H, W, C)``.
-        rough: ``(B, C, 2)`` integer-valued (x, y); NaN rows pass through.
+        rough: ``(B, C, 2)`` (x, y); rounded to the pixel grid internally;
+            NaN rows pass through.
 
     Returns:
         ``(B, C, 2)`` refined peaks.
     """
     b, h, w, c = cms.shape
+    rough = jnp.round(rough)  # NaN passes through round unchanged
     r = (integral_patch_size - 1) / 2.0
     f = cms.astype(jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]

@@ -53,6 +53,30 @@ def test_find_global_peaks_integral_subpixel():
     np.testing.assert_allclose(xy, [10.3, 12.8], atol=0.15)
 
 
+def test_refine_global_peaks_windowed_rounds_noninteger_rough():
+    """Non-integer rough peaks are snapped to the pixel grid before windowing.
+
+    Pins the guard: passing refined/scaled (fractional) peaks must give the
+    same answer as passing their rounded integer locations, never a silently
+    shifted window.
+    """
+    from sleap_nn_tpu.ops.peaks import refine_global_peaks_windowed
+
+    pts = np.array([[[10.3, 12.8], [25.0, 5.0]]])
+    cms = render_cms(pts)
+    fractional = jnp.asarray([[[10.4, 12.6], [24.9, 5.2]]])
+    integer = jnp.round(fractional)
+    out_frac = np.asarray(refine_global_peaks_windowed(cms, fractional))
+    out_int = np.asarray(refine_global_peaks_windowed(cms, integer))
+    np.testing.assert_allclose(out_frac, out_int, atol=1e-6)
+    # And the refined result still lands near the true subpixel location.
+    np.testing.assert_allclose(out_frac[0, 0], [10.3, 12.8], atol=0.15)
+    # NaN rows still pass through.
+    nan_rough = jnp.asarray([[[np.nan, np.nan], [25.0, 5.0]]])
+    out_nan = np.asarray(refine_global_peaks_windowed(cms, nan_rough))
+    assert np.isnan(out_nan[0, 0]).all()
+
+
 def test_find_global_peaks_jit_and_nan_passthrough():
     pts = np.array([[[10.3, 12.8], [np.nan, np.nan]]])
     cms = render_cms(pts)
