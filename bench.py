@@ -799,6 +799,18 @@ def main():
             f"{img}px, crop {crop}, bf16, B={pbatch})"
         )
     extra["peak_tflops_assumed"] = round(peak / 1e12, 1)
+    # Measurement-history discontinuity (do not compare across it): every
+    # compute/production/north-star row in BENCH_r01-r03 timed a chained
+    # program whose reducer summed only the FIRST output leaf, so XLA
+    # dead-code-eliminated TopDownLayer's entire stage-2 branch — those
+    # rows are effectively stage-1-only timings. The reducer sums ALL
+    # leaves since commit cbd3c77 (BENCH_r04 onward); only post-fix rows
+    # are comparable to each other.
+    extra["history_note"] = (
+        "BENCH_r01-r03 compute/production/north-star rows are stage-1-only "
+        "timings (first-leaf reducer let XLA DCE TopDownLayer stage 2; "
+        "fixed in cbd3c77). Compare only BENCH_r04+ rows."
+    )
 
     device = platform
     # The driver tail-captures stdout, and round-3's full `extra` outgrew the

@@ -1160,8 +1160,13 @@ def info(model_dir):
               help="Pipeline override for --auto mode.")
 @click.option("--show-yaml", "--show_yaml", "show_yaml", is_flag=True,
               default=False, help="Print the generated YAML instead of saving.")
+@click.option("--preset", default="quality", show_default=True,
+              type=click.Choice(["quality", "throughput"]),
+              help="--auto preset: 'throughput' applies the measured "
+                   "fast-inference knobs (output_stride=4, <=384 px scale, "
+                   "crop 128) that clear 2,000 frames/s/chip on a TPU v5e.")
 @click.argument("overrides", nargs=-1)
-def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
+def config_cmd(path, output, auto, pipeline, show_yaml, preset, overrides):
     """Validate a config YAML, or generate one from a SLEAP file.
 
     With a YAML argument: validate + print it (with optional dotted
@@ -1191,13 +1196,21 @@ def config_cmd(path, output, auto, pipeline, show_yaml, overrides):
         rec = recommend_config(stats)
         if pipeline:
             rec.pipeline.pipeline = pipeline
+        if preset == "throughput" and rec.throughput_preset is None:
+            raise click.UsageError(
+                f"No measured throughput preset for the recommended "
+                f"backbone ({rec.backbone}); rerun without --preset."
+            )
         if show_yaml:
             cfg = generate_config(path, output_path=None, stats=stats,
-                                  recommendation=rec)
+                                  recommendation=rec, preset=preset)
             click.echo(to_yaml(cfg))
             return
         out = output or str(Path(path).parent / f"{Path(path).stem}_config.yaml")
-        generate_config(path, output_path=out, stats=stats, recommendation=rec)
+        generate_config(path, output_path=out, stats=stats,
+                        recommendation=rec, preset=preset)
+        if preset == "throughput" and rec.throughput_preset:
+            click.echo(f"Throughput preset: {rec.throughput_preset['note']}")
         click.echo(f"Saved config to: {out}")
         return
 
@@ -1288,18 +1301,25 @@ def export(model_dir, output_dir, fmt, batch_size, peak_threshold,
 @click.argument("slp_path", type=click.Path(exists=True))
 @click.option("--output", "-o", default=None, help="Output config YAML path.")
 @click.option("--max-epochs", default=100, show_default=True)
-def config_generate(slp_path, output, max_epochs):
+@click.option("--preset", default="quality", show_default=True,
+              type=click.Choice(["quality", "throughput"]),
+              help="'throughput' applies the measured fast-inference knobs "
+                   "(output_stride=4, <=384 px scale, crop 128) that clear "
+                   "2,000 frames/s/chip on a TPU v5e.")
+def config_generate(slp_path, output, max_epochs, preset):
     """Analyze a dataset and generate a recommended training config."""
     from sleap_nn_tpu.config_generator import analyze_slp, generate_config, recommend_config
 
     stats = analyze_slp(slp_path)
     rec = recommend_config(stats)
     cfg = generate_config(slp_path, output_path=output, stats=stats,
-                          recommendation=rec, max_epochs=max_epochs)
+                          recommendation=rec, max_epochs=max_epochs,
+                          preset=preset)
     click.echo(json.dumps({
         "pipeline": rec.pipeline.pipeline,
         "reason": rec.pipeline.reason,
         "recommendation": rec.summary(),
+        "preset": preset,
         "output": output,
     }, indent=2))
 

@@ -18,11 +18,25 @@ def generate_config(
     output_path=None,
     stats: Optional[DatasetStats] = None,
     recommendation: Optional[ConfigRecommendation] = None,
+    preset: str = "quality",
     **trainer_overrides,
 ) -> TrainingJobConfig:
-    """Analyze a dataset and emit a ready-to-train config YAML."""
+    """Analyze a dataset and emit a ready-to-train config YAML.
+
+    ``preset="throughput"`` applies the recommendation's measured
+    inference-throughput knobs (`recommend_throughput_preset`:
+    output_stride=4 heads, <=384 px eval scale, crop 128 for topdown) on
+    top of the quality defaults.
+    """
     stats = stats or analyze_slp(slp_path)
     rec = recommendation or recommend_config(stats)
+    if preset not in ("quality", "throughput"):
+        raise ValueError(f"Unknown preset: {preset!r} (quality | throughput)")
+    fast = rec.throughput_preset if preset == "throughput" else None
+    if preset == "throughput" and fast is None:
+        raise ValueError(
+            f"No measured throughput preset for backbone {rec.backbone!r}"
+        )
 
     cfg = TrainingJobConfig()
     cfg.data_config.train_labels_path = [str(slp_path)]
@@ -86,6 +100,19 @@ def generate_config(
             "model_config.head_configs.centered_instance.confmaps.output_stride": 2,
         }
 
+    if fast is not None:
+        cfg.data_config.preprocessing.scale = min(rec.scale, fast["scale"])
+        if "crop_size" in fast:
+            cfg.data_config.preprocessing.crop_size = fast["crop_size"]
+        apply_overrides(cfg, {
+            f"model_config.backbone_config.{backbone_key}.output_stride":
+                fast["output_stride"],
+        })
+        for key in list(head_overrides):
+            if key.endswith(".output_stride"):
+                head_overrides[key] = max(
+                    fast["output_stride"], head_overrides[key]
+                )
     apply_overrides(cfg, head_overrides)
     cfg.trainer_config.train_data_loader.batch_size = rec.batch_size
     cfg.data_config.use_augmentations_train = True

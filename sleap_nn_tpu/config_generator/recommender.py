@@ -32,9 +32,13 @@ class ConfigRecommendation:
     max_stride: int = 16
     rotation: Tuple[float, float] = (-180.0, 180.0)
     rotation_reason: str = ""
+    # Optional inference-throughput variant of the recommended config (the
+    # "fast384" discovery from the v5e production sweep); None when the
+    # backbone family has no measured preset.
+    throughput_preset: Optional[Dict] = None
 
     def summary(self) -> Dict:
-        return {
+        out = {
             "pipeline": self.pipeline.pipeline,
             "backbone": self.backbone,
             "sigma": self.sigma,
@@ -43,6 +47,9 @@ class ConfigRecommendation:
             "max_stride": self.max_stride,
             "rotation": list(self.rotation),
         }
+        if self.throughput_preset is not None:
+            out["throughput_preset"] = self.throughput_preset
+        return out
 
 
 def recommend_pipeline(stats: DatasetStats) -> PipelineRecommendation:
@@ -143,6 +150,44 @@ def _recommend_rotation(view_type: str) -> Tuple[Tuple[float, float], str]:
     return (-30.0, 30.0), "Unknown view: conservative rotation range"
 
 
+def recommend_throughput_preset(
+    stats: DatasetStats, pipeline: str, backbone: str
+) -> Optional[Dict]:
+    """Inference-throughput preset knobs for the recommended pipeline.
+
+    The production sweep on a TPU v5e (bench.py `production_row`,
+    BENCH_DETAIL.json) showed the `medium_rf`-class UNet topdown pair
+    clears the 2,000 frames/s/chip target with the reference's own preset
+    knobs — ``output_stride=4`` and a ≤384 px eval scale (crop 128) — while
+    the quality defaults (os2, full resolution) sit ~10x below it at
+    megapixel sizes. Surface that as a named preset so `config --auto
+    --preset throughput` emits the fast configuration directly.
+
+    Only UNet-family backbones have a measured preset; returns None
+    otherwise.
+    """
+    if backbone != "unet":
+        return None
+    max_dim = max(stats.max_height or 0, stats.max_width or 0) or 384
+    scale = min(1.0, 384.0 / max_dim)
+    preset: Dict = {
+        "output_stride": 4,
+        "scale": round(scale, 4),
+        "note": (
+            "Throughput preset (reference output_stride=4 head option, "
+            "<=384 px eval scale): measured >2,000 frames/s/chip for the "
+            "medium_rf topdown pair on a TPU v5e vs ~200 f/s for the "
+            "quality config at 1024 px (see BENCH_DETAIL.json "
+            "production.unet_medium_rf_fast384). Expect coarser "
+            "localization: confmap cells are output_stride px apart "
+            "before refinement."
+        ),
+    }
+    if pipeline in ("topdown", "multi_class_topdown"):
+        preset["crop_size"] = 128
+    return preset
+
+
 def recommend_config(stats: DatasetStats) -> ConfigRecommendation:
     """Full recommendation bundle (reference: :297)."""
     pipeline = recommend_pipeline(stats)
@@ -165,4 +210,7 @@ def recommend_config(stats: DatasetStats) -> ConfigRecommendation:
         max_stride=max_stride,
         rotation=rotation,
         rotation_reason=rot_reason,
+        throughput_preset=recommend_throughput_preset(
+            stats, pipeline.pipeline, backbone
+        ),
     )

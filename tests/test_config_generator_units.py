@@ -206,3 +206,61 @@ def test_cli_config_pipeline_centroid_generates_valid_yaml(tmp_path):
     d = yaml.safe_load(out.read_text())
     heads = {k: v for k, v in d["model_config"]["head_configs"].items() if v}
     assert list(heads) == ["centroid"]
+
+
+def test_throughput_preset_recommended_and_applied():
+    """The recommender emits the measured os4 throughput preset and
+    `generate_config(preset="throughput")` applies its knobs."""
+    from sleap_nn_tpu.config_generator import generate_config
+    from sleap_nn_tpu.config_generator.recommender import (
+        recommend_throughput_preset,
+    )
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    assert rec.backbone == "unet"
+    preset = rec.throughput_preset
+    assert preset is not None
+    assert preset["output_stride"] == 4
+    assert preset["crop_size"] == 128
+    assert "2,000 frames/s" in preset["note"]
+    assert "throughput_preset" in rec.summary()
+    # Scale caps the eval resolution at 384 px.
+    big = dataclasses.replace(stats, max_height=1024, max_width=1024)
+    p_big = recommend_throughput_preset(big, "topdown", "unet")
+    assert abs(p_big["scale"] - 0.375) < 1e-6
+    # Non-UNet backbones have no measured preset.
+    assert recommend_throughput_preset(stats, "topdown", "convnext") is None
+
+    cfg = generate_config(FIXTURE, output_path=None, stats=stats,
+                          recommendation=rec, preset="throughput")
+    assert cfg.model_config.backbone_config.unet.output_stride == 4
+    assert cfg.data_config.preprocessing.crop_size == 128
+    assert (cfg.model_config.head_configs.centered_instance
+            .confmaps.output_stride == 4)
+    # Quality stays untouched by default.
+    cfg_q = generate_config(FIXTURE, output_path=None, stats=stats,
+                            recommendation=rec)
+    assert cfg_q.model_config.backbone_config.unet.output_stride == 2
+    import pytest
+    with pytest.raises(ValueError):
+        generate_config(FIXTURE, output_path=None, stats=stats,
+                        recommendation=rec, preset="nope")
+
+
+def test_cli_config_generate_throughput_preset(tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from sleap_nn_tpu.cli import cli
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    out = tmp_path / "fast.yaml"
+    r = CliRunner().invoke(cli, ["config-generate", FIXTURE, "-o", str(out),
+                                 "--preset", "throughput"])
+    assert r.exit_code == 0, r.output
+    assert '"preset": "throughput"' in r.output
+    d = yaml.safe_load(out.read_text())
+    assert d["model_config"]["backbone_config"]["unet"]["output_stride"] == 4
+    assert d["data_config"]["preprocessing"]["crop_size"] == 128
