@@ -380,7 +380,9 @@ class ModelTrainer:
             user_instances_only=cfg.data_config.user_instances_only,
             use_negative_frames=use_negatives,
             negative_loss_weight=cfg.data_config.negative_loss_weight,
-            cache_mode="disk" if cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk" else "memory",
+            # Suffix match so the reference's torch_dataset_cache_img_disk
+            # spelling engages the disk cache too (drop-in YAML compat).
+            cache_mode="disk" if str(cfg.data_config.data_pipeline_fw).endswith("cache_img_disk") else "memory",
             cache_dir=cfg.data_config.cache_img_path,
             use_existing_imgs=cfg.data_config.use_existing_imgs,
             cache_workers=(
@@ -1041,7 +1043,7 @@ class ModelTrainer:
                     f"steps/sec avg {np.mean(sps):.2f}"
                 )
             if (
-                cfg.data_config.data_pipeline_fw == "jax_dataset_cache_img_disk"
+                str(cfg.data_config.data_pipeline_fw).endswith("cache_img_disk")
                 and cfg.data_config.delete_cache_imgs_after_training
             ):
                 from sleap_nn_tpu.parallel import process_index as _pidx
