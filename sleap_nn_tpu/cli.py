@@ -1217,7 +1217,7 @@ def config_cmd(path, output, auto, pipeline, show_yaml, preset, overrides):
     # Interactive TUI mode.
     from sleap_nn_tpu.config_generator.tui import launch_tui
 
-    launch_tui(path)
+    launch_tui(path, output_path=output)
 
 
 @cli.command()

@@ -128,18 +128,33 @@ def _model_fields(rec) -> List[_Field]:
                reason=rec.pipeline.reason),
         _Field("backbone", rec.backbone, choices=BACKBONES,
                reason=rec.backbone_reason),
+        _Field("variant", "tiny", choices=["tiny", "small", "base"],
+               reason="ConvNeXt/SwinT size (ignored for UNet)"),
     ]
 
 
-def _config_fields(slp_path: str, stats, rec) -> List[_Field]:
-    default_out = str(Path(slp_path).parent / f"{Path(slp_path).stem}_config.yaml")
+def _prob(name: str, default: float = 0.0, reason: str = "") -> _Field:
+    return _Field(name, default, caster=float, reason=reason,
+                  slider=(0.0, 1.0, 0.05),
+                  validate=lambda v: None if 0 <= v <= 1
+                  else "must be in [0, 1]")
+
+
+def _config_fields(slp_path: str, stats, rec,
+                   output_path: Optional[str] = None) -> List[_Field]:
+    default_out = output_path or str(
+        Path(slp_path).parent / f"{Path(slp_path).stem}_config.yaml"
+    )
+    anchor_choices = ["auto"] + [str(n) for n in (stats.node_names or [])]
     return [
+        # targets
         _Field("sigma", rec.sigma, caster=float, reason=rec.sigma_reason,
                slider=(0.5, 10.0, 0.25),
                validate=lambda v: None if 0 < v <= 50 else "must be in (0, 50]"),
         _Field("scale", rec.scale, caster=float, reason=rec.scale_reason,
                slider=(0.05, 1.0, 0.05),
                validate=lambda v: None if 0 < v <= 2 else "must be in (0, 2]"),
+        # backbone
         _Field("output_stride", 2, caster=int,
                validate=lambda v: None if _pow2(v) and v <= 32
                else "must be a power of 2 <= 32"),
@@ -150,15 +165,57 @@ def _config_fields(slp_path: str, stats, rec) -> List[_Field]:
                validate=lambda v: None if 4 <= v <= 512 else "must be in [4, 512]"),
         _Field("filters_rate", 1.5, caster=float, slider=(1.0, 4.0, 0.25),
                validate=lambda v: None if 1.0 <= v <= 4.0 else "must be in [1, 4]"),
+        # heads (pipeline-dependent)
+        _Field("anchor_part", "auto", choices=anchor_choices,
+               reason="crop anchor node (topdown)"),
+        _Field("crop_size", 0, caster=int,
+               reason="0 = auto from animal size",
+               validate=lambda v: None if v == 0 or 16 <= v <= 4096
+               else "0 (auto) or [16, 4096]"),
+        _Field("pafs_output_stride", 4, caster=int,
+               reason="PAF head stride (coarser = faster grouping)",
+               validate=lambda v: None if _pow2(v) and v <= 32
+               else "must be a power of 2 <= 32"),
+        # preprocessing
+        _Field("grayscale", "on" if stats.num_channels == 1 else "off",
+               choices=["on", "off"], reason="convert frames to 1 channel"),
+        _Field("validation_fraction", 0.1, caster=float,
+               slider=(0.05, 0.5, 0.05),
+               validate=lambda v: None if 0 < v < 1 else "must be in (0, 1)"),
+        # training
         _Field("batch_size", rec.batch_size, caster=int,
                reason=rec.batch_size_reason, slider=(1, 256, 1),
                validate=lambda v: None if v >= 1 else "must be >= 1"),
         _Field("max_epochs", 100, caster=int,
                validate=lambda v: None if v >= 1 else "must be >= 1"),
+        _Field("learning_rate", 1e-4, caster=float,
+               validate=lambda v: None if 0 < v <= 1 else "must be in (0, 1]"),
+        # augmentation
+        _Field("augmentation", "on", choices=["on", "off"]),
         _Field("rotation", float(rec.rotation[1]), caster=float,
                reason=rec.rotation_reason, slider=(0.0, 180.0, 5.0),
                validate=lambda v: None if 0 <= v <= 180 else "must be in [0, 180]"),
-        _Field("augmentation", "on", choices=["on", "off"]),
+        _Field("aug_scale_min", 0.9, caster=float, slider=(0.5, 1.0, 0.05),
+               validate=lambda v: None if 0 < v <= 1 else "must be in (0, 1]"),
+        _Field("aug_scale_max", 1.1, caster=float, slider=(1.0, 2.0, 0.05),
+               validate=lambda v: None if 1 <= v <= 4 else "must be in [1, 4]"),
+        _prob("affine_p", 0.5, "chance of rotation+scale+translate"),
+        _prob("flip_p", 0.0, "horizontal flip (needs symmetric skeleton)"),
+        _prob("contrast_p"),
+        _prob("brightness_p"),
+        _prob("noise_p", 0.0, "gaussian pixel noise"),
+        _prob("erase_p", 0.0, "random erasing"),
+        _prob("mixup_p", 0.0, "sample mixing"),
+        # tiling
+        _Field("tiling", "off", choices=["off", "on"],
+               reason="train/infer on tiles of large images"),
+        _Field("tile_size", 512, caster=int,
+               validate=lambda v: None if 64 <= v <= 4096
+               else "must be in [64, 4096]"),
+        _Field("tile_overlap", 64, caster=int,
+               validate=lambda v: None if 0 <= v <= 2048
+               else "must be in [0, 2048]"),
+        # output
         _Field("output", default_out),
     ]
 
@@ -176,16 +233,54 @@ class _Section:
         return "[+]" if self.collapsed else "[-]"
 
 
-def _config_sections(config_fields: List[_Field]) -> List[_Section]:
+#: pipelines whose stage 2 crops around an anchored instance
+_TOPDOWN_PIPELINES = ("topdown", "multi_class_topdown")
+#: pipelines with a PAF grouping head
+_PAF_PIPELINES = ("bottomup", "multi_class_bottomup")
+
+
+def _config_sections(
+    config_fields: List[_Field],
+    pipeline: str = "topdown",
+    backbone: str = "unet",
+) -> List[_Section]:
+    """Per-model-type field groups (reference tui/app.py per-type screens).
+
+    The heads section only shows the knobs the chosen pipeline has
+    (anchor/crop for topdown families, PAF stride for bottomup families),
+    and UNet width knobs hide for preset encoders.
+    """
     by = {f.name: f for f in config_fields}
-    return [
+    backbone_fields = [by["output_stride"], by["max_stride"]]
+    if backbone == "unet":
+        backbone_fields += [by["filters"], by["filters_rate"]]
+    head_fields: List[_Field] = []
+    if pipeline in _TOPDOWN_PIPELINES:
+        head_fields += [by["anchor_part"], by["crop_size"]]
+    if pipeline in _PAF_PIPELINES:
+        head_fields += [by["pafs_output_stride"]]
+    sections = [
         _Section("targets", [by["sigma"], by["scale"]]),
-        _Section("backbone", [by["output_stride"], by["max_stride"],
-                              by["filters"], by["filters_rate"]]),
-        _Section("training", [by["batch_size"], by["max_epochs"]]),
-        _Section("augmentation", [by["rotation"], by["augmentation"]]),
+        _Section("backbone", backbone_fields),
+    ]
+    if head_fields:
+        sections.append(_Section("heads", head_fields))
+    sections += [
+        _Section("preprocessing", [by["grayscale"],
+                                   by["validation_fraction"]]),
+        _Section("training", [by["batch_size"], by["max_epochs"],
+                              by["learning_rate"]]),
+        _Section("augmentation", [
+            by["augmentation"], by["rotation"],
+            by["aug_scale_min"], by["aug_scale_max"], by["affine_p"],
+            by["flip_p"], by["contrast_p"], by["brightness_p"],
+            by["noise_p"], by["erase_p"], by["mixup_p"],
+        ], collapsed=True),
+        _Section("tiling", [by["tiling"], by["tile_size"],
+                            by["tile_overlap"]], collapsed=True),
         _Section("output", [by["output"]]),
     ]
+    return sections
 
 
 def _memory_gauge(stats, model_fields: List[_Field],
@@ -246,6 +341,10 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
         over[f"model_config.backbone_config.{bb}.filters_rate"] = float(
             vals["filters_rate"]
         )
+    elif bb in ("convnext", "swint"):
+        over[f"model_config.backbone_config.{bb}.model_type"] = str(
+            vals.get("variant", "tiny")
+        )
     apply_overrides(cfg, over)
     # Keep head strides consistent with the decoder's finest output.
     hc = cfg.model_config.head_configs
@@ -256,12 +355,57 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
         leaf = getattr(wrapper, f_.name)
         if leaf is not None and hasattr(leaf, "output_stride"):
             if f_.name == "pafs":
-                leaf.output_stride = max(os_, leaf.output_stride)
+                leaf.output_stride = max(
+                    os_, int(vals.get("pafs_output_stride",
+                                      leaf.output_stride))
+                )
             else:
                 leaf.output_stride = os_
+        if (leaf is not None and hasattr(leaf, "anchor_part")
+                and str(vals.get("anchor_part", "auto")) != "auto"):
+            leaf.anchor_part = str(vals["anchor_part"])
+    # Heads / preprocessing knobs.
+    pipeline = rec.pipeline.pipeline
+    if pipeline in _TOPDOWN_PIPELINES and int(vals.get("crop_size", 0)) > 0:
+        cfg.data_config.preprocessing.crop_size = int(vals["crop_size"])
+    cfg.data_config.preprocessing.ensure_grayscale = (
+        vals.get("grayscale", "on") == "on"
+    )
+    cfg.data_config.preprocessing.ensure_rgb = not (
+        cfg.data_config.preprocessing.ensure_grayscale
+    ) and stats.num_channels == 3
+    cfg.data_config.validation_fraction = float(
+        vals.get("validation_fraction", 0.1)
+    )
+    cfg.trainer_config.optimizer.lr = float(vals.get("learning_rate", 1e-4))
+    # Augmentation detail.
     if vals["augmentation"] == "off":
         cfg.data_config.use_augmentations_train = False
         cfg.data_config.augmentation_config = None
+    elif cfg.data_config.augmentation_config is not None:
+        geo = cfg.data_config.augmentation_config.geometric
+        inten = cfg.data_config.augmentation_config.intensity
+        if geo is not None:
+            geo.scale_min = float(vals.get("aug_scale_min", geo.scale_min))
+            geo.scale_max = float(vals.get("aug_scale_max", geo.scale_max))
+            geo.affine_p = float(vals.get("affine_p", geo.affine_p))
+            geo.flip_p = float(vals.get("flip_p", geo.flip_p))
+            geo.erase_p = float(vals.get("erase_p", geo.erase_p))
+            geo.mixup_p = float(vals.get("mixup_p", geo.mixup_p))
+        if inten is not None:
+            inten.contrast_p = float(vals.get("contrast_p", inten.contrast_p))
+            inten.brightness_p = float(
+                vals.get("brightness_p", inten.brightness_p)
+            )
+            inten.gaussian_noise_p = float(
+                vals.get("noise_p", inten.gaussian_noise_p)
+            )
+    # Tiling.
+    if vals.get("tiling", "off") == "on":
+        tiling = cfg.data_config.preprocessing.tiling
+        tiling.enabled = True
+        tiling.tile_size = int(vals.get("tile_size", 512))
+        tiling.overlap = int(vals.get("tile_overlap", 64))
     cfg.save_yaml(out)
     return out
 
@@ -375,14 +519,30 @@ def _file_browser(stdscr, start: str) -> Optional[str]:
                 return str(chosen)
 
 
-def _curses_flow(stdscr, slp_path: str, stats, rec):
+def _curses_flow(stdscr, slp_path: str, stats, rec,
+                 output_path: Optional[str] = None):
     import curses
 
     curses.curs_set(0)
     model_fields = _model_fields(rec)
-    config_fields = _config_fields(slp_path, stats, rec)
+    config_fields = _config_fields(slp_path, stats, rec, output_path)
     sections = _config_sections(config_fields)
     screen = 0  # 0 load, 1 model select, 2 configure, 3 confirm
+
+    def rebuild_sections():
+        # Per-model-type field groups: the configure screen shows the knobs
+        # of the CURRENT pipeline/backbone selection, preserving collapse
+        # state across rebuilds.
+        nonlocal sections
+        collapsed = {s.title: s.collapsed for s in sections}
+        mv = {f.name: f.value for f in model_fields}
+        sections = _config_sections(
+            config_fields, pipeline=str(mv.get("pipeline", "topdown")),
+            backbone=str(mv.get("backbone", "unet")),
+        )
+        for s in sections:
+            if s.title in collapsed:
+                s.collapsed = collapsed[s.title]
 
     def header(title, extra=""):
         stdscr.erase()
@@ -544,6 +704,7 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                 return None
             screen = 2 if action == "next" else 0
         elif screen == 2:
+            rebuild_sections()
             action = section_form("configure",
                                   "edit knobs; gauge updates live")
             if action == "quit":
@@ -578,14 +739,15 @@ def _curses_flow(stdscr, slp_path: str, stats, rec):
                                            config_fields)
 
 
-def _prompt_flow(slp_path: str, stats, rec) -> Optional[str]:
+def _prompt_flow(slp_path: str, stats, rec,
+                 output_path: Optional[str] = None) -> Optional[str]:
     """Plain-prompt fallback when stdin/stdout is not a terminal.
 
     Same four-stage flow, linearized; empty input keeps the default, invalid
     input re-prompts with the validation message.
     """
     model_fields = _model_fields(rec)
-    config_fields = _config_fields(slp_path, stats, rec)
+    config_fields = _config_fields(slp_path, stats, rec, output_path)
     print(f"sleap-nn-tpu config — {Path(slp_path).name}")
     for line in _stats_lines(stats):
         print("  " + line)
@@ -614,10 +776,17 @@ def _prompt_flow(slp_path: str, stats, rec) -> Optional[str]:
     for f in model_fields:
         ask(f)
     print("\n[configure]")
-    for f in config_fields:
-        ask(f)
-        if f.name in ("batch_size", "filters", "scale", "max_stride"):
-            print("  " + _memory_gauge(stats, model_fields, config_fields))
+    mv = {f.name: f.value for f in model_fields}
+    sections = _config_sections(
+        config_fields, pipeline=str(mv.get("pipeline", "topdown")),
+        backbone=str(mv.get("backbone", "unet")),
+    )
+    for sec in sections:
+        print(f"  -- {sec.title} --")
+        for f in sec.fields:
+            ask(f)
+            if f.name in ("batch_size", "filters", "scale", "max_stride"):
+                print("  " + _memory_gauge(stats, model_fields, config_fields))
     print("\n[confirm]")
     print("  " + _memory_gauge(stats, model_fields, config_fields))
     try:
@@ -629,7 +798,8 @@ def _prompt_flow(slp_path: str, stats, rec) -> Optional[str]:
     return _apply_and_save(slp_path, stats, rec, model_fields, config_fields)
 
 
-def launch_tui(slp_path: Optional[str]) -> Optional[str]:
+def launch_tui(slp_path: Optional[str],
+               output_path: Optional[str] = None) -> Optional[str]:
     """Run the interactive config generator; returns the saved YAML path."""
     if not slp_path:
         raise SystemExit("config: SLP_PATH is required for interactive mode.")
@@ -637,9 +807,9 @@ def launch_tui(slp_path: Optional[str]) -> Optional[str]:
     if sys.stdin.isatty() and sys.stdout.isatty():
         import curses
 
-        out = curses.wrapper(_curses_flow, slp_path, stats, rec)
+        out = curses.wrapper(_curses_flow, slp_path, stats, rec, output_path)
     else:
-        out = _prompt_flow(slp_path, stats, rec)
+        out = _prompt_flow(slp_path, stats, rec, output_path)
     if out:
         print(f"Saved config to: {out}")
     return out

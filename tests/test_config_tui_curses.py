@@ -74,11 +74,24 @@ def _gauge_token(batch_size=None):
     return gauge.split("] ", 1)[1].split(" (")[0]  # "X.XX/16 GB"
 
 
-# Entry order on the configure screen (sections all expanded):
-# 0 [-] targets, 1 sigma, 2 scale, 3 [-] backbone, 4 output_stride,
-# 5 max_stride, 6 filters, 7 filters_rate, 8 [-] training, 9 batch_size,
-# 10 max_epochs, 11 [-] augmentation, 12 rotation, 13 augmentation,
-# 14 [-] output, 15 output
+def _entry_names(pipeline="topdown", backbone="unet"):
+    """Mirror of section_form's entry list (default collapse states):
+    section headers as 'hdr:<title>', fields by name — so navigation
+    counts in the pty tests are computed, not hardcoded."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _config_fields, _config_sections,
+    )
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    fields = _config_fields(FIXTURE, stats, rec)
+    names = []
+    for sec in _config_sections(fields, pipeline=pipeline, backbone=backbone):
+        names.append(f"hdr:{sec.title}")
+        if not sec.collapsed:
+            names.extend(f.name for f in sec.fields)
+    return names
 
 
 @pytest.mark.slow
@@ -130,7 +143,8 @@ def test_curses_full_journey(tmp_path):
 
         # Knob edit: batch_size ← 64; the full frame shows the new value
         # AND the recomputed memory gauge (live gauge through the pty).
-        for _ in range(8):  # sigma(1) → batch_size(9)
+        entries = _entry_names()
+        for _ in range(entries.index("batch_size") - entries.index("sigma")):
             child.send(DOWN)
         child.send("e")
         child.expect_exact("batch_size: ")
@@ -141,7 +155,7 @@ def test_curses_full_journey(tmp_path):
 
         # Output path via the file browser: point the field at the writable
         # tmp dir first, then create a new filename through the browser.
-        for _ in range(6):  # batch_size(9) → output(15)
+        for _ in range(entries.index("output") - entries.index("batch_size")):
             child.send(DOWN)
         child.send("e")
         child.expect_exact("output: ")
@@ -179,6 +193,75 @@ def test_curses_full_journey(tmp_path):
 
 
 @pytest.mark.slow
+def test_curses_invalid_input_loop():
+    """Invalid text entry shows the validation error and keeps the old
+    value; a following valid entry clears it (the unhappy edit path)."""
+    child = _spawn()
+    try:
+        child.expect_exact("[load]")
+        child.send("n")
+        child.expect_exact("model select")
+        child.send("n")
+        child.expect_exact("configure")
+        REDRAW = "\x0c"
+        # sigma is entry 1; feed it garbage, then an out-of-range value,
+        # then a valid one.
+        child.send("\x1bOB")  # DOWN to sigma
+        child.send("e")
+        child.expect_exact("sigma: ")
+        child.send("abc\r")
+        child.send(REDRAW)
+        child.expect_exact("not a valid float")
+        child.send("e")
+        child.expect_exact("sigma: ")
+        child.send("99\r")
+        child.send(REDRAW)
+        child.expect_exact("must be in (0, 50]")
+        child.send("e")
+        child.expect_exact("sigma: ")
+        child.send("3.25\r")
+        child.send(REDRAW)
+        child.expect_exact("3.25")
+        assert "not a valid float" not in child.before.split("3.25")[-1]
+        child.send("q")
+        child.expect(pexpect.EOF)
+    finally:
+        child.close(force=True)
+
+
+@pytest.mark.slow
+def test_curses_survives_resize():
+    """SIGWINCH mid-screen: the TUI re-renders at the new size instead of
+    crashing (curses raises on writes outside a shrunken window unless
+    guarded — _safe_addstr)."""
+    child = _spawn()
+    try:
+        child.expect_exact("[load]")
+        child.send("n")
+        child.expect_exact("model select")
+        child.send("n")
+        child.expect_exact("configure")
+        # Shrink hard (fewer rows than the field list, narrower than the
+        # header), then interact. The 40-col header truncates, so assert
+        # on a row that fits.
+        child.setwinsize(8, 40)
+        child.send("\x0c")
+        child.expect_exact("targets")
+        child.send("\x1bOB")
+        child.send("\x1bOC")  # slider step still works at tiny size
+        # Grow back and confirm a full frame renders.
+        child.setwinsize(40, 120)
+        child.send("\x0c")
+        child.expect_exact("configure")
+        child.expect_exact("memory [")
+        child.send("q")
+        child.expect(pexpect.EOF)
+        assert child.isalive() is False
+    finally:
+        child.close(force=True)
+
+
+@pytest.mark.slow
 def test_curses_quit_saves_nothing():
     child = _spawn()
     try:
@@ -210,6 +293,8 @@ def test_slider_field_steps_and_clamps():
 
 
 def test_config_sections_cover_every_field():
+    """Every field is reachable in at least one pipeline's sections, and
+    per-model-type groups show/hide the right knobs."""
     from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
     from sleap_nn_tpu.config_generator.tui import (
         _config_fields, _config_sections,
@@ -220,11 +305,36 @@ def test_config_sections_cover_every_field():
     stats = analyze_slp(FIXTURE)
     rec = recommend_config(stats)
     fields = _config_fields(FIXTURE, stats, rec)
-    sections = _config_sections(fields)
-    grouped = [f for s in sections for f in s.fields]
-    assert sorted(f.name for f in grouped) == sorted(f.name for f in fields)
-    assert all(not s.collapsed for s in sections)
-    s = sections[0]
+    covered = set()
+    for pipeline in ("topdown", "bottomup", "single_instance"):
+        for backbone in ("unet", "convnext"):
+            secs = _config_sections(fields, pipeline=pipeline,
+                                    backbone=backbone)
+            covered |= {f.name for s in secs for f in s.fields}
+    assert covered == {f.name for f in fields}
+
+    def names(pipeline, backbone="unet"):
+        return {f.name
+                for s in _config_sections(fields, pipeline=pipeline,
+                                          backbone=backbone)
+                for f in s.fields}
+
+    td, bu, si = names("topdown"), names("bottomup"), names("single_instance")
+    assert {"anchor_part", "crop_size"} <= td and "pafs_output_stride" not in td
+    assert "pafs_output_stride" in bu and "anchor_part" not in bu
+    assert not ({"anchor_part", "crop_size", "pafs_output_stride"} & si)
+    # UNet width knobs hide for preset encoders.
+    assert "filters" in td and "filters" not in names("topdown", "convnext")
+    # Augmentation detail and tiling groups exist (collapsed by default).
+    secs = _config_sections(fields)
+    by_title = {s.title: s for s in secs}
+    assert by_title["augmentation"].collapsed
+    assert by_title["tiling"].collapsed
+    assert {"affine_p", "flip_p", "contrast_p", "mixup_p"} <= {
+        f.name for f in by_title["augmentation"].fields}
+    assert {"tile_size", "tile_overlap"} <= {
+        f.name for f in by_title["tiling"].fields}
+    s = secs[0]
     assert s.marker() == "[-]"
     s.collapsed = True
     assert s.marker() == "[+]"
