@@ -16,26 +16,42 @@ import jax.numpy as jnp
 
 
 def choose_packed_levels(backbone) -> int:
-    """Max leading encoder levels ALLOWED to run space-to-depth packed.
+    """Encoder levels ALLOWED to run space-to-depth packed.
 
-    Pack while the level's channel count leaves most of the 128-lane tile
-    padded (C <= 48 keeps the packed 4C <= 192). Capped at 2 levels: by
-    level 2 the maps are 4x smaller and the shrinking padding waste stops
-    paying for the layout churn.
+    Level 0 packs while its channel count leaves most of the 128-lane
+    tile padded (C <= 48 keeps the packed 4C <= 192). Depth beyond level
+    0 pays ONLY when the deepest packed level's skip feeds the decoder's
+    FINEST up-block — that engages the packed upsampling block + packed
+    head and removes the full-resolution concat layout copies. Packing a
+    level whose skip the decoder never consumes packed is a measured
+    LOSS (r5 DCE-proof A/Bs, medium_rf topdown @1024px B=32 on a v5e:
+    os2 depth 1/2/3 = 209.1/217.4/215.9 f/s — depth 2 engages; os4
+    depth 1/2/3 = 336.8/305.3/320.4 — depth 2 never engages and depth
+    3's level-2 channels, 54 -> 216 packed, overshoot the lane tile).
 
-    This is an upper bound: the Encoder additionally gates each level on
-    its input resolution at trace time (`Encoder.pack_min_res`, default
-    1024 px) — DCE-proof v5e A/Bs showed packing only wins at megapixel
-    scale, XLA's native narrow-conv handling wins below it. The effective
-    depth for a given input is `effective_packed_levels`.
+    The finest decoder level consumes the skip of encoder level
+    log2(output_stride), so engagement needs depth log2(os)+1; only
+    os <= 2 keeps that within the channel cap.
+
+    This is an upper bound: the Encoder additionally gates on the input
+    resolution at trace time (`Encoder.pack_min_res`, default 1024 px) —
+    packing only wins at megapixel scale, XLA's native narrow-conv
+    handling wins below it. The effective depth for a given input is
+    `effective_packed_levels`.
     """
-    n = 0
-    for b in range(min(2, backbone.down_blocks - 1)):
-        c = int(backbone.filters * (backbone.filters_rate ** b))
-        if c <= 48:
-            n += 1
-        else:
-            break
+    def level_c(b: int) -> int:
+        return int(backbone.filters * (backbone.filters_rate ** b))
+
+    if backbone.down_blocks < 2 or level_c(0) > 48:
+        return 0
+    n = 1
+    try:
+        os_ = int(backbone.output_stride)
+    except Exception:
+        os_ = 1
+    engage_depth = max(1, os_.bit_length())  # log2(os)+1 for pow2 os
+    if engage_depth == 2 and backbone.down_blocks > 2 and level_c(1) <= 48:
+        n = 2
     return n
 
 
@@ -124,9 +140,8 @@ def effective_packed_levels(backbone, height: int, width: int) -> int:
     while n > 0 and (height % (2 ** (n + 1)) != 0
                      or width % (2 ** (n + 1)) != 0):
         n -= 1
-    while n > 0 and (min(height, width) >> (n - 1)) < getattr(
-            backbone, "pack_min_res", 1024):
-        n -= 1
+    if n > 0 and min(height, width) < getattr(backbone, "pack_min_res", 1024):
+        n = 0
     return n
 
 

@@ -210,16 +210,19 @@ class Encoder(nn.Module):
     and H/W divisible by 2^(packed_levels+1); silently reduces the packed
     depth otherwise.
 
-    ``pack_min_res``: a level is packed only while its input resolution
-    (min(H, W) / 2^level) is at least this. DCE-proof A/Bs on a v5e
-    (2026-08-20, medium_rf topdown) showed packing only pays at megapixel
-    scale — XLA's own space-to-batch handling of narrow convs wins below
-    it (os4 @384px B=128: 3,690 f/s unpacked vs 2,075 packed-2; @512px
-    B=64: 1,634 vs 1,249) while at 1024px packing level 0 is still ~7%
-    ahead (189.6 vs 177.4 f/s). Trace-time shape logic only — the param
-    tree is identical either way, so one checkpoint serves all input
-    sizes. Tests that exercise packed numerics at fixture scale override
-    this to 1.
+    ``pack_min_res``: packed execution engages only when the INPUT
+    resolution (min(H, W)) is at least this; below it packing switches
+    off entirely. DCE-proof A/Bs on a v5e (medium_rf topdown) showed
+    packing only pays at megapixel scale — XLA's own space-to-batch
+    handling of narrow convs wins below it (os4 @384px B=128: 3,690 f/s
+    unpacked vs 2,075 packed-2; @512px B=64: 1,634 vs 1,249) — while at
+    1024px the full allowed depth wins (2026-08-21, os2 B=32: 179.6
+    unpacked / 209.1 depth-1 / 217.4 depth-2 / 215.3 depth-3; the
+    depth-2 step is the packed skip reaching the decoder's finest level,
+    engaging the packed up-block + head). Trace-time shape logic only —
+    the param tree is identical either way, so one checkpoint serves all
+    input sizes. Tests that exercise packed numerics at fixture scale
+    override this to 1.
     """
 
     filters: int
@@ -251,13 +254,17 @@ class Encoder(nn.Module):
             or x.shape[2] % (2 ** (n_packed + 1)) != 0
         ):
             n_packed -= 1
-        # Resolution gate (see class docstring): only megapixel-scale levels
-        # benefit from packed execution; below pack_min_res XLA's native
-        # narrow-conv handling is faster, so fall back level by level.
-        while n_packed > 0 and (
-            min(x.shape[1], x.shape[2]) >> (n_packed - 1)
-        ) < self.pack_min_res:
-            n_packed -= 1
+        # Resolution gate (see class docstring): packed execution pays only
+        # on megapixel INPUTS — below pack_min_res XLA's native narrow-conv
+        # handling wins, so packing switches off entirely. Above the gate,
+        # pack the full allowed depth: the r5 DCE-proof A/B (medium_rf
+        # topdown @1024 os2 B=32, v5e) measured 179.6 f/s unpacked, 209.1
+        # at depth 1, 217.4 at depth 2 — the depth-2 win comes from the
+        # packed skip reaching the decoder's finest level, which engages
+        # the packed up-block + packed head and removes the full-res
+        # concat layout copies (depth 3: 215.3, past the sweet spot).
+        if n_packed > 0 and min(x.shape[1], x.shape[2]) < self.pack_min_res:
+            n_packed = 0
 
         features: List[jnp.ndarray] = []
         packed_features: List[Optional[jnp.ndarray]] = [None] * self.down_blocks

@@ -397,12 +397,14 @@ def test_config_tui_prompt_fallback(tmp_path, monkeypatch):
     out = tmp_path / "tui_config.yaml"
     import io as _io
 
-    # 2 model-select + 10 configure defaults, output path, confirm save.
-    answers = "\n" * 12 + str(out) + "\n" + "\n"
+    # All-defaults walk: every prompt keeps its default (the answer count
+    # is generous on purpose — extra blank lines are consumed by the
+    # confirm prompt / EOF), with the output seeded to a writable path.
+    answers = "\n" * 64
     monkeypatch.setattr("sys.stdin", _io.StringIO(answers))
     from sleap_nn_tpu.config_generator.tui import launch_tui
 
-    saved = launch_tui(FIXTURE)
+    saved = launch_tui(FIXTURE, output_path=str(out))
     assert saved == str(out)
     assert out.exists()
 

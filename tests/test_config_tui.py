@@ -15,33 +15,60 @@ import yaml
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
 
-def _run_prompt(monkeypatch, answers: str, capsys):
+def _run_prompt(monkeypatch, answers: str, capsys, default_out=None):
     monkeypatch.setattr("sys.stdin", io.StringIO(answers))
     from sleap_nn_tpu.config_generator.tui import launch_tui
 
-    saved = launch_tui(FIXTURE)
+    # Always seed a writable default output so a mis-sequenced answer list
+    # can never save into the read-only reference tree.
+    saved = launch_tui(FIXTURE, output_path=default_out)
     return saved, capsys.readouterr().out
+
+
+def _prompt_order(pipeline="topdown", backbone="unet"):
+    """The exact field order _prompt_flow asks in: model fields, then the
+    chosen pipeline's sections — computed, not hardcoded, so adding TUI
+    fields never silently shifts these tests."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _config_fields, _config_sections, _model_fields,
+    )
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    names = [f.name for f in _model_fields(rec)]
+    fields = _config_fields(FIXTURE, stats, rec)
+    for sec in _config_sections(fields, pipeline=pipeline, backbone=backbone):
+        names.extend(f.name for f in sec.fields)
+    return names
+
+
+def _script(by_name, pipeline="topdown", backbone="unet", confirm=""):
+    """Answer string for _prompt_flow: per-field answers by NAME (a list
+    gives a re-prompt sequence, e.g. invalid then valid)."""
+    lines = []
+    for name in _prompt_order(pipeline, backbone):
+        v = by_name.get(name, "")
+        lines.extend(v if isinstance(v, list) else [v])
+    lines.append(confirm)
+    return "\n".join(str(x) for x in lines) + "\n"
 
 
 def test_prompt_flow_edits_every_knob(tmp_path, monkeypatch, capsys):
     out = tmp_path / "edited.yaml"
-    answers = "\n".join([
-        "bottomup",      # pipeline
-        "",              # backbone (keep unet)
-        "3.5",           # sigma
-        "0.5",           # scale
-        "4",             # output_stride
-        "32",            # max_stride
-        "16",            # filters
-        "2.0",           # filters_rate
-        "8",             # batch_size
-        "50",            # max_epochs
-        "90",            # rotation
-        "off",           # augmentation
-        str(out),        # output path
-        "",              # confirm save (default yes)
-    ]) + "\n"
-    saved, printed = _run_prompt(monkeypatch, answers, capsys)
+    answers = _script({
+        "pipeline": "bottomup",
+        "sigma": "3.5", "scale": "0.5",
+        "output_stride": "4", "max_stride": "32",
+        "filters": "16", "filters_rate": "2.0",
+        "pafs_output_stride": "8",
+        "batch_size": "8", "max_epochs": "50",
+        "learning_rate": "0.0003",
+        "rotation": "90", "augmentation": "off",
+        "output": str(out),
+    }, pipeline="bottomup")
+    saved, printed = _run_prompt(monkeypatch, answers, capsys,
+                                 default_out=str(tmp_path / "default.yaml"))
     assert saved == str(out)
     cfg = yaml.safe_load(out.read_text())
     unet = cfg["model_config"]["backbone_config"]["unet"]
@@ -50,26 +77,25 @@ def test_prompt_flow_edits_every_knob(tmp_path, monkeypatch, capsys):
     bu = cfg["model_config"]["head_configs"]["bottomup"]
     assert bu["confmaps"]["sigma"] == 3.5
     assert bu["confmaps"]["output_stride"] == 4
-    assert bu["pafs"]["output_stride"] == 4  # lifted to match decoder
+    assert bu["pafs"]["output_stride"] == 8  # explicit PAF head stride
     assert cfg["data_config"]["preprocessing"]["scale"] == 0.5
     assert cfg["data_config"]["use_augmentations_train"] is False
     assert cfg["trainer_config"]["max_epochs"] == 50
     assert cfg["trainer_config"]["train_data_loader"]["batch_size"] == 8
+    assert cfg["trainer_config"]["optimizer"]["lr"] == 0.0003
     # the memory gauge rendered live during configuration
     assert "memory [" in printed and "GB" in printed
 
 
 def test_prompt_flow_validation_reprompts(tmp_path, monkeypatch, capsys):
     out = tmp_path / "valid.yaml"
-    answers = "\n".join([
-        "", "",          # model select defaults
-        "-2", "4.0",     # sigma: invalid then valid
-        "", "",          # scale, output_stride
-        "33", "64",      # max_stride: not a power of 2, then valid
-        "", "", "", "", "", "",  # filters..augmentation defaults
-        str(out), "",
-    ]) + "\n"
-    saved, printed = _run_prompt(monkeypatch, answers, capsys)
+    answers = _script({
+        "sigma": ["-2", "4.0"],      # invalid then valid
+        "max_stride": ["33", "64"],  # not a power of 2, then valid
+        "output": str(out),
+    })
+    saved, printed = _run_prompt(monkeypatch, answers, capsys,
+                                 default_out=str(tmp_path / "default.yaml"))
     assert saved == str(out)
     assert "must be in (0, 50]" in printed
     assert "power of 2" in printed
@@ -79,9 +105,32 @@ def test_prompt_flow_validation_reprompts(tmp_path, monkeypatch, capsys):
     assert head["confmaps"]["sigma"] == 4.0
 
 
+def test_prompt_flow_heads_and_tiling_knobs(tmp_path, monkeypatch, capsys):
+    out = tmp_path / "knobs.yaml"
+    answers = _script({
+        "crop_size": "192",
+        "affine_p": "0.7",
+        "tiling": "on", "tile_size": "256", "tile_overlap": "32",
+        "validation_fraction": "0.2",
+        "output": str(out),
+    })
+    saved, _ = _run_prompt(monkeypatch, answers, capsys,
+                           default_out=str(tmp_path / "default.yaml"))
+    assert saved == str(out)
+    cfg = yaml.safe_load(out.read_text())
+    assert cfg["data_config"]["preprocessing"]["crop_size"] == 192
+    aug = cfg["data_config"]["augmentation_config"]
+    assert aug["geometric"]["affine_p"] == 0.7
+    tiling = cfg["data_config"]["preprocessing"]["tiling"]
+    assert tiling["enabled"] is True and tiling["tile_size"] == 256
+    assert tiling["overlap"] == 32
+    assert cfg["data_config"]["validation_fraction"] == 0.2
+
+
 def test_prompt_flow_decline_save(tmp_path, monkeypatch, capsys):
-    answers = "\n" * 12 + str(tmp_path / "never.yaml") + "\n" + "n\n"
-    saved, _ = _run_prompt(monkeypatch, answers, capsys)
+    answers = _script({"output": str(tmp_path / "never.yaml")}, confirm="n")
+    saved, _ = _run_prompt(monkeypatch, answers, capsys,
+                           default_out=str(tmp_path / "default.yaml"))
     assert saved is None
     assert not (tmp_path / "never.yaml").exists()
 
