@@ -224,16 +224,24 @@ def _operand_shapes(rest: str) -> List[str]:
     return [m.group(0) for m in _SHAPE_RE.finditer(args)]
 
 
+_OPERAND_NAME_RE = re.compile(r"%([\w.\-]+)")
+
+
 def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
     """Post-fusion HBM traffic estimate for an optimized HLO module.
 
     Returns total bytes (operands + outputs of every entry-computation
     instruction, fusions counted at their boundary) and the top
-    contributors. An approximation: ignores VMEM-resident reuse between
-    adjacent ops and multi-use operand dedup, but is a far tighter bound
-    than pre-fusion 'bytes accessed'.
+    contributors. TPU-optimized HLO prints operands as bare ``%name``
+    references (no shapes), so operand reads are resolved through a
+    name -> producer-output-shape table built in a first pass — without
+    this the estimate counts writes only and understates real traffic
+    (and overstates the memory speed-of-light) by ~2x. Still an
+    approximation: ignores VMEM-resident reuse between adjacent ops, but
+    a far tighter bound than pre-fusion 'bytes accessed'.
     """
-    rows = []
+    parsed = []
+    shapes_by_name: Dict[str, int] = {}
     for ln in _entry_computation(hlo_text):
         m = _INSTR_RE.match(ln)
         if not m:
@@ -242,13 +250,27 @@ def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
         shape_text, op = _instr_shape_and_op(rest)
         if not shape_text or not op:
             continue
-        opname = op.split(".")[0]
+        name = m.group("name")
+        out_bytes = sum(shape_physical_bytes(s) for s in _split_shapes(shape_text))
+        # Every instruction (views included) is name-resolvable so consumer
+        # reads size correctly through get-tuple-element/bitcast chains.
+        shapes_by_name[name] = out_bytes
+        parsed.append((name, op.split(".")[0], rest, out_bytes))
+
+    rows = []
+    for name, opname, rest, out_bytes in parsed:
         if opname in _SKIP_OPS:
             continue
-        out_bytes = sum(shape_physical_bytes(s) for s in _split_shapes(shape_text))
-        in_bytes = sum(shape_physical_bytes(s) for s in _operand_shapes(rest))
+        in_shapes = _operand_shapes(rest)
+        if in_shapes:
+            in_bytes = sum(shape_physical_bytes(s) for s in in_shapes)
+        else:
+            in_bytes = sum(
+                shapes_by_name.get(ref, 0)
+                for ref in _operand_refs(rest)
+            )
         rows.append({
-            "name": m.group("name"),
+            "name": name,
             "op": opname,
             "bytes": out_bytes + in_bytes,
             "out_bytes": out_bytes,
@@ -260,6 +282,26 @@ def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
         "n_instructions": len(rows),
         "top": rows[:top_k],
     }
+
+
+def _operand_refs(rest: str) -> List[str]:
+    """Operand instruction names referenced in the call parens."""
+    shape, _ = _instr_shape_and_op(rest)
+    tail = rest[len(shape):]
+    paren = tail.find("(")
+    if paren < 0:
+        return []
+    args = tail[paren + 1:]
+    depth, end = 1, len(args)
+    for i, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    return _OPERAND_NAME_RE.findall(args[:end])
 
 
 def compiled_traffic(compiled, top_k: int = 12) -> Dict:
