@@ -7,6 +7,8 @@ for every pipeline family.
 from pathlib import Path
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.config import (
     TrainingJobConfig,

@@ -50,6 +50,7 @@ def test_get_head_configs():
         get_head_configs("psychic")
 
 
+@pytest.mark.slow
 def test_get_config_one_shot_trains(tmp_path):
     from sleap_nn_tpu.train import run_training
 
@@ -75,6 +76,7 @@ def test_get_config_one_shot_trains(tmp_path):
     assert (tmp_path / "kw" / "best.ckpt").exists()
 
 
+@pytest.mark.slow
 def test_train_kwargs_route_through_builders(tmp_path):
     """Python-API train() maps reference kwargs (backbone_config as dict,
     scale, use_augmentations_train) into the config builders instead of

@@ -16,6 +16,8 @@ comment-heavy docs configs with nulls for train-time-inferred fields.
 from pathlib import Path
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.config import (
     TrainingJobConfig,

@@ -281,6 +281,7 @@ def test_tiled_dataset(labels):
         TiledDataset(inner, TilingConfig(enabled=True))
 
 
+@pytest.mark.slow
 def test_tiled_training_smoke(labels, tmp_path):
     """Tiled single_instance training runs end to end (2 epochs)."""
     from sleap_nn_tpu.config import TrainingJobConfig

@@ -9,6 +9,8 @@ round-trip of centroid records, the emit+tracking hard-error, and the
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.inference import predict
 from sleap_nn_tpu.inference.predictor import Predictor

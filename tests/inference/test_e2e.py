@@ -7,6 +7,8 @@ frame must reproduce the GT keypoints through the full predict path
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
 from sleap_nn_tpu.inference import predict

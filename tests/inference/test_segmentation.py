@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
 from sleap_nn_tpu.data.segmentation_maps import (

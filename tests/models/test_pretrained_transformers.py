@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402

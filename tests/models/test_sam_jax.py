@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")

@@ -158,6 +158,7 @@ def test_packed_conv_jit_and_grad():
 # ── whole-model exactness: packed UNet == plain UNet, same params ────────────
 
 
+@pytest.mark.slow
 def test_unet_packed_level0_exactness():
     from sleap_nn_tpu.models.unet import UNet
 
@@ -296,6 +297,7 @@ def _build(model_type, cfg_kw, head_ns, seed=0, shape=(2, 64, 48, 1)):
     return model, params, x
 
 
+@pytest.mark.slow
 def test_packed_model_exactness_matrix():
     """packed_levels in {1, 2} reproduces the plain forward exactly for
     single-instance (os=1, both decoder blocks packed), centroid (os=2),
@@ -336,6 +338,7 @@ def test_packed_model_exactness_matrix():
                 )
 
 
+@pytest.mark.slow
 def test_packed_model_gradients_match():
     """Gradients through the fully-packed graph (encoder levels, packed
     decoder block, packed head) equal the plain graph's — packed training
@@ -381,6 +384,7 @@ def test_choose_packed_levels_policy():
                                      down_blocks=1, up_blocks=0)) == 0
 
 
+@pytest.mark.slow
 def test_predictor_packed_knob_e2e_parity():
     """The real topdown Predictor with packed execution forced on returns
     the same keypoints as with it off (fixture ckpts, real video)."""

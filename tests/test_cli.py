@@ -7,6 +7,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 from click.testing import CliRunner
 
 from sleap_nn_tpu.cli import cli

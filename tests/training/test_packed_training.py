@@ -10,6 +10,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from tests.training.test_trainer import make_cfg
 from sleap_nn_tpu.training import ModelTrainer

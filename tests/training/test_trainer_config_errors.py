@@ -11,6 +11,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 from sleap_nn_tpu.config import TrainingJobConfig, apply_overrides
 from sleap_nn_tpu.config.training_job_config import verify_training_cfg

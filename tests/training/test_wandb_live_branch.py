@@ -16,6 +16,8 @@ from pathlib import Path
 from types import SimpleNamespace
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 

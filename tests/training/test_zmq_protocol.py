@@ -7,6 +7,8 @@ import json
 import time
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real training loops / model builds / subprocesses
+
 
 zmq = pytest.importorskip("zmq")
 
