@@ -462,11 +462,11 @@ def build_production_topdown(backbone: str, img: int, crop: int,
     pre = PreprocessConfig(ensure_grayscale=True, scale=1.0, max_stride=max_stride)
     post = PostprocessConfig(peak_threshold=0.2, max_instances=max_instances)
     centroid_layer = CentroidLayer(
-        JaxBackend(c_model, c_params, use_bf16=True), pre, post,
-        output_stride=output_stride,
+        JaxBackend(c_model, c_params, use_bf16=True, output_dtype=None),
+        pre, post, output_stride=output_stride,
     )
     instance_layer = CenteredInstanceLayer(
-        JaxBackend(i_model, i_params, use_bf16=True), pre,
+        JaxBackend(i_model, i_params, use_bf16=True, output_dtype=None), pre,
         PostprocessConfig(peak_threshold=0.2), output_stride=output_stride,
     )
     layer = TopDownLayer(centroid_layer, instance_layer,

@@ -150,12 +150,21 @@ class JaxBackend:
 
     def __init__(self, model, params, use_bf16: bool = False,
                  packed_level0: Optional[bool] = None,
-                 fused_convs: Optional[bool] = None):
+                 fused_convs: Optional[bool] = None,
+                 output_dtype=jnp.float32):
+        """``output_dtype=None`` keeps outputs in the compute dtype: under
+        ``use_bf16`` the full-resolution confmaps then stay bf16 through the
+        fused layer program (half the HBM bytes at the head/peaks boundary;
+        +1.6% on the production medium_rf topdown @1024 on a v5e). Peak
+        refinement upcasts to f32 internally either way; only returned map
+        VALUES carry bf16 precision, mirroring the reference's fp16 engines.
+        """
         model = maybe_pack_level0(model, packed_level0)
         model = maybe_fuse_convs(model, fused_convs)
         self.model = model
         self.params = params
         self.use_bf16 = use_bf16
+        self.output_dtype = output_dtype
 
         def forward(params, x):
             if use_bf16:
@@ -165,7 +174,9 @@ class JaxBackend:
                     params,
                 )
             out = model.apply(params, x)
-            return {k: v.astype(jnp.float32) for k, v in out.items()}
+            if output_dtype is None:
+                return out
+            return {k: v.astype(output_dtype) for k, v in out.items()}
 
         self.forward = forward  # pure (params, x) -> dict
         self._fn = jax.jit(forward)

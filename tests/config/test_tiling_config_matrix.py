@@ -13,6 +13,8 @@ from __future__ import annotations
 import math
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real model builds / e2e flows
+
 
 from sleap_nn_tpu.config.data_config import PreprocessingConfig, TilingConfig
 from sleap_nn_tpu.config_generator import (

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real model builds / e2e flows
+
 
 from sleap_nn_tpu.data.pipeline import (
     Loader,

@@ -107,3 +107,23 @@ def test_does_baked_postproc_false(tiny_model):
 def test_warmup_compiles_without_error(tiny_model):
     model, params = tiny_model
     JaxBackend(model, params).warmup((1, 16, 16, 1))
+
+
+def test_output_dtype_none_keeps_compute_dtype(tiny_model):
+    """output_dtype=None keeps bf16 maps bf16 (the production fused-program
+    configuration: half the HBM bytes at the head/peaks boundary)."""
+    model, params = tiny_model
+    x = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    out = JaxBackend(model, params, use_bf16=True, output_dtype=None)(x)
+    for v in out.values():
+        assert v.dtype == jnp.bfloat16
+    # f32 compute stays f32.
+    out32 = JaxBackend(model, params, use_bf16=False, output_dtype=None)(x)
+    for v in out32.values():
+        assert v.dtype == jnp.float32
+    # And peaks consume bf16 maps fine end to end.
+    from sleap_nn_tpu.ops import find_global_peaks
+
+    pts, vals = find_global_peaks(out["SingleInstanceConfmapsHead"],
+                                  threshold=0.1, refinement="integral")
+    assert pts.dtype == jnp.float32

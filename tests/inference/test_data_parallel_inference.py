@@ -22,9 +22,10 @@ from sleap_nn_tpu.io import load_slp
 CKPTS = Path("/root/reference/tests/assets/model_ckpts")
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # integration tier
+    pytest.mark.skipif(
     not CKPTS.exists(), reason="reference assets unavailable"
-)
+)]
 
 N_DEV = len(jax.devices())
 

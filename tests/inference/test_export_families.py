@@ -23,9 +23,10 @@ from sleap_nn_tpu.training import ModelTrainer
 CKPTS = Path("/root/reference/tests/assets/model_ckpts")
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # integration tier
+    pytest.mark.skipif(
     not CKPTS.exists(), reason="reference assets unavailable"
-)
+)]
 
 
 def _rand_frames(n, h, w, c=1):

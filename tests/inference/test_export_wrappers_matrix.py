@@ -23,9 +23,10 @@ from sleap_nn_tpu.inference.loaders import load_model
 
 CKPTS = Path("/root/reference/tests/assets/model_ckpts")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # integration tier
+    pytest.mark.skipif(
     not CKPTS.exists(), reason="reference assets unavailable"
-)
+)]
 
 
 @pytest.fixture(scope="module")

@@ -20,9 +20,10 @@ from sleap_nn_tpu.io import load_slp
 LEGACY = Path("/root/reference/tests/assets/legacy_models")
 FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # integration tier
+    pytest.mark.skipif(
     not LEGACY.exists(), reason="reference assets unavailable"
-)
+)]
 
 
 def test_resolve_model_dir_accepts_legacy_layout():

@@ -10,6 +10,8 @@ Predictor.from_model_paths (inference/predictor.py).
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real model builds / e2e flows
+
 
 from sleap_nn_tpu.inference.loaders import load_model
 from sleap_nn_tpu.inference.predictor import Predictor

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # integration tier: real model builds / e2e flows
+
 
 from sleap_nn_tpu.config.model_config import ConvNextConfig, SwinTConfig
 from sleap_nn_tpu.models import Model
