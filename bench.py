@@ -75,12 +75,9 @@ ROWS = [
         95.0,
         {"peak_threshold": 0.2, "max_instances": 6},
     ),
-    (
-        "bottomup",
-        ["minimal_instance_bottomup"],
-        137.0,
-        {"peak_threshold": 0.2},
-    ),
+    # Remaining rows ordered by how tight their margin over the A40
+    # baseline is (tightest first): single_instance sits at ~1.0x while
+    # bottomup clears ~2x, so bottomup can afford the stalest link.
     (
         "single_instance",
         ["minimal_instance_single_instance"],
@@ -92,6 +89,12 @@ ROWS = [
         ["minimal_instance_centroid"],
         231.0,
         {"peak_threshold": 0.2, "max_instances": 6},
+    ),
+    (
+        "bottomup",
+        ["minimal_instance_bottomup"],
+        137.0,
+        {"peak_threshold": 0.2},
     ),
 ]
 
