@@ -191,3 +191,27 @@ def test_field_validation_unit():
     assert c.value == "bottomup"
     c.cycle(1)
     assert c.value == "topdown"
+
+
+def test_variant_field_applies_to_preset_encoders(tmp_path):
+    """The model-select 'variant' knob lands in convnext/swint configs and
+    is ignored for UNet."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _apply_and_save, _config_fields, _model_fields,
+    )
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    mf = _model_fields(rec)
+    by = {f.name: f for f in mf}
+    by["backbone"].value = "convnext"
+    by["variant"].value = "small"
+    cf = _config_fields(FIXTURE, stats, rec)
+    for f in cf:
+        if f.name == "output":
+            f.value = str(tmp_path / "cnx.yaml")
+    out = _apply_and_save(FIXTURE, stats, rec, mf, cf)
+    cfg = yaml.safe_load(open(out))
+    assert cfg["model_config"]["backbone_config"]["convnext"]["model_type"] == "small"
+    assert cfg["model_config"]["backbone_config"].get("unet") is None

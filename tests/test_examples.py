@@ -66,3 +66,14 @@ def test_training_demo_end_to_end(tmp_path):
         run_dir = demo / run
         assert (run_dir / "training_config.yaml").exists(), run
         assert (run_dir / "training_log.csv").exists(), run
+
+
+def test_throughput_preset_guide(tmp_path):
+    out = run_example("throughput_preset_guide.py", tmp_path)
+    assert "output_stride" in out and "throughput" in out
+    assert (tmp_path / "quality.yaml").exists()
+    assert (tmp_path / "throughput.yaml").exists()
+    import yaml
+
+    fast = yaml.safe_load((tmp_path / "throughput.yaml").read_text())
+    assert fast["model_config"]["backbone_config"]["unet"]["output_stride"] == 4
