@@ -19,7 +19,23 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert jax.devices()[0].platform == "cpu", "tests must run on cpu"
+
+# Persistent XLA compilation cache: many tests build fresh ModelTrainer /
+# Predictor instances around IDENTICAL architectures, and jit's in-memory
+# cache cannot dedup across instances (different closures). The disk cache
+# is keyed by optimized-HLO hash, so the second identical program in the
+# SAME run (and in every later run) skips its 20-40 s CPU compile. Scoped
+# to the CPU test platform only — the axon TPU tunnel hangs on executable
+# serialization (see bench.py), but tests never touch it.
+_cache_dir = os.environ.get(
+    "SLEAP_NN_TPU_TEST_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "sleap_nn_tpu_xla_tests"),
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from pathlib import Path
 
