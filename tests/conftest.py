@@ -28,6 +28,9 @@ assert jax.devices()[0].platform == "cpu", "tests must run on cpu"
 # SAME run (and in every later run) skips its 20-40 s CPU compile. Scoped
 # to the CPU test platform only — the axon TPU tunnel hangs on executable
 # serialization (see bench.py), but tests never touch it.
+# Measured on the 1-CPU host (2026-08-21): full suite 46:43 without the
+# cache -> 36:12 cold-cache -> 26:43 warm; quick tier (-m "not slow")
+# 10:38 cold -> 6:32 warm.
 _cache_dir = os.environ.get(
     "SLEAP_NN_TPU_TEST_COMPILE_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "sleap_nn_tpu_xla_tests"),
