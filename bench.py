@@ -720,7 +720,11 @@ def main():
         # (VERDICT r4 #5 — adopt the sweep's best batch, measured not
         # assumed). Bounded: one retry batch, only when below 1.05x A40.
         if fps / base_fps < 1.05 and not past_deadline():
-            retry_batch = 64  # 100-frame protocol: 64 halves RPC count at equal padded payload
+            # Double the configured batch (not a hardcoded 64): under the
+            # default 100-frame protocol B=64 halves the RPC count at equal
+            # padded payload, and a BENCH_BATCH override still retries at a
+            # genuinely LARGER batch.
+            retry_batch = BATCH_SIZE * 2
             try:
                 infra_big = measure_achievable_infra_fps(
                     payload_shape, retry_batch, n_batches=4

@@ -1196,6 +1196,16 @@ def config_cmd(path, output, auto, pipeline, show_yaml, preset, overrides):
         rec = recommend_config(stats)
         if pipeline:
             rec.pipeline.pipeline = pipeline
+            # The throughput preset's knob set is pipeline-dependent
+            # (crop_size only for topdown families) — recompute it for the
+            # OVERRIDDEN pipeline, not the recommended one.
+            from sleap_nn_tpu.config_generator.recommender import (
+                recommend_throughput_preset,
+            )
+
+            rec.throughput_preset = recommend_throughput_preset(
+                stats, pipeline, rec.backbone
+            )
         if preset == "throughput" and rec.throughput_preset is None:
             raise click.UsageError(
                 f"No measured throughput preset for the recommended "
@@ -1312,6 +1322,11 @@ def config_generate(slp_path, output, max_epochs, preset):
 
     stats = analyze_slp(slp_path)
     rec = recommend_config(stats)
+    if preset == "throughput" and rec.throughput_preset is None:
+        raise click.UsageError(
+            f"No measured throughput preset for the recommended backbone "
+            f"({rec.backbone}); rerun without --preset."
+        )
     cfg = generate_config(slp_path, output_path=output, stats=stats,
                           recommendation=rec, max_epochs=max_epochs,
                           preset=preset)

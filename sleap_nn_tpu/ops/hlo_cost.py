@@ -197,20 +197,18 @@ def _instr_shape_and_op(rest: str) -> Tuple[str, str]:
     return shape, op
 
 
-def _operand_shapes(rest: str) -> List[str]:
-    """Shapes of the operands referenced in an instruction line.
+def _call_args(rest: str) -> str:
+    """The operand list inside an instruction's call parens.
 
-    The optimized HLO prints operands as `shape %name` inside the call
-    parens; we simply collect every shape literal after the opcode.
+    Strips the output shape first, then cuts at the matching close paren
+    (metadata/attrs follow).
     """
-    # cut off the output shape first
     shape, _ = _instr_shape_and_op(rest)
     tail = rest[len(shape):]
     paren = tail.find("(")
     if paren < 0:
-        return []
+        return ""
     args = tail[paren + 1:]
-    # stop at the matching close paren (metadata/attrs follow)
     depth, end = 1, len(args)
     for i, ch in enumerate(args):
         if ch == "(":
@@ -220,11 +218,34 @@ def _operand_shapes(rest: str) -> List[str]:
             if depth == 0:
                 end = i
                 break
-    args = args[:end]
-    return [m.group(0) for m in _SHAPE_RE.finditer(args)]
+    return args[:end]
 
 
-_OPERAND_NAME_RE = re.compile(r"%([\w.\-]+)")
+def _split_operands(args: str) -> List[str]:
+    """Split a call-args string on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _operand_shapes(rest: str) -> List[str]:
+    """Shapes of the operands referenced in an instruction line.
+
+    The optimized HLO prints operands as `shape %name` inside the call
+    parens; we simply collect every shape literal after the opcode.
+    """
+    return [m.group(0) for m in _SHAPE_RE.finditer(_call_args(rest))]
 
 
 def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
@@ -261,14 +282,20 @@ def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
     for name, opname, rest, out_bytes in parsed:
         if opname in _SKIP_OPS:
             continue
-        in_shapes = _operand_shapes(rest)
-        if in_shapes:
-            in_bytes = sum(shape_physical_bytes(s) for s in in_shapes)
-        else:
-            in_bytes = sum(
-                shapes_by_name.get(ref, 0)
-                for ref in _operand_refs(rest)
-            )
+        # Per-operand: use the printed shape when present, otherwise
+        # resolve the (with-or-without-%) name against the producer table.
+        # Counting per operand (not all-shapes-or-all-names) handles dumps
+        # that print shapes for some operands only, without double-counting
+        # the `shape %name` form.
+        in_bytes = 0
+        for operand in _split_operands(_call_args(rest)):
+            m_s = _SHAPE_RE.search(operand)
+            if m_s:
+                in_bytes += shape_physical_bytes(m_s.group(0))
+                continue
+            m_n = re.match(r"%?([\w.\-]+)", operand)
+            if m_n:
+                in_bytes += shapes_by_name.get(m_n.group(1), 0)
         rows.append({
             "name": name,
             "op": opname,
@@ -283,25 +310,6 @@ def estimate_traffic(hlo_text: str, top_k: int = 12) -> Dict:
         "top": rows[:top_k],
     }
 
-
-def _operand_refs(rest: str) -> List[str]:
-    """Operand instruction names referenced in the call parens."""
-    shape, _ = _instr_shape_and_op(rest)
-    tail = rest[len(shape):]
-    paren = tail.find("(")
-    if paren < 0:
-        return []
-    args = tail[paren + 1:]
-    depth, end = 1, len(args)
-    for i, ch in enumerate(args):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                end = i
-                break
-    return _OPERAND_NAME_RE.findall(args[:end])
 
 
 def compiled_traffic(compiled, top_k: int = 12) -> Dict:

@@ -18,8 +18,19 @@ DETAIL = REPO / "BENCH_DETAIL.json"
 DOC = REPO / "docs" / "inference-performance.md"
 
 _FAMILIES = ("single_instance", "centroid", "topdown", "bottomup")
-_A40_FPS = {"single_instance": 228, "centroid": 231, "topdown": 95,
-            "bottomup": 137}
+
+
+def _a40_baselines() -> dict:
+    """A40 e2e baselines, read from bench.py's ROWS (single source)."""
+    import bench
+
+    return {name: base for name, _dirs, base, _kw in bench.ROWS}
+
+
+def _batch_size() -> int:
+    import bench
+
+    return bench.BATCH_SIZE
 
 
 def _fmt(x, nd=1):
@@ -60,10 +71,11 @@ def generate_perf_doc(detail: dict | None = None) -> str:
         "| Family | A40 (reference) | This build (v5e e2e) | ×A40 | × of this host's achievable ceiling |",
         "|---|---:|---:|---:|---:|",
     ]
+    a40 = _a40_baselines()
     for fam in _FAMILIES:
         row = e.get(fam) or {}
         lines.append(
-            f"| {fam} | {_A40_FPS[fam]} f/s | {_fmt(row.get('e2e_fps'))} f/s "
+            f"| {fam} | {_fmt(a40.get(fam), 0)} f/s | {_fmt(row.get('e2e_fps'))} f/s "
             f"| {_fmt(row.get('e2e_vs_a40'), 2)}× "
             f"| {_fmt(row.get('e2e_vs_achievable'), 2)}× |"
         )
@@ -74,7 +86,7 @@ def generate_perf_doc(detail: dict | None = None) -> str:
         "limits per row and reports `e2e_vs_achievable` against that",
         "infrastructure ceiling. Device-resident compute throughput is",
         "1-2 orders of magnitude higher (e.g. "
-        f"{_fmt((e.get('single_instance') or {}).get('compute_fps_b32'), 0)} f/s "
+        f"{_fmt((e.get('single_instance') or {}).get(f'compute_fps_b{_batch_size()}'), 0)} f/s "
         "for single_instance at B=32).",
         "",
         "## Production scale (megapixel, production-width UNet)",

@@ -76,3 +76,37 @@ ENTRY %main () -> f32[256] {
     # the GTE itself is skipped as a view.
     assert t["total_bytes"] == 256 * 4 * 2
     assert t["n_instructions"] == 1
+
+
+def test_bare_operands_without_percent_sigil():
+    """Dumps printed without the % sigil still count operand reads."""
+    hlo = """
+HloModule m
+
+ENTRY main (p0: f32[128]) -> f32[128] {
+  p0 = f32[128]{0} parameter(0)
+  a = f32[128]{0} exponential(p0)
+  ROOT b = f32[128]{0} add(a, p0)
+}
+"""
+    t = estimate_traffic(hlo)
+    tensor = 128 * 4
+    assert t["total_bytes"] == tensor * (2 + 3)
+
+
+def test_mixed_shaped_and_bare_operands():
+    """Per-operand parsing: a shaped operand and a bare ref both count,
+    and the `shape %name` form is not double-counted."""
+    hlo = """
+HloModule m
+
+ENTRY %main (p0: f32[64]) -> f32[64] {
+  %p0 = f32[64]{0} parameter(0)
+  %a = f32[64]{0} exponential(%p0)
+  ROOT %y = f32[64]{0} add(f32[64]{0} %p0, %a)
+}
+"""
+    t = estimate_traffic(hlo)
+    tensor = 64 * 4
+    # a: out + read(p0); y: out + read(p0 shaped) + read(a bare)
+    assert t["total_bytes"] == tensor * (2 + 3)

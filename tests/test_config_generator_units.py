@@ -264,3 +264,24 @@ def test_cli_config_generate_throughput_preset(tmp_path):
     d = yaml.safe_load(out.read_text())
     assert d["model_config"]["backbone_config"]["unet"]["output_stride"] == 4
     assert d["data_config"]["preprocessing"]["crop_size"] == 128
+
+
+def test_cli_preset_respects_pipeline_override(tmp_path):
+    """--pipeline + --preset: the preset's knobs are keyed to the SELECTED
+    pipeline (crop_size only for topdown families), not the recommended
+    one (code-review r5 finding)."""
+    import yaml
+    from click.testing import CliRunner
+
+    from sleap_nn_tpu.cli import cli
+
+    FIXTURE = "/root/reference/tests/assets/datasets/minimal_instance.pkg.slp"
+    out = tmp_path / "si_fast.yaml"
+    r = CliRunner().invoke(cli, ["config", FIXTURE, "--auto",
+                                 "--pipeline", "single_instance",
+                                 "--preset", "throughput", "-o", str(out)])
+    assert r.exit_code == 0, r.output
+    d = yaml.safe_load(out.read_text())
+    assert d["model_config"]["backbone_config"]["unet"]["output_stride"] == 4
+    # single_instance has no crop stage: the topdown-only knob must not leak.
+    assert d["data_config"]["preprocessing"]["crop_size"] is None
