@@ -191,6 +191,69 @@ def measure_achievable_infra_fps(frame_shape, batch: int, n_batches: int = 6) ->
     return best
 
 
+def measure_decode_send_overlap(frame_shape, batch: int,
+                                n_batches: int = 8) -> float:
+    """Measured fraction of concurrent decode-like CPU work the dispatch
+    stream absorbs for free (VERDICT r4 #5: measure, don't assume).
+
+    Runs the trivial-kernel dispatch loop once alone and once with a
+    background thread doing calibrated CPU work (matmul spin ~ the per-batch
+    decode cost); overlap efficiency = how much of the background work's
+    serial cost did NOT appear in the combined wall time. ~1.0 means the
+    tunnel RPC wait fully releases the GIL (decode hides inside the send);
+    ~0.0 means the host serializes them.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x.astype(jnp.uint32), axis=tuple(range(1, x.ndim)))
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 255, (batch, *frame_shape), dtype=np.uint8)
+    np.asarray(trivial(buf))
+
+    def dispatch_loop():
+        q = []
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            q.append(trivial(buf))
+            if len(q) > 3:
+                np.asarray(q.pop(0))
+        while q:
+            np.asarray(q.pop(0))
+        return time.perf_counter() - t0
+
+    work_ms = 20.0
+    a = np.random.rand(64, 64)
+
+    def cpu_spin(ms):
+        t_end = time.perf_counter() + ms / 1000
+        s = 0.0
+        while time.perf_counter() < t_end:
+            s += float((a @ a).sum())
+        return s
+
+    t_alone = dispatch_loop()
+    stop, done = [False], [0]
+
+    def bg():
+        while not stop[0]:
+            cpu_spin(work_ms)
+            done[0] += 1
+
+    th = threading.Thread(target=bg, daemon=True)
+    th.start()
+    t_both = dispatch_loop()
+    stop[0] = True
+    th.join()
+    hidden = t_alone + done[0] * work_ms / 1000 - t_both
+    return max(0.0, min(1.0, hidden / max(done[0] * work_ms / 1000, 1e-9)))
+
+
 _decode_cache = {}
 
 
@@ -665,6 +728,7 @@ def main():
 
     tunnel_ceilings = {}
     headline_fps, headline_vs = 0.0, 0.0
+    topdown_payload_shape = None
     for name, dirs, base_fps, kwargs in ROWS:
         predictor = Predictor.from_model_paths(
             [str(CKPTS / d) for d in dirs],
@@ -755,6 +819,16 @@ def main():
     # bw-dependent reporting fields.
     tunnel_bw = measure_tunnel_bw()
     extra["host_limits"]["h2d_bandwidth_MBps"] = round(tunnel_bw / 1e6, 1)
+    # MEASURED decode/send overlap (r4 #5): how much concurrent CPU work the
+    # dispatch stream hides. ~1.0 on this stack — the tunnel RPC wait
+    # releases the GIL — so the realistic host bound interpolates from the
+    # serial sum (overlap 0) toward min(decode, tunnel) (overlap 1).
+    overlap = (
+        measure_decode_send_overlap(topdown_payload_shape, BATCH_SIZE)
+        if topdown_payload_shape is not None and not past_deadline()
+        else 0.0
+    )
+    extra["host_limits"]["decode_send_overlap"] = round(overlap, 3)
     for name, _dirs, _base, _kw in ROWS:
         row = extra.get(name)
         if not isinstance(row, dict) or "payload_bytes_per_frame" not in row:
@@ -764,19 +838,23 @@ def main():
         compute_fps = row.pop("_compute_fps")
         tunnel_ceiling = tunnel_bw / payload
         ceiling = min(tunnel_ceiling, decode_fps, compute_fps)
-        # On a 1-CPU host decode and the tunnel feed cannot overlap (the
-        # gRPC send burns the same core), so the realistic host bound is
-        # the SERIAL sum of both per-frame costs, not their min.
         serial_ceiling = 1.0 / (1.0 / decode_fps + payload / tunnel_bw)
+        overlapped_ceiling = (
+            serial_ceiling + overlap * (ceiling - serial_ceiling)
+            if ceiling > serial_ceiling
+            else ceiling
+        )
         row["tunnel_ceiling_fps"] = round(tunnel_ceiling, 1)
         row["host_ceiling_fps"] = round(ceiling, 1)
         row["e2e_vs_ceiling"] = round(row["e2e_fps"] / ceiling, 3)
         row["serial_host_ceiling_fps"] = round(serial_ceiling, 1)
         row["e2e_vs_serial_ceiling"] = round(row["e2e_fps"] / serial_ceiling, 3)
+        row["overlapped_host_ceiling_fps"] = round(overlapped_ceiling, 1)
         tunnel_ceilings[name] = round(tunnel_ceiling, 1)
     extra["tunnel_ceiling_fps"] = tunnel_ceilings
 
-    if os.environ.get("BENCH_BATCH_SWEEP") and not past_deadline():
+    if (os.environ.get("BENCH_BATCH_SWEEP") and not past_deadline()
+            and topdown_payload_shape is not None):
         # Does a bigger batch amortize per-RPC tunnel overhead? Recorded for
         # offline analysis; does not change the headline pipeline.
         extra["batch_sweep"] = batch_sweep(topdown_payload_shape)

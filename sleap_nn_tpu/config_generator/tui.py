@@ -206,6 +206,50 @@ def _config_fields(slp_path: str, stats, rec,
         _prob("noise_p", 0.0, "gaussian pixel noise"),
         _prob("erase_p", 0.0, "random erasing"),
         _prob("mixup_p", 0.0, "sample mixing"),
+        _prob("rotation_p", 1.0, "chance the affine draw rotates"),
+        _prob("scale_p", 1.0, "chance the affine draw scales"),
+        _prob("translate_p", 0.0, "chance the affine draw translates"),
+        _Field("translate_frac", 0.05, caster=float,
+               reason="max translate as a fraction of image size",
+               slider=(0.0, 0.5, 0.01),
+               validate=lambda v: None if 0 <= v <= 0.5
+               else "must be in [0, 0.5]"),
+        _Field("noise_std", 0.02, caster=float,
+               reason="gaussian noise sigma (normalized pixels)",
+               slider=(0.0, 0.5, 0.01),
+               validate=lambda v: None if 0 <= v <= 1 else "must be in [0, 1]"),
+        _Field("contrast_min", 0.5, caster=float, slider=(0.0, 1.0, 0.05),
+               validate=lambda v: None if 0 <= v <= 1 else "must be in [0, 1]"),
+        _Field("contrast_max", 2.0, caster=float, slider=(1.0, 4.0, 0.1),
+               validate=lambda v: None if 1 <= v <= 4 else "must be in [1, 4]"),
+        _Field("brightness_min", 0.8, caster=float, slider=(0.0, 1.0, 0.05),
+               validate=lambda v: None if 0 <= v <= 1 else "must be in [0, 1]"),
+        _Field("brightness_max", 1.2, caster=float, slider=(1.0, 3.0, 0.05),
+               validate=lambda v: None if 1 <= v <= 3 else "must be in [1, 3]"),
+        # trainer
+        _Field("optimizer", "adam", choices=["adam", "adamw"],
+               reason="optax optimizer"),
+        _Field("amsgrad", "off", choices=["off", "on"],
+               reason="AMSGrad variant (adam only)"),
+        _Field("scheduler", "reduce_on_plateau",
+               choices=["none", "step_lr", "reduce_on_plateau",
+                        "cosine_warmup", "linear_warmup_decay"],
+               reason="learning-rate schedule"),
+        _Field("early_stop_patience", 10, caster=int,
+               reason="epochs without val improvement before stop; 0 = off",
+               validate=lambda v: None if v >= 0 else "must be >= 0"),
+        _Field("seed", 0, caster=int, reason="training RNG seed",
+               validate=lambda v: None if v >= 0 else "must be >= 0"),
+        _Field("run_name", "", reason="checkpoint run directory name"),
+        _Field("save_ckpt", "on", choices=["on", "off"],
+               reason="write best/last checkpoints"),
+        _Field("use_wandb", "off", choices=["off", "on"],
+               reason="log to Weights & Biases"),
+        _Field("ohkm", "off", choices=["off", "on"],
+               reason="online hard keypoint mining loss"),
+        _Field("ohkm_ratio", 2.0, caster=float, slider=(1.0, 10.0, 0.5),
+               reason="hard:easy loss ratio (when OHKM on)",
+               validate=lambda v: None if v >= 1 else "must be >= 1"),
         # tiling
         _Field("tiling", "off", choices=["off", "on"],
                reason="train/infer on tiles of large images"),
@@ -273,8 +317,17 @@ def _config_sections(
         _Section("augmentation", [
             by["augmentation"], by["rotation"],
             by["aug_scale_min"], by["aug_scale_max"], by["affine_p"],
-            by["flip_p"], by["contrast_p"], by["brightness_p"],
-            by["noise_p"], by["erase_p"], by["mixup_p"],
+            by["rotation_p"], by["scale_p"], by["translate_p"],
+            by["translate_frac"],
+            by["flip_p"], by["contrast_p"], by["contrast_min"],
+            by["contrast_max"], by["brightness_p"], by["brightness_min"],
+            by["brightness_max"], by["noise_p"], by["noise_std"],
+            by["erase_p"], by["mixup_p"],
+        ], collapsed=True),
+        _Section("trainer", [
+            by["optimizer"], by["amsgrad"], by["scheduler"],
+            by["early_stop_patience"], by["seed"], by["run_name"],
+            by["save_ckpt"], by["use_wandb"], by["ohkm"], by["ohkm_ratio"],
         ], collapsed=True),
         _Section("tiling", [by["tiling"], by["tile_size"],
                             by["tile_overlap"]], collapsed=True),
@@ -378,6 +431,45 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
         vals.get("validation_fraction", 0.1)
     )
     cfg.trainer_config.optimizer.lr = float(vals.get("learning_rate", 1e-4))
+    # Trainer knobs.
+    from sleap_nn_tpu.config.trainer_config import (
+        CosineAnnealingWarmupConfig, LinearWarmupLinearDecayConfig,
+        LRSchedulerConfig, ReduceLROnPlateauConfig, StepLRConfig,
+    )
+
+    tc = cfg.trainer_config
+    tc.optimizer_name = str(vals.get("optimizer", "adam"))
+    tc.optimizer.amsgrad = vals.get("amsgrad", "off") == "on"
+    sched = str(vals.get("scheduler", "reduce_on_plateau"))
+    max_ep = int(vals.get("max_epochs", 100))
+    if sched == "none":
+        tc.lr_scheduler = LRSchedulerConfig()
+    elif sched == "step_lr":
+        tc.lr_scheduler = LRSchedulerConfig(step_lr=StepLRConfig())
+    elif sched == "reduce_on_plateau":
+        tc.lr_scheduler = LRSchedulerConfig(
+            reduce_lr_on_plateau=ReduceLROnPlateauConfig())
+    elif sched == "cosine_warmup":
+        tc.lr_scheduler = LRSchedulerConfig(
+            cosine_annealing_warmup=CosineAnnealingWarmupConfig(
+                max_epochs=max_ep))
+    elif sched == "linear_warmup_decay":
+        tc.lr_scheduler = LRSchedulerConfig(
+            linear_warmup_linear_decay=LinearWarmupLinearDecayConfig(
+                max_epochs=max_ep))
+    patience = int(vals.get("early_stop_patience", 10))
+    tc.early_stopping.stop_training_on_plateau = patience > 0
+    if patience > 0:
+        tc.early_stopping.patience = patience
+    tc.seed = int(vals.get("seed", tc.seed or 0))
+    if str(vals.get("run_name", "")).strip():
+        tc.run_name = str(vals["run_name"]).strip()
+    tc.save_ckpt = vals.get("save_ckpt", "on") == "on"
+    tc.use_wandb = vals.get("use_wandb", "off") == "on"
+    tc.online_hard_keypoint_mining.online_mining = (
+        vals.get("ohkm", "off") == "on")
+    tc.online_hard_keypoint_mining.hard_to_easy_ratio = float(
+        vals.get("ohkm_ratio", 2.0))
     # Augmentation detail.
     if vals["augmentation"] == "off":
         cfg.data_config.use_augmentations_train = False
@@ -389,17 +481,33 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
             geo.scale_min = float(vals.get("aug_scale_min", geo.scale_min))
             geo.scale_max = float(vals.get("aug_scale_max", geo.scale_max))
             geo.affine_p = float(vals.get("affine_p", geo.affine_p))
+            geo.rotation_p = float(vals.get("rotation_p", geo.rotation_p))
+            geo.scale_p = float(vals.get("scale_p", geo.scale_p))
+            geo.translate_p = float(vals.get("translate_p", geo.translate_p))
+            tf = float(vals.get("translate_frac", geo.translate_width))
+            geo.translate_width = tf
+            geo.translate_height = tf
             geo.flip_p = float(vals.get("flip_p", geo.flip_p))
             geo.erase_p = float(vals.get("erase_p", geo.erase_p))
             geo.mixup_p = float(vals.get("mixup_p", geo.mixup_p))
         if inten is not None:
             inten.contrast_p = float(vals.get("contrast_p", inten.contrast_p))
+            inten.contrast_min = float(
+                vals.get("contrast_min", inten.contrast_min))
+            inten.contrast_max = float(
+                vals.get("contrast_max", inten.contrast_max))
             inten.brightness_p = float(
                 vals.get("brightness_p", inten.brightness_p)
             )
+            inten.brightness_min = float(
+                vals.get("brightness_min", inten.brightness_min))
+            inten.brightness_max = float(
+                vals.get("brightness_max", inten.brightness_max))
             inten.gaussian_noise_p = float(
                 vals.get("noise_p", inten.gaussian_noise_p)
             )
+            inten.gaussian_noise_std = float(
+                vals.get("noise_std", inten.gaussian_noise_std))
     # Tiling.
     if vals.get("tiling", "off") == "on":
         tiling = cfg.data_config.preprocessing.tiling

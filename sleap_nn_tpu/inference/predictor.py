@@ -45,6 +45,11 @@ from sleap_nn_tpu.io.video import Video
 # handler/level; by default lines propagate to the root logger.
 logger = logging.getLogger("sleap_nn_tpu")
 
+# Ship only the valid rows of a host-padded tail batch and rebuild the pad
+# on device (see the dispatch loop in Predictor.predict). Kill-switch:
+# SLEAP_NN_TPU_DEVICE_PAD_TAIL=0 restores full-batch host sends.
+_DEVICE_PAD_TAIL = os.environ.get("SLEAP_NN_TPU_DEVICE_PAD_TAIL", "1") != "0"
+
 
 def rgb_to_gray_uint8(frames: np.ndarray) -> np.ndarray:
     """ITU-601 luma on a uint8 batch, (B, H, W, 3) -> (B, H, W, 1).
@@ -1010,11 +1015,50 @@ class Predictor:
                     if fetch_err:
                         break
                     frames = batch.frames
+                    # Tail batches arrive host-padded (repeated last frame,
+                    # providers.py pad). Shipping the pad rows over a
+                    # remote-attached link wastes up to (B-1)/B of the last
+                    # transfer, so send only the valid rows and rebuild the
+                    # pad device-side (broadcast of the last row — the same
+                    # values the host pad carried, so outputs are
+                    # bit-identical). The full-batch jit program never
+                    # recompiles; only a tiny per-tail-shape pad computation
+                    # does, once. Skipped under SPMD sharding (the committed
+                    # layout needs the full leading axis host-side).
+                    pad_dev = None
+                    valid = getattr(batch, "valid", None)
+                    if (
+                        _DEVICE_PAD_TAIL
+                        and valid is not None
+                        and not valid.all()
+                        and self._batch_sharding is None
+                    ):
+                        n_valid = int(valid.sum())
+                        if 0 < n_valid < len(frames):
+                            pad_dev = len(frames)
+                            frames = frames[:n_valid]
                     if self._host_grayscale and frames.shape[-1] == 3:
                         frames = rgb_to_gray_uint8(frames)
                     host_f = 1.0
                     if self._host_transform is not None:
                         frames, host_f = self._apply_host_resize(frames)
+                    if pad_dev is not None:
+                        import jax.numpy as _jnp
+
+                        dev_frames = _jnp.asarray(
+                            np.ascontiguousarray(frames)
+                        )
+                        frames = _jnp.concatenate(
+                            [
+                                dev_frames,
+                                _jnp.broadcast_to(
+                                    dev_frames[-1:],
+                                    (pad_dev - dev_frames.shape[0],)
+                                    + dev_frames.shape[1:],
+                                ),
+                            ],
+                            axis=0,
+                        )
                     if self._batch_sharding is not None:
                         # SPMD: commit the batch with its leading axis split
                         # over the mesh; jnp.asarray inside the layer keeps

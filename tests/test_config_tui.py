@@ -215,3 +215,75 @@ def test_variant_field_applies_to_preset_encoders(tmp_path):
     cfg = yaml.safe_load(open(out))
     assert cfg["model_config"]["backbone_config"]["convnext"]["model_type"] == "small"
     assert cfg["model_config"]["backbone_config"].get("unet") is None
+
+
+def test_prompt_flow_trainer_and_deep_aug_knobs(tmp_path, monkeypatch, capsys):
+    """Trainer section + augmentation detail land in the saved YAML
+    (reference tui/app.py trainer & augmentation screens)."""
+    out = tmp_path / "trainer.yaml"
+    answers = _script({
+        "optimizer": "adamw",
+        "scheduler": "cosine_warmup",
+        "early_stop_patience": "5",
+        "seed": "1234",
+        "run_name": "tui_run",
+        "save_ckpt": "on",
+        "use_wandb": "off",
+        "ohkm": "on",
+        "ohkm_ratio": "3.0",
+        "max_epochs": "40",
+        "rotation_p": "0.9",
+        "translate_p": "0.25",
+        "translate_frac": "0.1",
+        "noise_p": "0.3",
+        "noise_std": "0.05",
+        "contrast_p": "0.4",
+        "contrast_min": "0.6",
+        "contrast_max": "1.8",
+        "brightness_min": "0.85",
+        "brightness_max": "1.3",
+        "brightness_p": "0.2",
+        "output": str(out),
+    })
+    saved, _ = _run_prompt(monkeypatch, answers, capsys,
+                           default_out=str(tmp_path / "default.yaml"))
+    assert saved == str(out)
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(out.read_text())
+    tc = cfg["trainer_config"]
+    assert tc["optimizer_name"] == "adamw"
+    assert tc["lr_scheduler"]["cosine_annealing_warmup"]["max_epochs"] == 40
+    assert tc["lr_scheduler"].get("reduce_lr_on_plateau") is None
+    assert tc["early_stopping"]["patience"] == 5
+    assert tc["early_stopping"]["stop_training_on_plateau"] is True
+    assert tc["seed"] == 1234
+    assert tc["run_name"] == "tui_run"
+    assert tc["save_ckpt"] is True and tc["use_wandb"] is False
+    ohkm = tc["online_hard_keypoint_mining"]
+    assert ohkm["online_mining"] is True and ohkm["hard_to_easy_ratio"] == 3.0
+    aug = cfg["data_config"]["augmentation_config"]
+    geo, inten = aug["geometric"], aug["intensity"]
+    assert geo["rotation_p"] == 0.9 and geo["translate_p"] == 0.25
+    assert geo["translate_width"] == 0.1 and geo["translate_height"] == 0.1
+    assert inten["gaussian_noise_p"] == 0.3
+    assert inten["gaussian_noise_std"] == 0.05
+    assert inten["contrast_min"] == 0.6 and inten["contrast_max"] == 1.8
+    assert inten["brightness_min"] == 0.85 and inten["brightness_max"] == 1.3
+
+
+def test_prompt_flow_scheduler_none_and_early_stop_off(tmp_path, monkeypatch,
+                                                       capsys):
+    out = tmp_path / "nosched.yaml"
+    answers = _script({
+        "scheduler": "none",
+        "early_stop_patience": "0",
+        "output": str(out),
+    })
+    saved, _ = _run_prompt(monkeypatch, answers, capsys,
+                           default_out=str(tmp_path / "default.yaml"))
+    cfg = yaml.safe_load((tmp_path / "nosched.yaml").read_text())
+    tc = cfg["trainer_config"]
+    sched = tc["lr_scheduler"]
+    assert all(v is None for v in sched.values())
+    assert tc["early_stopping"]["stop_training_on_plateau"] is False
