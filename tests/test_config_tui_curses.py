@@ -338,3 +338,85 @@ def test_config_sections_cover_every_field():
     assert s.marker() == "[-]"
     s.collapsed = True
     assert s.marker() == "[+]"
+
+
+@pytest.mark.slow
+def test_curses_trainer_section_edit(tmp_path):
+    """Expand the collapsed trainer section, cycle the optimizer choice,
+    edit the seed, and save — the YAML carries both (the r5 trainer
+    screen, reference tui/app.py trainer fields)."""
+    from sleap_nn_tpu.config_generator import analyze_slp, recommend_config
+    from sleap_nn_tpu.config_generator.tui import (
+        _config_fields, _config_sections,
+    )
+
+    stats = analyze_slp(FIXTURE)
+    rec = recommend_config(stats)
+    fields = _config_fields(FIXTURE, stats, rec)
+    sections = _config_sections(fields)
+
+    def entries(trainer_expanded):
+        names = []
+        for sec in sections:
+            names.append(f"hdr:{sec.title}")
+            if not sec.collapsed or (
+                trainer_expanded and sec.title == "trainer"
+            ):
+                names.extend(f.name for f in sec.fields)
+        return names
+
+    collapsed = entries(False)
+    expanded = entries(True)
+    REDRAW = "\x0c"
+
+    child = _spawn()
+    try:
+        child.expect_exact("[load]")
+        child.send("n")
+        child.expect_exact("model select")
+        child.send("n")
+        child.expect_exact("configure")
+        child.expect_exact("[-] targets")
+
+        # Navigate to the trainer header and expand it.
+        for _ in range(collapsed.index("hdr:trainer")):
+            child.send(DOWN)
+        child.send("\r")
+        child.send(REDRAW)
+        child.expect_exact("[-] trainer")
+        child.expect_exact("optimizer")
+
+        # optimizer is the first trainer field: cycle adam -> adamw.
+        child.send(DOWN)
+        child.send(RIGHT)
+        child.send(REDRAW)
+        child.expect_exact("adamw")
+
+        # seed is 4 fields below optimizer.
+        for _ in range(expanded.index("seed") - expanded.index("optimizer")):
+            child.send(DOWN)
+        child.send("e")
+        child.expect_exact("seed: ")
+        child.send("4321\r")
+        child.send(REDRAW)
+        child.expect_exact("4321")
+
+        # Point the output at tmp and save.
+        for _ in range(expanded.index("output") - expanded.index("seed")):
+            child.send(DOWN)
+        child.send("e")
+        child.expect_exact("output: ")
+        out = tmp_path / "trainer_edit.yaml"
+        child.send(str(out) + "\r")
+        child.send("n")
+        child.send(REDRAW)
+        child.expect_exact("confirm")
+        child.send("s")
+        child.expect_exact("Saved config to:")
+        child.expect(pexpect.EOF)
+    finally:
+        child.close(force=True)
+
+    cfg = yaml.safe_load((tmp_path / "trainer_edit.yaml").read_text())
+    assert cfg["trainer_config"]["optimizer_name"] == "adamw"
+    assert cfg["trainer_config"]["seed"] == 4321
