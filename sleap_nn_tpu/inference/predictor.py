@@ -1034,7 +1034,11 @@ class Predictor:
                         and self._batch_sharding is None
                     ):
                         n_valid = int(valid.sum())
-                        if 0 < n_valid < len(frames):
+                        # Providers append pads at the END; only slice when
+                        # the valid rows really are a prefix.
+                        if 0 < n_valid < len(frames) and bool(
+                            valid[:n_valid].all()
+                        ):
                             pad_dev = len(frames)
                             frames = frames[:n_valid]
                     if self._host_grayscale and frames.shape[-1] == 3:
