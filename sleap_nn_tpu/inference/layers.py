@@ -129,7 +129,14 @@ class InferenceLayer:
     per batch would serialize the transfer round-trips):
     ``predict_async`` dispatches and returns unfetched device arrays;
     ``finalize`` fetches (+ any host postprocessing).
+
+    ``consumes_host_frames``: True when ``predict_async`` does host-side
+    work on the raw frames (per-frame tiling); the predictor then keeps
+    tail batches host-padded instead of shipping a device array that
+    would immediately round-trip back.
     """
+
+    consumes_host_frames = False
 
     def __init__(self, backend, pre: PreprocessConfig, post: PostprocessConfig):
         self.backend = backend
@@ -609,6 +616,8 @@ class TiledLayer(InferenceLayer):
     maps. Works for any confmap-headed model; the merged canvas lives at the
     head's output-stride resolution.
     """
+
+    consumes_host_frames = True
 
     def __init__(
         self,

@@ -1032,6 +1032,9 @@ class Predictor:
                         and valid is not None
                         and not valid.all()
                         and self._batch_sharding is None
+                        and not getattr(
+                            self.layer, "consumes_host_frames", False
+                        )
                     ):
                         n_valid = int(valid.sum())
                         # Providers append pads at the END; only slice when
