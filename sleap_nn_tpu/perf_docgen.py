@@ -89,6 +89,31 @@ def generate_perf_doc(detail: dict | None = None) -> str:
         f"{_fmt((e.get('single_instance') or {}).get(f'compute_fps_b{_batch_size()}'), 0)} f/s "
         "for single_instance at B=32).",
         "",
+        "## Forward latency (device program, B=4)",
+        "",
+        "True device time of each family's fused program (preprocess +",
+        "forward + peaks in ONE jitted function), timed as a chained",
+        "`fori_loop` — vs the reference's published A40 eager forward",
+        "(reference docs/guides/inference-performance.md:40-48):",
+        "",
+        "| Family | A40 eager (ms/batch) | This build (ms/batch) | speedup |",
+        "|---|---:|---:|---:|",
+    ]
+    import bench as _bench
+
+    for fam in _FAMILIES:
+        row = e.get(fam) or {}
+        base_ms = _bench.FWD_BASELINE_MS.get(fam)
+        lines.append(
+            f"| {fam} | {_fmt(base_ms, 2)} | {_fmt(row.get('forward_ms_b4'), 2)} "
+            f"| {_fmt(row.get('forward_vs_a40_eager'), 2)}× |"
+        )
+    lines += [
+        "",
+        "(topdown has no published single-number baseline — its fused",
+        "two-stage program is compared against centroid+centered as a",
+        "lower bound in BENCH_DETAIL.json.)",
+        "",
         "## Production scale (megapixel, production-width UNet)",
         "",
         "| Config | f/s/chip | MFU | bound | fraction of roofline |",
@@ -146,6 +171,52 @@ def generate_perf_doc(detail: dict | None = None) -> str:
         "  megapixel sizes where lane padding dominates.",
         "- **Weights-as-arguments jit** (`jit_layer`): swapping checkpoints",
         "  never recompiles; first-compile is one-time per shape.",
+        "",
+        "## Workflow recipes",
+        "",
+        '### "I want the fastest correct predictions on a long video"',
+        "",
+        "```bash",
+        "sleap-nn-tpu config labels.slp --auto --preset throughput "
+        "-o fast.yaml",
+        "sleap-nn-tpu train fast.yaml",
+        "sleap-nn-tpu predict -i video.mp4 -m models/run -o out.slp \\",
+        "    --batch-size 128 --stream-to-file",
+        "```",
+        "",
+        "os4 @384px clears the 2,000 f/s/chip target; `--stream-to-file`",
+        "flushes each batch so a crash mid-run leaves a usable `.slp`.",
+        "",
+        '### "Quick sanity check on a 10-frame clip"',
+        "",
+        "```bash",
+        'sleap-nn-tpu predict -i video.mp4 -m models/run --frames "0-9" \\',
+        "    --batch-size 4 -o check.slp",
+        "```",
+        "",
+        "Small batch keeps first-compile time down; subsequent runs of the",
+        "same shapes reuse the persistent compilation cache.",
+        "",
+        '### "Multi-animal bottom-up on a crowded video"',
+        "",
+        "```bash",
+        "sleap-nn-tpu predict -i video.mp4 -m models/bottomup \\",
+        "    --paf-workers 2 --max-instances 30 -o out.slp",
+        "```",
+        "",
+        "PAF line scoring runs on-device (Pallas kernel); only the final",
+        "Jonker-Volgenant assignment is host work — `--paf-workers` moves",
+        "it to a process pool overlapped with device dispatch (worth it",
+        "above ~15 instances/frame; inline wins at fixture scale).",
+        "",
+        "## When to re-benchmark",
+        "",
+        "Re-run `python bench.py && python -m sleap_nn_tpu.perf_docgen`",
+        "after changing: model width/stride presets, the packed-execution",
+        "rules (`inference/backends.py`), peak-finding knobs, the provider",
+        "or host-resize path, or the host/chip itself. Rows move with the",
+        "tunnel's minute-to-minute rate (~3× swings measured); compare",
+        "best-of-N interleaved runs, never single shots.",
         "",
         "## Measurement honesty",
         "",
