@@ -231,17 +231,18 @@ def _config_fields(slp_path: str, stats, rec,
                reason="optax optimizer"),
         _Field("amsgrad", "off", choices=["off", "on"],
                reason="AMSGrad variant (adam only)"),
-        _Field("scheduler", "reduce_on_plateau",
+        _Field("scheduler", "none",
                choices=["none", "step_lr", "reduce_on_plateau",
                         "cosine_warmup", "linear_warmup_decay"],
-               reason="learning-rate schedule"),
+               reason="learning-rate schedule (default: constant LR, "
+                      "matching config-generate)"),
         _Field("early_stop_patience", 10, caster=int,
                reason="epochs without val improvement before stop; 0 = off",
                validate=lambda v: None if v >= 0 else "must be >= 0"),
-        _Field("seed", 0, caster=int, reason="training RNG seed",
+        _Field("seed", 42, caster=int, reason="training RNG seed",
                validate=lambda v: None if v >= 0 else "must be >= 0"),
         _Field("run_name", "", reason="checkpoint run directory name"),
-        _Field("save_ckpt", "on", choices=["on", "off"],
+        _Field("save_ckpt", "off", choices=["off", "on"],
                reason="write best/last checkpoints"),
         _Field("use_wandb", "off", choices=["off", "on"],
                reason="log to Weights & Biases"),
@@ -440,7 +441,7 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
     tc = cfg.trainer_config
     tc.optimizer_name = str(vals.get("optimizer", "adam"))
     tc.optimizer.amsgrad = vals.get("amsgrad", "off") == "on"
-    sched = str(vals.get("scheduler", "reduce_on_plateau"))
+    sched = str(vals.get("scheduler", "none"))
     max_ep = int(vals.get("max_epochs", 100))
     if sched == "none":
         tc.lr_scheduler = LRSchedulerConfig()
@@ -464,7 +465,7 @@ def _apply_and_save(slp_path: str, stats, rec, model_fields: List[_Field],
     tc.seed = int(vals.get("seed", tc.seed or 0))
     if str(vals.get("run_name", "")).strip():
         tc.run_name = str(vals["run_name"]).strip()
-    tc.save_ckpt = vals.get("save_ckpt", "on") == "on"
+    tc.save_ckpt = vals.get("save_ckpt", "off") == "on"
     tc.use_wandb = vals.get("use_wandb", "off") == "on"
     tc.online_hard_keypoint_mining.online_mining = (
         vals.get("ohkm", "off") == "on")
